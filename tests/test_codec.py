@@ -1,0 +1,75 @@
+"""PNG/raw codec round-trips (SURVEY.md §7 step 1 hard part)."""
+
+import numpy as np
+import pytest
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
+
+
+@pytest.mark.parametrize("shape", [(7, 5), (7, 5, 3), (16, 9, 4), (1, 1), (200, 200, 3)])
+def test_png_roundtrip(shape):
+    rng = np.random.RandomState(42)
+    arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    out = codec.decode_png(codec.encode_png(arr))
+    exp = arr if arr.ndim == 3 else arr
+    np.testing.assert_array_equal(out, exp)
+
+
+@pytest.mark.parametrize("c", [1, 3, 4])
+def test_raw_roundtrip(c):
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(11, 13, c), dtype=np.uint8).squeeze()
+    data = codec.encode_raw(arr)
+    out = codec.decode_raw(data, 13, 11)
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_filters_decode():
+    """Decoder handles Sub/Up/Average/Paeth-filtered streams."""
+    import struct
+    import zlib
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    h, w, c = arr.shape
+
+    # build filtered scanlines manually, one filter type per row
+    lines = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y, ftype in enumerate([0, 1, 2, 3, 4, 2]):
+        cur = arr[y].reshape(-1).astype(np.int32)
+        enc = np.zeros(w * c, dtype=np.int32)
+        for x in range(w * c):
+            left = cur[x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            enc[x] = (cur[x] - pred) & 0xFF
+        lines.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        codec._PNG_SIG
+        + codec._chunk(b"IHDR", ihdr)
+        + codec._chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + codec._chunk(b"IEND", b"")
+    )
+    np.testing.assert_array_equal(codec.decode_png(png), arr)
+
+
+def test_decode_validates_dims():
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    with pytest.raises(ValueError):
+        codec.decode(codec.encode_png(arr), "png", 5, 4)

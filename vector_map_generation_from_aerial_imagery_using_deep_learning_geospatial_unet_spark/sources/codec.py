@@ -1,0 +1,151 @@
+"""Pixel codecs: ``raw`` (C-order bytes) and ``png`` (pure numpy+zlib).
+
+Replaces the reference's GDAL GeoTIFF I/O (``read_tif``/``write_tif``,
+/root/reference/src/io.py:41-90) — GDAL is unavailable here and the input
+contract is an ``images(bytes, fmt, w, h)`` table, so decode/encode happen
+inside Arrow UDFs on binary columns.  Both codecs are lossless, so the
+per-row pixel invariant (decoded allclose; PSNR>=40 dB only applies to lossy
+formats) degenerates to exact equality.
+
+The PNG implementation covers exactly what the engine needs: 8-bit
+greyscale / RGB / RGBA, non-interlaced; the decoder handles all five filter
+types, the encoder emits filter 0.  Stdlib ``zlib`` only.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_COLOR_TYPE = {1: 0, 3: 2, 4: 6}           # channels -> PNG color type
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}        # PNG color type -> channels
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """uint8 (h, w) or (h, w, c) -> PNG bytes (filter 0, zlib level 6)."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"png codec is uint8-only, got {arr.dtype}")
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
+    # filter byte 0 prepended to each scanline
+    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = arr.reshape(h, w * c)
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filters (types 0-4)."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    rows = raw.reshape(h, 1 + stride)
+    for y in range(h):
+        ftype = rows[y, 0]
+        line = rows[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = np.zeros(stride, np.int32)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) >> 1
+                else:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat, w = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
+                raise ValueError("unsupported PNG variant")
+            c = _CHANNELS[ctype]
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    out = _unfilter(raw, h, w * c, c)
+    arr = out.reshape(h, w, c)
+    return arr[:, :, 0] if c == 1 else arr
+
+
+def encode_raw(arr: np.ndarray) -> bytes:
+    """C-order uint8 bytes; shape carried by the (w, h) columns."""
+    if arr.dtype != np.uint8:
+        raise ValueError(f"raw codec is uint8-only, got {arr.dtype}")
+    return np.ascontiguousarray(arr).tobytes()
+
+
+def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    n = len(data)
+    c = n // (w * h)
+    if c * w * h != n or c not in (1, 3, 4):
+        raise ValueError(f"raw buffer length {n} not (h={h})x(w={w})x{{1,3,4}}")
+    arr = np.frombuffer(data, dtype=np.uint8).reshape(h, w, c)
+    return arr[:, :, 0] if c == 1 else arr
+
+
+def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    """Dispatch decode; validates decoded dims against the (w, h) columns
+    (schema is explicit, the only inference is the decode itself —
+    SURVEY.md §1.3)."""
+    if fmt == "png":
+        arr = decode_png(bytes(data))
+    elif fmt == "raw":
+        arr = decode_raw(bytes(data), w, h)
+    else:
+        raise ValueError(f"unknown fmt {fmt!r}")
+    if arr.shape[0] != h or arr.shape[1] != w:
+        raise ValueError(f"decoded {arr.shape[:2]} != ({h},{w})")
+    return arr
+
+
+def encode(arr: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(arr)
+    if fmt == "raw":
+        return encode_raw(arr)
+    raise ValueError(f"unknown fmt {fmt!r}")

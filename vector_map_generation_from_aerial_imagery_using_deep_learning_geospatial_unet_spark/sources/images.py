@@ -1,0 +1,179 @@
+"""Synthetic ``images`` table (BASELINE.json input_hint shape) + analytic
+ground truth.
+
+Builds the full input contract —
+``(image_id, bytes, w, h, fmt, caption, phash)`` plus georeference sidecars
+``(ulx, uly, gt, crs)`` — entirely from integer arithmetic on the driver's
+``part`` table, so the *content* of every image (rectangular "building"
+blobs, mimicking the binary masks the reference post-processes,
+/root/reference/src/postprocess.py:159-270) has a closed-form description
+that both the NumPy oracle and the DuckDB oracle SQL can reproduce without
+ever decoding a pixel.
+
+Blob layout: image key ``pk`` gets ``k = 1 + pk % 4`` rectangles, one per
+quadrant slot, each >=4x4 px, >=2 px clear of its slot border — so blobs are
+8-connectivity-separated, survive the 3x3 open (P1) unchanged, and the
+connected-component / polygonize / area ground truth is pure arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codec
+from .derived import images_meta
+
+CRS_TOKEN = "SYNTH:METRIC"  # opaque, carried like the WKT string (io.py:62,80)
+MAX_RECT = 117
+
+
+def rect_params(pk: int, w: int, h: int) -> list[tuple[int, int, int, int]]:
+    """Ground-truth rectangles for image ``pk``: list of (x0, y0, rw, rh).
+
+    All int arithmetic — mirrored 1:1 by :func:`rects_sql`.
+    """
+    k = 1 + pk % 4
+    qw, qh = w // 2, h // 2
+    out = []
+    for j in range(k):
+        qx, qy = (j % 2) * qw, (j // 2) * qh
+        rw = 4 + (pk * 7 + j * 13) % min(MAX_RECT, qw - 8)
+        rh = 4 + (pk * 11 + j * 17) % min(MAX_RECT, qh - 8)
+        x0 = qx + 2 + (pk * 19 + j * 23) % (qw - rw - 4)
+        y0 = qy + 2 + (pk * 29 + j * 31) % (qh - rh - 4)
+        out.append((x0, y0, rw, rh))
+    return out
+
+
+def rects_sql() -> str:
+    """DuckDB CTE ``rects(image_id, pk, w, h, ulx, uly, j, x0, y0, rw, rh)``
+    — the exact integer arithmetic of :func:`rect_params`, unrolled over
+    ``j = 0..k-1`` via generate_series.  Requires ``images_meta`` +
+    a ``pk`` column; see IMAGES_META_PK_SQL."""
+    return f"""
+rect_j AS (
+  SELECT *, unnest(generate_series(0, CAST(pk % 4 AS INT))) AS j
+  FROM images_meta_pk
+),
+rects AS (
+  SELECT image_id, pk, w, h, ulx, uly, j,
+    ((j % 2) * (w // 2)) + 2
+      + (pk * 19 + j * 23) % ((w // 2) - (4 + (pk * 7 + j * 13) % least({MAX_RECT}, (w // 2) - 8)) - 4) AS x0,
+    ((j // 2) * (h // 2)) + 2
+      + (pk * 29 + j * 31) % ((h // 2) - (4 + (pk * 11 + j * 17) % least({MAX_RECT}, (h // 2) - 8)) - 4) AS y0,
+    4 + (pk * 7 + j * 13) % least({MAX_RECT}, (w // 2) - 8)  AS rw,
+    4 + (pk * 11 + j * 17) % least({MAX_RECT}, (h // 2) - 8) AS rh
+  FROM rect_j
+)"""
+
+
+IMAGES_META_PK_SQL = """
+images_meta_pk AS (
+  SELECT
+    concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS image_id,
+    p_partkey                                                AS pk,
+    CAST(200 + (p_partkey * 37) % 1801 AS INT)               AS w,
+    CAST(200 + (p_partkey * 53) % 1801 AS INT)               AS h,
+    (p_partkey % 50) * 210.0                                 AS ulx,
+    (CAST(FLOOR(p_partkey / 50) AS BIGINT) % 50) * 210.0 + 200.0 AS uly
+  FROM part
+)"""
+
+
+def render_mask(pk: int, w: int, h: int) -> np.ndarray:
+    """uint8 (h, w) label plane: 255 inside blobs, 0 outside — the value
+    convention of the reference's labels (arr[arr==255]=1 remap downstream,
+    /root/reference/src/dataGenerator.py:76)."""
+    m = np.zeros((h, w), dtype=np.uint8)
+    for x0, y0, rw, rh in rect_params(pk, w, h):
+        m[y0 : y0 + rh, x0 : x0 + rw] = 255
+    return m
+
+
+def render_rgb(pk: int, w: int, h: int) -> np.ndarray:
+    """uint8 (h, w, 3) pseudo-ortho: deterministic gradient background +
+    bright blobs (alpha-free; the reference drops alpha with arr[:,:,:3],
+    /root/reference/src/dataGenerator.py:66)."""
+    yy = (np.arange(h, dtype=np.uint32)[:, None] * 7 + pk) % 97
+    xx = (np.arange(w, dtype=np.uint32)[None, :] * 13 + pk) % 89
+    base = (40 + yy + xx).astype(np.uint8)
+    img = np.stack([base, base + 17, base + 31], axis=-1).astype(np.uint8)
+    mask = render_mask(pk, w, h) == 255
+    img[mask] = (220, 210, 200)
+    return img
+
+
+def caption_for(pk: int, n_blobs: int) -> str:
+    lat = (pk * 89 % 10500) / 100.0
+    lon = (pk * 97 % 10500) / 100.0
+    return f"{n_blobs} bâtiments near ({lat:.4f},{lon:.4f}) #{pk}"
+
+
+def phash_for(pk: int) -> int:
+    """Deterministic 64-bit payload (splitmix64 finalizer), signed int64."""
+    z = (pk + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    z ^= z >> 31
+    return z - (1 << 64) if z >= (1 << 63) else z
+
+
+def images_table(
+    spark: SparkSession,
+    sf_dir: str,
+    fmt: str = "png",
+    kind: str = "mask",
+    limit: int | None = None,
+) -> DataFrame:
+    """Materialize the input_hint table.  ``kind='mask'`` renders the binary
+    label plane (1 channel); ``kind='rgb'`` the 3-channel pseudo-ortho.
+
+    Pixel synthesis runs distributed in ``mapInPandas`` (Arrow batches) —
+    the driver never holds pixels.
+    """
+    meta = images_meta(spark, sf_dir).withColumn(
+        "pk",
+        F.regexp_replace("image_id", "^img_0*", "").cast("long"),
+    )
+    if limit is not None:
+        meta = meta.filter(F.col("pk") <= limit)
+
+    schema = (
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "caption string, phash long, ulx double, uly double, crs string"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk, w, h = int(r.pk), int(r.w), int(r.h)
+                arr = render_mask(pk, w, h) if kind == "mask" else render_rgb(pk, w, h)
+                rows.append(
+                    (
+                        r.image_id,
+                        codec.encode(arr, fmt),
+                        w,
+                        h,
+                        fmt,
+                        caption_for(pk, 1 + pk % 4),
+                        phash_for(pk),
+                        float(r.ulx),
+                        float(r.uly),
+                        CRS_TOKEN,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "bytes", "w", "h", "fmt",
+                    "caption", "phash", "ulx", "uly", "crs",
+                ],
+            )
+
+    return meta.mapInPandas(gen, schema=schema)
