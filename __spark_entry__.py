@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark as vm
-from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import grid
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions.cellindex import WORLD_GRID
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import grid, joins
 from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import derived
 
 CFG = vm.DEFAULT_CONFIG
@@ -78,12 +79,93 @@ def q_mosaic_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-indexed point-in-polygon join, JVM-side ray-cast refine."""
+    pts = derived.points_meta(spark, sf_dir)
+    polys = derived.footprint_rings(spark, sf_dir).join(
+        derived.footprints_with_env(spark, sf_dir).select(
+            "fp_id", "minx", "miny", "maxx", "maxy"
+        ),
+        "fp_id",
+    )
+    return joins.pip_join(pts, polys, WORLD_GRID, strategy="expr").select(
+        "pt_id", "fp_id"
+    )
+
+
+def q_pip_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join, vectorized numpy ray-cast in mapInPandas (Arrow batches)."""
+    pts = derived.points_meta(spark, sf_dir)
+    polys = derived.footprint_rings(spark, sf_dir).join(
+        derived.footprints_with_env(spark, sf_dir).select(
+            "fp_id", "minx", "miny", "maxx", "maxy"
+        ),
+        "fp_id",
+    )
+    return joins.pip_join(pts, polys, WORLD_GRID, strategy="arrow").select(
+        "pt_id", "fp_id"
+    )
+
+
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-NN building lookup via k-ring expansion."""
+    pts = derived.points_meta(spark, sf_dir)
+    centers = derived.footprints_meta(spark, sf_dir).select("fp_id", "cx", "cy")
+    return joins.knn_join(pts, centers, WORLD_GRID, k=5).select(
+        "pt_id", "fp_id", "rank"
+    )
+
+
+def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O5 spatial range query: tile footprints x building envelopes."""
+    tiles = grid.gen_tiles(derived.images_meta(spark, sf_dir), CFG).select(
+        "tile_id",
+        F.col("tminx").alias("minx"),
+        F.col("tminy").alias("miny"),
+        F.col("tmaxx").alias("maxx"),
+        F.col("tmaxy").alias("maxy"),
+    )
+    fps = derived.footprints_with_env(spark, sf_dir).select(
+        "fp_id", "minx", "miny", "maxx", "maxy"
+    )
+    return joins.bbox_range_join(tiles, fps, WORLD_GRID).select(
+        F.col("l_tile_id").alias("tile_id"), F.col("r_fp_id").alias("fp_id")
+    )
+
+
+def q_point_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star headline: assign every point to the tile(s) containing it
+    (overlap strips -> up to 4 tiles)."""
+    pts = derived.points_meta(spark, sf_dir).select(
+        "pt_id",
+        F.col("px").alias("minx"),
+        F.col("py").alias("miny"),
+        F.col("px").alias("maxx"),
+        F.col("py").alias("maxy"),
+    )
+    tiles = grid.gen_tiles(derived.images_meta(spark, sf_dir), CFG).select(
+        "tile_id",
+        F.col("tminx").alias("minx"),
+        F.col("tminy").alias("miny"),
+        F.col("tmaxx").alias("maxx"),
+        F.col("tmaxy").alias("maxy"),
+    )
+    return joins.bbox_range_join(pts, tiles, WORLD_GRID).select(
+        F.col("l_pt_id").alias("pt_id"), F.col("r_tile_id").alias("tile_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
     "gen_tiles_overlap20": q_gen_tiles_overlap20,
     "image_extents": q_image_extents,
     "mosaic_extent": q_mosaic_extent,
+    "pip_join": q_pip_join,
+    "pip_join_arrow": q_pip_join_arrow,
+    "knn_join": q_knn_join,
+    "bbox_join": q_bbox_join,
+    "point_tile_assign": q_point_tile_assign,
 }
 
 
@@ -149,7 +231,57 @@ SELECT
   CAST(round((max(uly) - min(uly + h * (-0.1))) / 0.1) AS BIGINT) AS ysize
 FROM images_meta""",
         ),
+        "pip_join": _PIP_SQL,
+        "pip_join_arrow": _PIP_SQL,
+        "knn_join": derived.with_ctes(
+            derived.POINTS_META_SQL,
+            derived.FOOTPRINTS_META_SQL,
+            body="""
+, cand AS (
+  SELECT p.pt_id, f.fp_id,
+    row_number() OVER (
+      PARTITION BY p.pt_id
+      ORDER BY (p.px - f.cx) * (p.px - f.cx) + (p.py - f.cy) * (p.py - f.cy), f.fp_id
+    ) AS rank
+  FROM points_meta p CROSS JOIN footprints_meta f
+)
+SELECT pt_id, fp_id, CAST(rank AS INT) AS rank FROM cand WHERE rank <= 5""",
+        ),
+        "bbox_join": derived.with_ctes(
+            derived.IMAGES_META_SQL,
+            gt,
+            grid.tiles_geo_sql(),
+            derived.FOOTPRINTS_META_SQL,
+            derived.FOOTPRINTS_ENV_SQL,
+            body="""
+SELECT t.tile_id, f.fp_id
+FROM tiles_geo t, footprints_env f
+WHERE t.tminx < f.maxx AND t.tmaxx > f.minx
+  AND t.tminy < f.maxy AND t.tmaxy > f.miny""",
+        ),
+        "point_tile_assign": derived.with_ctes(
+            derived.IMAGES_META_SQL,
+            gt,
+            grid.tiles_geo_sql(),
+            derived.POINTS_META_SQL,
+            body="""
+SELECT p.pt_id, t.tile_id
+FROM points_meta p, tiles_geo t
+WHERE p.px > t.tminx AND p.px < t.tmaxx
+  AND p.py > t.tminy AND p.py < t.tmaxy""",
+        ),
     }
+
+
+_PIP_SQL = derived.with_ctes(
+    derived.POINTS_META_SQL,
+    derived.FOOTPRINTS_META_SQL,
+    body="""
+SELECT p.pt_id, f.fp_id
+FROM points_meta p, footprints_meta f
+WHERE abs( (p.px - f.cx) * cos(radians(f.theta_deg)) + (p.py - f.cy) * sin(radians(f.theta_deg))) <= f.a
+  AND abs(-(p.px - f.cx) * sin(radians(f.theta_deg)) + (p.py - f.cy) * cos(radians(f.theta_deg))) <= f.b""",
+)
 
 
 # --------------------------------------------------------------------------- #

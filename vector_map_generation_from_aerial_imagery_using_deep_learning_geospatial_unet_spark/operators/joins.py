@@ -1,0 +1,286 @@
+"""Distributed spatial joins (SURVEY.md §2.5 + §4.2).
+
+The reference's only spatial query is the in-memory rect filter
+``SetSpatialFilterRect`` + per-feature window intersection
+(/root/reference/src/bf_gridding.py:181-276).  At cluster scale that becomes
+three operators, all built on the cell equi-join prefilter from
+``functions.cellindex`` (the distributed analogue of an STRtree):
+
+* :func:`bbox_range_join` — O5 semantics: bbox-overlap pairs.
+* :func:`pip_join`        — point-in-polygon, cell prefilter + ray-casting
+  refinement.  Two refine strategies: ``'expr'`` (higher-order column
+  functions — fully JVM-side, whole-stage codegen, zero Python) and
+  ``'arrow'`` (vectorized numpy ray-cast in ``mapInPandas``); they are
+  result-identical and tests pin that.
+* :func:`knn_join`        — exact k-nearest-neighbours via k-ring expansion
+  with doubling radius; the per-round guarantee is the standard grid bound
+  (kth-distance < ring_radius * cell_side ⇒ no closer candidate outside).
+
+Skew policy (densely built-up cells): AQE skew-join splitting is on at the
+session level; ``pip_join(salt=...)`` additionally spreads a hot build cell
+over ``salt`` buckets by replicating the polygon side (broadcast-style
+salting), which keeps the equi-join key uniform without a second shuffle of
+the probe side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.cellindex import CellGrid, explode_cover, with_cell
+
+__all__ = ["bbox_range_join", "pip_join", "knn_join", "ray_cast_inside"]
+
+
+# --------------------------------------------------------------------------- #
+# bbox range join
+# --------------------------------------------------------------------------- #
+
+def bbox_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    grid: CellGrid,
+    lprefix: str = "l_",
+    rprefix: str = "r_",
+) -> DataFrame:
+    """All (left, right) pairs whose bboxes strictly overlap.
+
+    Both inputs need ``minx, miny, maxx, maxy``.  Each side is exploded to
+    its covering cells, equi-joined on ``cell_id`` (AQE handles residual
+    skew), the bbox predicate refines, and the pair is emitted exactly once
+    — in the top-left cell of the bbox intersection (the classic
+    partition-based spatial-join dedup, no ``distinct`` shuffle needed).
+    """
+
+    def prep(df: DataFrame, p: str) -> DataFrame:
+        out = df.select([F.col(c).alias(p + c) for c in df.columns])
+        out = out.withColumns(
+            {
+                p + "ix0": grid.ix_of(F.col(p + "minx")),
+                p + "iy0": grid.iy_of(F.col(p + "miny")),
+            }
+        )
+        return out.withColumn(
+            "cell_id",
+            F.explode(
+                grid.polyfill_bbox(
+                    F.col(p + "minx"), F.col(p + "miny"),
+                    F.col(p + "maxx"), F.col(p + "maxy"),
+                )
+            ),
+        )
+
+    lc, rc = prep(left, lprefix), prep(right, rprefix)
+    joined = lc.join(rc, "cell_id")
+    overlap = (
+        (F.col(lprefix + "minx") < F.col(rprefix + "maxx"))
+        & (F.col(lprefix + "maxx") > F.col(rprefix + "minx"))
+        & (F.col(lprefix + "miny") < F.col(rprefix + "maxy"))
+        & (F.col(lprefix + "maxy") > F.col(rprefix + "miny"))
+    )
+    dedup_cell = grid.pack(
+        F.greatest(F.col(lprefix + "ix0"), F.col(rprefix + "ix0")),
+        F.greatest(F.col(lprefix + "iy0"), F.col(rprefix + "iy0")),
+    )
+    return joined.filter(overlap & (F.col("cell_id") == dedup_cell)).drop(
+        "cell_id", lprefix + "ix0", lprefix + "iy0", rprefix + "ix0", rprefix + "iy0"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# point-in-polygon join
+# --------------------------------------------------------------------------- #
+
+def ray_cast_inside(px: Column, py: Column, ring: Column) -> Column:
+    """Even-odd ray-cast as a pure column expression (higher-order fns).
+
+    PNPOLY crossing test per edge; stays inside whole-stage codegen — no
+    Python, no extra shuffle.  Ring is a closed array<array<double>>.
+    """
+    def cross(acc: Column, i: Column) -> Column:
+        x1, y1 = ring[i][0], ring[i][1]
+        x2, y2 = ring[i + 1][0], ring[i + 1][1]
+        hit = ((y1 > py) != (y2 > py)) & (
+            px < (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        )
+        return acc + F.when(hit, 1).otherwise(0)
+
+    n_edges = F.size(ring) - 2  # closed ring: edges = len-1, last idx len-2
+    crossings = F.aggregate(
+        F.sequence(F.lit(0), n_edges), F.lit(0), cross
+    )
+    return crossings % 2 == 1
+
+
+def _ray_cast_numpy(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
+    """Vectorized even-odd ray-cast over variable-length rings.
+
+    Flattens all candidate rings into edge arrays once per Arrow batch;
+    per-pair crossing counts via np.add.reduceat — no per-row Python in the
+    hot loop.
+    """
+    if len(px) == 0:
+        return np.zeros(0, dtype=bool)
+    counts = np.fromiter((len(r) - 1 for r in rings), dtype=np.int64, count=len(rings))
+    flat = np.concatenate(
+        [np.stack([np.asarray(v, dtype=np.float64) for v in r]) for r in rings]
+    )
+    starts = np.concatenate([[0], np.cumsum(counts + 1)[:-1]])
+    # edge endpoints: for ring j, vertices starts[j] .. starts[j]+counts[j]
+    edge_mask = np.ones(len(flat), dtype=bool)
+    edge_mask[starts + counts] = False  # drop last vertex of each ring as edge start
+    x1, y1 = flat[edge_mask, 0], flat[edge_mask, 1]
+    nxt = np.where(edge_mask)[0] + 1
+    x2, y2 = flat[nxt, 0], flat[nxt, 1]
+    pair_idx = np.repeat(np.arange(len(rings)), counts)
+    ppx, ppy = px[pair_idx], py[pair_idx]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        hit = ((y1 > ppy) != (y2 > ppy)) & (
+            ppx < (x2 - x1) * (ppy - y1) / (y2 - y1) + x1
+        )
+    crossings = np.bincount(pair_idx, weights=hit.astype(np.float64), minlength=len(rings))
+    return (crossings.astype(np.int64) % 2) == 1
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    grid: CellGrid,
+    pt_cols: tuple[str, str, str] = ("pt_id", "px", "py"),
+    poly_id: str = "fp_id",
+    ring_col: str = "ring",
+    strategy: str = "expr",
+    salt: int | None = None,
+    broadcast_polygons: bool = False,
+) -> DataFrame:
+    """(point, polygon) containment pairs.
+
+    ``polygons`` needs ``poly_id, ring_col, minx, miny, maxx, maxy``.
+    Prefilter: polygon side exploded to covering cells, points hashed to
+    their single cell, equi-join (each true pair meets in exactly one cell —
+    the point's — so no dedup pass is needed).  Refine: ray-cast.
+    """
+    pid, pxc, pyc = pt_cols
+    pts = with_cell(points, grid, pxc, pyc)
+    cover = explode_cover(
+        polygons.select(poly_id, ring_col, "minx", "miny", "maxx", "maxy"), grid
+    ).drop("minx", "miny", "maxx", "maxy")
+
+    if salt:
+        # replicate the (small) polygon side over salt buckets; points pick a
+        # deterministic bucket -> hot cells fan out without a probe-side shuffle
+        cover = cover.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        pts = pts.withColumn("salt", F.pmod(F.xxhash64(F.col(pid)), salt))
+        keys = ["cell_id", "salt"]
+    else:
+        keys = ["cell_id"]
+
+    if broadcast_polygons:
+        cover = F.broadcast(cover)
+
+    cand = pts.join(cover, keys).drop(*keys)
+
+    if strategy == "expr":
+        inside = ray_cast_inside(F.col(pxc), F.col(pyc), F.col(ring_col))
+        return cand.filter(inside).drop(ring_col)
+
+    if strategy == "arrow":
+        out_fields = [f for f in cand.schema.fields if f.name != ring_col]
+        schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+        out_cols = [f.name for f in out_fields]
+
+        def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mask = _ray_cast_numpy(
+                    pdf[pxc].to_numpy(np.float64),
+                    pdf[pyc].to_numpy(np.float64),
+                    list(pdf[ring_col]),
+                )
+                yield pdf.loc[mask, out_cols]
+
+        return cand.mapInPandas(refine, schema=schema)
+
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+# --------------------------------------------------------------------------- #
+# kNN join
+# --------------------------------------------------------------------------- #
+
+def knn_join(
+    points: DataFrame,
+    centers: DataFrame,
+    grid: CellGrid,
+    k: int,
+    pt_cols: tuple[str, str, str] = ("pt_id", "px", "py"),
+    center_cols: tuple[str, str, str] = ("fp_id", "cx", "cy"),
+    r0: int = 3,
+) -> DataFrame:
+    """Exact kNN: for each point the k nearest centers, ranked.
+
+    Output: (pt_id, px, py, fp_id, dist2, rank).  Deterministic tie-break on
+    center id.  Distributed k-ring expansion with doubling radius: each round
+    is one equi-join; points whose kth candidate is provably inside the ring
+    bound retire, the (shrinking) remainder goes another round.  Round count
+    is <= log2(grid.n) — a bounded driver loop, never a per-row loop.
+    """
+    pid, pxc, pyc = pt_cols
+    cid, cxc, cyc = center_cols
+    n_centers = centers.count()
+    k_eff = min(k, n_centers)
+
+    cts = with_cell(centers, grid, cxc, cyc, out="c_cell").select(
+        cid, cxc, cyc, "c_cell"
+    )
+    remaining = with_cell(points, grid, pxc, pyc, out="p_cell").select(
+        pid, pxc, pyc, "p_cell"
+    )
+    results: list[DataFrame] = []
+    r = r0
+    spark = points.sparkSession
+    while True:
+        full_cover = r >= grid.n  # ring covers the whole domain -> exact
+        cand = (
+            remaining.withColumn("cell_id", F.explode(grid.k_ring(F.col("p_cell"), r)))
+            .join(cts.withColumnRenamed("c_cell", "cell_id"), "cell_id")
+            .drop("cell_id")
+        )
+        dx, dy = F.col(pxc) - F.col(cxc), F.col(pyc) - F.col(cyc)
+        cand = cand.withColumn("dist2", dx * dx + dy * dy).drop(cxc, cyc)
+        # candidates meet a point once per shared ring cell is impossible:
+        # each center lives in exactly one cell, ring cells are distinct.
+        w = Window.partitionBy(pid).orderBy("dist2", cid)
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k_eff)
+        )
+        bound = (r * grid.side) ** 2
+        per_pt = topk.groupBy(pid).agg(
+            F.count("*").alias("_cnt"), F.max("dist2").alias("_kth")
+        )
+        done_pred = (F.col("_cnt") == k_eff) & (
+            F.lit(full_cover) | (F.col("_kth") < bound)
+        )
+        done_pts = per_pt.filter(done_pred).select(pid)
+        results.append(topk.join(done_pts, pid, "semi"))
+        remaining = remaining.join(done_pts, pid, "anti")
+        if full_cover:
+            break
+        # cheap emptiness probe ends the loop early in the common case
+        if remaining.isEmpty():
+            break
+        r *= 2
+    out = results[0]
+    for df in results[1:]:
+        out = out.unionByName(df)
+    return out.drop("p_cell")
