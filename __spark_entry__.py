@@ -155,6 +155,54 @@ def q_point_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PIPE_CAP = 400  # pk cap for raster-pipeline queries (keeps the gate fast)
+
+
+def q_pipeline_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship raster->vector round-trip: synth mask images -> tile slice ->
+    overlap-stitch -> threshold -> 3x3 open -> CC label -> polygonize ->
+    simplify -> shoelace area.  The oracle computes the same answer
+    analytically from the blob parameters."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.plans import pipeline
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=PIPE_CAP)
+    polys = pipeline.mask_to_polygons(imgs, CFG, separation="cc", tiled=True)
+    return polys.select(
+        "image_id",
+        "poly_id",
+        "value",
+        "area_m2",
+        "mbr_area_m2",
+        F.array_min(F.transform("ring", lambda v: v[0])).alias("minx"),
+        F.array_max(F.transform("ring", lambda v: v[0])).alias("maxx"),
+        F.array_min(F.transform("ring", lambda v: v[1])).alias("miny"),
+        F.array_max(F.transform("ring", lambda v: v[1])).alias("maxy"),
+    )
+
+
+def q_pipeline_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 watershed-separation variant (EDT + peaks + priority flood) —
+    non-SQL-expressible: rows-only driver check; numpy oracles in pytest."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.plans import pipeline
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=100)
+    polys = pipeline.mask_to_polygons(imgs, CFG, separation="watershed", tiled=True)
+    return polys.select("image_id", "poly_id", "value", "area_m2")
+
+
+def q_dice_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 global Dice/Jaccard between the thresholded mask and the opened
+    mask (blobs survive the 3x3 open intact -> analytic pixel sums)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=PIPE_CAP)
+    pred = raster.erosion_stage(raster.threshold_mask(imgs), CFG)
+    return raster.dice_jaccard(pred, imgs)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -166,6 +214,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join": q_knn_join,
     "bbox_join": q_bbox_join,
     "point_tile_assign": q_point_tile_assign,
+    "pipeline_polygons": q_pipeline_polygons,
+    "pipeline_watershed": q_pipeline_watershed,
+    "dice_jaccard": q_dice_jaccard,
 }
 
 
@@ -214,8 +265,8 @@ FROM images_meta""",
             body="""
 SELECT image_id,
   ulx              AS minx,
-  uly + h * (-0.1) AS miny,
-  ulx + w * 0.1    AS maxx,
+  uly + h * (-1e-1) AS miny,
+  ulx + w * 1e-1    AS maxx,
   uly              AS maxy
 FROM images_meta""",
         ),
@@ -225,14 +276,18 @@ FROM images_meta""",
 SELECT
   min(ulx)              AS ulx,
   max(uly)              AS uly,
-  max(ulx + w * 0.1)    AS lrx,
-  min(uly + h * (-0.1)) AS lry,
-  CAST(round((max(ulx + w * 0.1) - min(ulx)) / 0.1) AS BIGINT)    AS xsize,
-  CAST(round((max(uly) - min(uly + h * (-0.1))) / 0.1) AS BIGINT) AS ysize
+  max(ulx + w * 1e-1)    AS lrx,
+  min(uly + h * (-1e-1)) AS lry,
+  CAST(round((max(ulx + w * 1e-1) - min(ulx)) / 1e-1) AS BIGINT)    AS xsize,
+  CAST(round((max(uly) - min(uly + h * (-1e-1))) / 1e-1) AS BIGINT) AS ysize
 FROM images_meta""",
         ),
         "pip_join": _PIP_SQL,
         "pip_join_arrow": _PIP_SQL,
+        "pipeline_polygons": _pipeline_polygons_sql(),
+        "dice_jaccard": _dice_jaccard_sql(),
+        # pipeline_watershed: intentionally no oracle (EDT/watershed are not
+        # SQL-expressible) -> driver records the rows-only check.
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -271,6 +326,55 @@ WHERE p.px > t.tminx AND p.px < t.tmaxx
   AND p.py > t.tminy AND p.py < t.tmaxy""",
         ),
     }
+
+
+def _pipeline_polygons_sql() -> str:
+    """Analytic oracle for the raster pipeline: the synthetic blobs are
+    non-overlapping >=4x4 rectangles >=2 px apart, so after the 3x3 open and
+    CC labeling each survives verbatim; labels are assigned in raster-scan
+    order of first pixel (y0, then x0)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        rects_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + ","
+        + rects_sql()
+        + f"""
+SELECT image_id,
+  CAST(row_number() OVER (PARTITION BY image_id ORDER BY y0, x0) AS INT) AS poly_id,
+  CAST(row_number() OVER (PARTITION BY image_id ORDER BY y0, x0) AS INT) AS value,
+  CAST(round(rw * rh * 1e-2, 2) AS DOUBLE) AS area_m2,
+  CAST(round(rw * rh * 1e-2, 2) AS DOUBLE) AS mbr_area_m2,
+  ulx + x0 * 1e-1                 AS minx,
+  ulx + (x0 + rw) * 1e-1          AS maxx,
+  uly + (y0 + rh) * (-1e-1)       AS miny,
+  uly + y0 * (-1e-1)              AS maxy
+FROM rects
+WHERE pk <= {PIPE_CAP}"""
+    )
+
+
+def _dice_jaccard_sql() -> str:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        rects_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + ","
+        + rects_sql()
+        + f""",
+s AS (SELECT CAST(sum(rw * rh) AS DOUBLE) AS fg FROM rects WHERE pk <= {PIPE_CAP})
+SELECT 2e0 * fg / (fg + fg + 1e0) AS dice,
+       fg / (fg + fg - fg + 1e0)  AS jaccard
+FROM s"""
+    )
 
 
 _PIP_SQL = derived.with_ctes(

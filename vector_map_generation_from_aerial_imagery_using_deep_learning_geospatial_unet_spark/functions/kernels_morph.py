@@ -1,0 +1,315 @@
+"""Raster morphology kernels — pure NumPy re-implementations of the
+cv2/scipy/skimage calls the reference delegates to (none of those libs exist
+here).  These run *inside* Arrow UDFs; nothing in this module touches Spark.
+
+Pinned semantics (file:line into /root/reference):
+
+* erode/dilate NxN ones kernel    — cv2.erode/dilate, border behaviour of
+  BORDER_CONSTANT with morphology default value (erode pads +inf, dilate
+  -inf) -> border pixels only see in-bounds neighbours
+  (src/postprocess.py:170-176).
+* remove_small_objects            — skimage semantics incl. the int-input
+  subtlety: a non-bool array is treated as *already labeled*, so the
+  reference's 0/255 int mask forms ONE global object per value
+  (src/postprocess.py:180-185).
+* label (connected components)    — ndi.label: labels assigned in raster-scan
+  order of first encounter, 4- or 8-connectivity structure
+  (src/postprocess.py:252-264).
+* distance_transform_edt          — exact Euclidean distance to nearest zero
+  (src/postprocess.py:247).
+* peak_local_max                  — maxfilter equality within (2d+1) window,
+  restricted to labels>0 (src/postprocess.py:248-249); plateau pixels all
+  marked (documented deviation from skimage's exclude_border default).
+* watershed(-D, markers, mask)    — priority flood, 4-connectivity, FIFO
+  tie-break on equal priority (src/postprocess.py:266-268).
+* skeletonize                     — Zhang-Suen thinning standing in for
+  skimage.morphology.skeletonize (src/postprocess.py:205-212).
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+
+__all__ = [
+    "erode",
+    "dilate",
+    "binary_open",
+    "remove_small_objects",
+    "label",
+    "distance_transform_edt",
+    "peak_local_max",
+    "watershed",
+    "skeletonize",
+    "erosion_clean",
+    "watershed_segmentation",
+]
+
+
+def _minmax_1d(arr: np.ndarray, n: int, axis: int, op, pad_value: float) -> np.ndarray:
+    r = n // 2
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    padded = np.pad(arr, pad, constant_values=pad_value)
+    view = np.lib.stride_tricks.sliding_window_view(padded, n, axis=axis)
+    return op(view, axis=2)
+
+
+def _pad_extremes(dtype) -> tuple:
+    """(erode_pad, dilate_pad): values the border 'sees' so edge pixels only
+    consider in-bounds neighbours (cv2 BORDER_CONSTANT morphology default)."""
+    if np.issubdtype(dtype, np.floating):
+        return np.inf, -np.inf
+    info = np.iinfo(dtype)
+    return info.max, info.min
+
+
+def erode(arr: np.ndarray, n: int) -> np.ndarray:
+    """Min filter, NxN ones kernel (cv2.erode with default border) —
+    separable 1D passes, native dtype (no float64 blow-up on uint8 masks)."""
+    hi, _ = _pad_extremes(arr.dtype)
+    f = _minmax_1d(arr, n, 1, np.min, hi)
+    f = _minmax_1d(f, n, 0, np.min, hi)
+    return f.astype(arr.dtype)
+
+
+def dilate(arr: np.ndarray, n: int) -> np.ndarray:
+    """Max filter, NxN ones kernel (cv2.dilate with default border) —
+    separable 1D passes, native dtype."""
+    _, lo = _pad_extremes(arr.dtype)
+    f = _minmax_1d(arr, n, 1, np.max, lo)
+    f = _minmax_1d(f, n, 0, np.max, lo)
+    return f.astype(arr.dtype)
+
+
+def binary_open(arr: np.ndarray, n: int) -> np.ndarray:
+    return dilate(erode(arr, n), n)
+
+
+def remove_small_objects(
+    arr: np.ndarray, min_size: int, connectivity: int = 2
+) -> np.ndarray:
+    """skimage.morphology.remove_small_objects semantics, exactly:
+    bool input -> label first; integer input -> values ARE the labels."""
+    if arr.dtype == bool:
+        ccs = label(arr, connectivity=connectivity)
+    else:
+        ccs = arr.astype(np.int64)
+    counts = np.bincount(ccs.ravel().clip(min=0))
+    too_small = counts < min_size
+    out = arr.copy()
+    out[too_small[ccs.clip(min=0)]] = 0
+    return out
+
+
+def label(mask: np.ndarray, connectivity: int = 1) -> np.ndarray:
+    """Connected-component labeling, ndi.label-compatible.
+
+    connectivity=1 -> 4-connected, 2 -> 8-connected.  Labels are assigned in
+    raster-scan order of each component's first pixel (ndi.label contract the
+    reference's marker determinism relies on).  Run-length union-find: the
+    per-row Python loop is over *runs*, not pixels.
+    """
+    mask = np.asarray(mask) != 0
+    h, w = mask.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    run_label = np.full((h, w), -1, dtype=np.int64)  # run id per pixel
+    prev_runs: list[tuple[int, int, int]] = []  # (start, end, run_id)
+    for y in range(h):
+        row = mask[y]
+        if not row.any():
+            prev_runs = []
+            continue
+        d = np.diff(row.astype(np.int8))
+        starts = list(np.where(d == 1)[0] + 1)
+        ends = list(np.where(d == -1)[0] + 1)
+        if row[0]:
+            starts.insert(0, 0)
+        if row[-1]:
+            ends.append(w)
+        cur_runs = []
+        for s, e in zip(starts, ends):
+            rid = len(parent)
+            parent.append(rid)
+            run_label[y, s:e] = rid
+            # union with overlapping runs in previous row
+            lo = s if connectivity == 1 else s - 1
+            hi = e if connectivity == 1 else e + 1
+            for ps, pe, prid in prev_runs:
+                if ps < hi and pe > lo:
+                    union(rid, prid)
+            cur_runs.append((s, e, rid))
+        prev_runs = cur_runs
+
+    if not parent:
+        return np.zeros((h, w), dtype=np.int32)
+    roots = np.array([find(i) for i in range(len(parent))], dtype=np.int64)
+    # relabel roots in raster order of first appearance
+    order: dict[int, int] = {}
+    flat = run_label.ravel()
+    occupied = flat >= 0
+    for rid in flat[occupied]:
+        r = roots[rid]
+        if r not in order:
+            order[r] = len(order) + 1
+    lut = np.zeros(len(parent) + 1, dtype=np.int32)
+    for rid in range(len(parent)):
+        lut[rid] = order[roots[rid]]
+    out = np.zeros(h * w, dtype=np.int32)
+    out[occupied] = lut[flat[occupied]]
+    return out.reshape(h, w)
+
+
+def distance_transform_edt(mask: np.ndarray) -> np.ndarray:
+    """Exact EDT: per-pixel Euclidean distance to the nearest zero pixel.
+
+    Phase 1 (vectorized): per-row distance to nearest zero in that row.
+    Phase 2: lower envelope over row offsets, iterated only up to the current
+    global bound — O(h*w*D) where D is the max distance actually present
+    (bounded by blob half-width for building masks), exact in all cases.
+    """
+    fg = np.asarray(mask) != 0
+    h, w = fg.shape
+    INF = np.float64(1e12)
+    # phase 1: nearest zero along each row
+    d1 = np.full((h, w), INF)
+    for y in range(h):
+        row = fg[y]
+        zeros = np.where(~row)[0]
+        if len(zeros) == 0:
+            continue
+        idx = np.arange(w)
+        # distance to previous zero
+        prev = np.full(w, -INF)
+        prev[zeros] = zeros
+        prev = np.maximum.accumulate(prev)
+        nxt = np.full(w, INF)
+        nxt[zeros] = zeros
+        nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+        d1[y] = np.minimum(idx - prev, nxt - idx)
+    d1 = np.where(fg, d1, 0.0)
+
+    # phase 2: combine across rows
+    d2 = d1 * d1
+    best = d2.copy()
+    dy = 1
+    while True:
+        bound = best.max()
+        if dy * dy > bound or dy >= h:
+            break
+        shift_down = np.full((h, w), INF)
+        shift_down[dy:] = d2[:-dy]
+        shift_up = np.full((h, w), INF)
+        shift_up[:-dy] = d2[dy:]
+        cand = np.minimum(shift_down, shift_up) + dy * dy
+        np.minimum(best, cand, out=best)
+        dy += 1
+    return np.sqrt(np.where(fg, best, 0.0))
+
+
+def peak_local_max(
+    dist: np.ndarray, min_distance: int, labels: np.ndarray
+) -> np.ndarray:
+    """Bool mask of local maxima of ``dist`` within (2*min_distance+1)
+    windows, restricted to labels>0.  Plateaus: every plateau pixel marked."""
+    n = 2 * min_distance + 1
+    mx = dilate(dist, n)
+    return (dist == mx) & (dist > 0) & (np.asarray(labels) != 0)
+
+
+def watershed(
+    neg_dist: np.ndarray, markers: np.ndarray, mask: np.ndarray
+) -> np.ndarray:
+    """Priority-flood watershed (skimage.morphology.watershed semantics:
+    4-connectivity, flood in ascending ``neg_dist``, FIFO tie-break)."""
+    mask = np.asarray(mask) != 0
+    h, w = mask.shape
+    out = np.zeros((h, w), dtype=np.int32)
+    heap: list[tuple[float, int, int, int]] = []
+    counter = 0
+    my, mx = np.nonzero((markers != 0) & mask)
+    for y, x in zip(my.tolist(), mx.tolist()):
+        out[y, x] = markers[y, x]
+        heapq.heappush(heap, (float(neg_dist[y, x]), counter, y, x))
+        counter += 1
+    while heap:
+        _, _, y, x = heapq.heappop(heap)
+        lab = out[y, x]
+        for ny, nx in ((y - 1, x), (y + 1, x), (y, x - 1), (y, x + 1)):
+            if 0 <= ny < h and 0 <= nx < w and mask[ny, nx] and out[ny, nx] == 0:
+                out[ny, nx] = lab
+                heapq.heappush(heap, (float(neg_dist[ny, nx]), counter, ny, nx))
+                counter += 1
+    return out
+
+
+def skeletonize(mask: np.ndarray) -> np.ndarray:
+    """Zhang-Suen thinning (stands in for skimage.skeletonize; deviation
+    documented in SURVEY.md §7 — different algorithm family, same 1-px
+    medial-line contract)."""
+    img = (np.asarray(mask) != 0).astype(np.uint8)
+    img = np.pad(img, 1)
+    changed = True
+    while changed:
+        changed = False
+        for step in (0, 1):
+            p = [
+                img[1:-1, 1:-1],            # P1 (center)
+                img[:-2, 1:-1], img[:-2, 2:],   # P2 P3
+                img[1:-1, 2:], img[2:, 2:],     # P4 P5
+                img[2:, 1:-1], img[2:, :-2],    # P6 P7
+                img[1:-1, :-2], img[:-2, :-2],  # P8 P9
+            ]
+            nb = sum(p[1:])
+            seq = p[1:] + [p[1]]
+            trans = sum(((seq[i] == 0) & (seq[i + 1] == 1)) for i in range(8))
+            if step == 0:
+                c1 = (p[2 - 1] * p[4 - 1] * p[6 - 1]) == 0
+                c2 = (p[4 - 1] * p[6 - 1] * p[8 - 1]) == 0
+            else:
+                c1 = (p[2 - 1] * p[4 - 1] * p[8 - 1]) == 0
+                c2 = (p[2 - 1] * p[6 - 1] * p[8 - 1]) == 0
+            cond = (
+                (p[0] == 1) & (nb >= 2) & (nb <= 6) & (trans == 1) & c1 & c2
+            )
+            if cond.any():
+                img[1:-1, 1:-1][cond] = 0
+                changed = True
+    return img[1:-1, 1:-1].astype(bool)
+
+
+# --------------------------------------------------------------------------- #
+# composed stages exactly as the reference chains them
+# --------------------------------------------------------------------------- #
+
+def erosion_clean(arr: np.ndarray, filt: int = 3, min_area_px: int = 9) -> np.ndarray:
+    """P1 pipeline stage (src/postprocess.py:159-189): NxN open, then
+    remove_small_objects on the *int* array (value-as-label semantics)."""
+    opened = dilate(erode(arr, filt), filt)
+    as_int = np.absolute(opened.astype(np.int64))
+    return remove_small_objects(as_int, min_size=min_area_px, connectivity=2)
+
+
+def watershed_segmentation(
+    arr: np.ndarray, cell_size: float, min_distance_m: float = 7.5,
+    neighbour: int = 4,
+) -> np.ndarray:
+    """P3 pipeline stage (src/postprocess.py:221-270), single band."""
+    distance_px = int(min_distance_m / cell_size)
+    d = distance_transform_edt(arr)
+    local_max = peak_local_max(d, min_distance=distance_px, labels=arr)
+    markers = label(local_max, connectivity=1 if neighbour == 4 else 2)
+    return watershed(-d, markers, mask=arr)

@@ -1,0 +1,279 @@
+"""Vector kernels: polygonize, simplify, hull/MBR, shoelace — pure NumPy.
+
+Pinned semantics (file:line into /root/reference):
+
+* polygonize   — gdal.Polygonize contract (src/io.py:200-272): one polygon
+  per 4-connected constant-value region, staircase boundary on pixel corners,
+  ``value`` attribute = the region's pixel value.  Boundary is traced
+  inside-on-the-right in row-down pixel coords; with the usual negative
+  geo y-scale exterior rings come out CW in geo coords (the shapefile
+  exterior-ring convention the reference writes); hole loops opposite.
+  Minimal vertices (corners only, collinear points merged) like GDAL.
+* simplify     — Douglas-Peucker with tolerance; stands in for GEOS
+  SimplifyPreserveTopology(0.7) (src/postprocess.py:306-309, config.py:32).
+  Documented deviation: plain DP does not guarantee no self-intersection;
+  ring validity is asserted by tests on the pipeline's actual shapes.
+* polygon_area — shoelace, rounded to 2 dp, reference formula verbatim
+  (src/postprocess.py:96-99).
+* minimum_bounding_rectangle — the reference's own angle-search over hull
+  edges (src/postprocess.py:29-92), hull via Andrew monotone chain instead
+  of scipy.spatial.ConvexHull.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "trace_regions",
+    "polygonize",
+    "douglas_peucker",
+    "simplify_ring",
+    "convex_hull",
+    "minimum_bounding_rectangle",
+    "polygon_area",
+]
+
+
+_DIRS = {  # side -> (corner_start_offset, corner_end_offset) in (cx, cy)
+    "top": ((0, 0), (1, 0)),
+    "right": ((1, 0), (1, 1)),
+    "bottom": ((1, 1), (0, 1)),
+    "left": ((0, 1), (0, 0)),
+}
+
+
+def _region_loops(mask: np.ndarray, ox: int = 0, oy: int = 0):
+    """Directed-crack boundary loops of a binary region.
+
+    Yields loops as lists of (cx, cy) pixel-corner vertices (closed, first ==
+    last), corners only.  Inside is kept on the right while walking (row-down
+    coords); ambiguous checkerboard corners resolved by preferring the right
+    turn, which keeps pinched rings consistently oriented.
+    """
+    h, w = mask.shape
+    padded = np.zeros((h + 2, w + 2), dtype=bool)
+    padded[1:-1, 1:-1] = mask
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(s, e):
+        edges.setdefault(s, []).append(e)
+
+    ys, xs = np.nonzero(mask)
+    top = ~padded[ys, xs + 1]      # neighbour (y-1, x)
+    bottom = ~padded[ys + 2, xs + 1]
+    left = ~padded[ys + 1, xs]
+    right = ~padded[ys + 1, xs + 2]
+    for y, x, t, b, l, r in zip(
+        ys.tolist(), xs.tolist(), top.tolist(), bottom.tolist(),
+        left.tolist(), right.tolist(),
+    ):
+        if t:
+            add((x, y), (x + 1, y))
+        if r:
+            add((x + 1, y), (x + 1, y + 1))
+        if b:
+            add((x + 1, y + 1), (x, y + 1))
+        if l:
+            add((x, y + 1), (x, y))
+
+    def take(start, incoming):
+        outs = edges[start]
+        if len(outs) == 1:
+            return outs.pop()
+        # right-turn preference relative to incoming direction
+        dx, dy = incoming
+        pref = [(dy, -dx) == (e[0] - start[0], e[1] - start[1]) for e in outs]
+        i = pref.index(True) if True in pref else 0
+        return outs.pop(i)
+
+    loops = []
+    while edges:
+        start = min(edges)  # deterministic: lexicographic smallest corner
+        cur = start
+        nxt = edges[cur].pop()
+        if not edges[cur]:
+            del edges[cur]
+        loop = [cur]
+        incoming = (nxt[0] - cur[0], nxt[1] - cur[1])
+        cur = nxt
+        while cur != start:
+            loop.append(cur)
+            nxt = take(cur, incoming)
+            if not edges[cur]:
+                del edges[cur]
+            incoming = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+        loop.append(start)
+        # merge collinear (all edges axis-aligned: drop middle of equal-dir runs)
+        out = []
+        for i, v in enumerate(loop):
+            if 0 < i < len(loop) - 1:
+                a, b = loop[i - 1], loop[i + 1]
+                if (v[0] - a[0], v[1] - a[1]) == (b[0] - v[0], b[1] - v[1]):
+                    continue
+            out.append((v[0] + ox, v[1] + oy))
+        loops.append(out)
+    return loops
+
+
+def _loop_signed_area_px(loop) -> float:
+    x = np.array([p[0] for p in loop], dtype=np.float64)
+    y = np.array([p[1] for p in loop], dtype=np.float64)
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(y[:-1], x[1:]))
+
+
+def trace_regions(labels: np.ndarray):
+    """Yield (value, exterior_loop, hole_loops) per 4-connected constant-value
+    region (pixel-corner coords).  Values emitted ascending; zero/background
+    regions are NOT emitted (callers filter value>0 anyway,
+    src/postprocess.py:303)."""
+    from .kernels_morph import label as cc_label
+
+    labels = np.asarray(labels)
+    for v in np.unique(labels):
+        if v == 0:
+            continue
+        vmask = labels == v
+        comps = cc_label(vmask, connectivity=1)
+        for c in range(1, comps.max() + 1):
+            m = comps == c
+            ys, xs = np.nonzero(m)
+            y0, y1, x0, x1 = ys.min(), ys.max(), xs.min(), xs.max()
+            sub = m[y0 : y1 + 1, x0 : x1 + 1]
+            loops = _region_loops(sub, ox=int(x0), oy=int(y0))
+            # exterior = largest |area| loop; rest are holes
+            areas = [abs(_loop_signed_area_px(lp)) for lp in loops]
+            ext = int(np.argmax(areas))
+            yield int(v), loops[ext], [lp for i, lp in enumerate(loops) if i != ext]
+
+
+def polygonize(labels: np.ndarray, gt: tuple | list) -> list[dict]:
+    """Label grid -> polygons in geo coords (P4).  Returns dicts with
+    ``value``, ``ring`` (closed [[x,y],...]), ``holes``."""
+    g0, g1, _, g3, _, g5 = gt
+
+    def to_geo(loop):
+        return [[g0 + cx * g1, g3 + cy * g5] for cx, cy in loop]
+
+    return [
+        {"value": v, "ring": to_geo(ext), "holes": [to_geo(h) for h in holes]}
+        for v, ext, holes in trace_regions(labels)
+    ]
+
+
+def douglas_peucker(points: np.ndarray, eps: float) -> np.ndarray:
+    """Iterative DP on an open polyline; keeps endpoints."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n <= 2:
+        return pts
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j <= i + 1:
+            continue
+        seg = pts[j] - pts[i]
+        norm = np.hypot(*seg)
+        mid = pts[i + 1 : j]
+        if norm == 0:
+            d = np.hypot(*(mid - pts[i]).T)
+        else:
+            d = np.abs(np.cross(seg, mid - pts[i])) / norm
+        kmax = int(np.argmax(d))
+        if d[kmax] > eps:
+            k = i + 1 + kmax
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return pts[keep]
+
+
+def simplify_ring(ring, eps: float):
+    """DP on a closed ring: split at the vertex farthest from vertex 0 so
+    both halves have stable anchors; re-close.
+
+    Topology guard (the 'PreserveTopology' in the reference's GEOS call,
+    src/postprocess.py:306-309): if DP would collapse the ring below a valid
+    polygon (under 3 distinct vertices / zero area), the original ring is
+    returned unchanged — GEOS stops simplifying rather than invalidate."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) <= 4:
+        return pts
+    closed = np.allclose(pts[0], pts[-1])
+    body = pts[:-1] if closed else pts
+    far = int(np.argmax(((body - body[0]) ** 2).sum(axis=1)))
+    if far == 0:
+        return pts
+    h1 = douglas_peucker(body[: far + 1], eps)
+    h2 = douglas_peucker(np.vstack([body[far:], body[:1]]), eps)
+    out = np.vstack([h1[:-1], h2[:-1]])
+    out = np.vstack([out, out[:1]])
+    if len(np.unique(out[:-1], axis=0)) < 3 or _loop_signed_area(out) == 0.0:
+        return np.vstack([body, body[:1]]) if not closed else pts
+    return out
+
+
+def _loop_signed_area(loop: np.ndarray) -> float:
+    x, y = loop[:, 0], loop[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(y[:-1], x[1:]))
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain, CCW, no duplicate endpoint."""
+    pts = np.unique(np.asarray(points, dtype=np.float64), axis=0)
+    if len(pts) <= 2:
+        return pts
+    def half(ps):
+        out = []
+        for p in ps:
+            while len(out) >= 2 and np.cross(out[-1] - out[-2], p - out[-2]) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+def minimum_bounding_rectangle(points: np.ndarray) -> np.ndarray:
+    """Reference algorithm (src/postprocess.py:29-92): hull edge angles mod
+    pi/2, unique, rotate, min-area argmin; returns 4x2 corners."""
+    pi2 = np.pi / 2.0
+    hull_points = convex_hull(points)
+    if len(hull_points) == 1:
+        return np.repeat(hull_points, 4, axis=0)
+    if len(hull_points) == 2:
+        hull_points = np.vstack([hull_points, hull_points[0]])
+    closed = np.vstack([hull_points, hull_points[:1]])
+    edges = closed[1:] - closed[:-1]
+    angles = np.arctan2(edges[:, 1], edges[:, 0])
+    angles = np.abs(np.mod(angles, pi2))
+    angles = np.unique(angles)
+    rotations = np.vstack(
+        [np.cos(angles), np.cos(angles - pi2), np.cos(angles + pi2), np.cos(angles)]
+    ).T.reshape((-1, 2, 2))
+    rot_points = np.dot(rotations, hull_points.T)
+    min_x = np.nanmin(rot_points[:, 0], axis=1)
+    max_x = np.nanmax(rot_points[:, 0], axis=1)
+    min_y = np.nanmin(rot_points[:, 1], axis=1)
+    max_y = np.nanmax(rot_points[:, 1], axis=1)
+    areas = (max_x - min_x) * (max_y - min_y)
+    best = int(np.argmin(areas))
+    x1, x2 = max_x[best], min_x[best]
+    y1, y2 = max_y[best], min_y[best]
+    r = rotations[best]
+    return np.array(
+        [np.dot([x1, y2], r), np.dot([x2, y2], r), np.dot([x2, y1], r), np.dot([x1, y1], r)]
+    )
+
+
+def polygon_area(x, y) -> float:
+    """Shoelace, reference verbatim (src/postprocess.py:96-99)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    correction = x[-1] * y[0] - y[-1] * x[0]
+    main_area = np.dot(x[:-1], y[1:]) - np.dot(y[:-1], x[1:])
+    return round(0.5 * np.abs(main_area + correction), 2)

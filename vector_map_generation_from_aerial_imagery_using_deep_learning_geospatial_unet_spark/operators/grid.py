@@ -160,9 +160,9 @@ def tiles_geo_sql() -> str:
     return """
 tiles_geo AS (
   SELECT *,
-    ulx + off_x * 0.1 AS tminx,
-    ulx + off_x * 0.1 + tw * 0.1 AS tmaxx,
-    uly + off_y * (-0.1) AS tmaxy,
-    uly + off_y * (-0.1) + th * (-0.1) AS tminy
+    ulx + off_x * 1e-1 AS tminx,
+    ulx + off_x * 1e-1 + tw * 1e-1 AS tmaxx,
+    uly + off_y * (-1e-1) AS tmaxy,
+    uly + off_y * (-1e-1) + th * (-1e-1) AS tminy
   FROM tiles
 )"""

@@ -1,0 +1,306 @@
+"""Raster dataflow operators: tile pixel slicing, overlap-stitch, mask
+post-processing, polygonize — the Spark re-expression of the reference's
+test.py inference pipeline stages (SURVEY.md §3.1).
+
+Data layout: pixels live in ``bytes`` columns (png/raw via sources.codec);
+every kernel crosses into Python as Arrow batches (``mapInPandas`` /
+``applyInPandas``), never per-row UDFs.  Grouping key is always ``image_id``
+— the reference's unbounded mosaic problem is bounded here because an
+"image" is one row of the input table (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions import kernels_morph as km
+from ..functions import kernels_vector as kv
+from ..sources import codec
+from .grid import gen_tiles
+
+TILE_SCHEMA = (
+    "image_id string, tile_id string, tiy int, tix int, off_x int, off_y int, "
+    "tw int, th int, w int, h int, ulx double, uly double, bytes binary, fmt string"
+)
+
+
+def slice_tiles(
+    images: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    overlap: int | None = None,
+    tile_fmt: str = "png",
+) -> DataFrame:
+    """O2/O3 pixel path: decode each image once, emit one row per tile with
+    the window's encoded pixels (createTile's ReadRaster window copy,
+    /root/reference/src/bf_gridding.py:545-560).
+
+    The grid enumeration itself is the JVM-side :func:`gen_tiles`; this
+    operator joins pixels in by decoding inside ``mapInPandas`` — one decode
+    per image, sliced views per tile, no pixel ever visits the driver.
+    """
+    tiles = gen_tiles(images, cfg, overlap=overlap, with_geo=False).select(
+        "image_id", "tile_id", "tiy", "tix", "off_x", "off_y", "tw", "th",
+        "w", "h", "ulx", "uly", "bytes", "fmt",
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            # decode each distinct image once per batch
+            for (img_bytes, fmt, w, h), grp in pdf.groupby(
+                ["bytes", "fmt", "w", "h"], sort=False
+            ):
+                arr = codec.decode(img_bytes, fmt, int(w), int(h))
+                for r in grp.itertuples(index=False):
+                    win = arr[
+                        r.off_y : r.off_y + r.th, r.off_x : r.off_x + r.tw
+                    ]
+                    out.append(
+                        (
+                            r.image_id, r.tile_id, r.tiy, r.tix,
+                            r.off_x, r.off_y, r.tw, r.th, r.w, r.h,
+                            float(r.ulx), float(r.uly),
+                            codec.encode(np.ascontiguousarray(win), tile_fmt),
+                            tile_fmt,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "image_id", "tile_id", "tiy", "tix", "off_x", "off_y",
+                    "tw", "th", "w", "h", "ulx", "uly", "bytes", "fmt",
+                ],
+            )
+
+    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+
+
+def _spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
+    """Explicit hash repartition ahead of CPU-heavy Python stages.
+
+    AQE coalesces shuffles by *bytes*, which under-parallelizes pixel
+    kernels whose payloads compress to near nothing; an explicit N is
+    respected by AQE, and a following groupBy on the same keys reuses the
+    partitioning (no second exchange)."""
+    n = n or df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
+def stitch_tiles(tiles: DataFrame, out_fmt: str = "png") -> DataFrame:
+    """S5 mosaic as the exact inverse of O2: place tile (tiy, tix) at
+    (off_y, off_x); later tiles in (tiy, tix) order win on overlap — the
+    gdal.BuildVRT later-file-wins rule with tileImage's y-then-x emission
+    (/root/reference/src/io.py:175-196, src/bf_gridding.py:363-379)."""
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tiy", "tix"])
+        w, h = int(pdf["w"].iloc[0]), int(pdf["h"].iloc[0])
+        first = codec.decode(
+            pdf["bytes"].iloc[0], pdf["fmt"].iloc[0],
+            int(pdf["tw"].iloc[0]), int(pdf["th"].iloc[0]),
+        )
+        shape = (h, w) if first.ndim == 2 else (h, w, first.shape[2])
+        canvas = np.zeros(shape, dtype=first.dtype)
+        for r in pdf.itertuples(index=False):
+            arr = codec.decode(r.bytes, r.fmt, int(r.tw), int(r.th))
+            canvas[r.off_y : r.off_y + r.th, r.off_x : r.off_x + r.tw] = arr
+        return pd.DataFrame(
+            {
+                "image_id": [key[0]],
+                "bytes": [codec.encode(canvas, out_fmt)],
+                "w": [w], "h": [h], "fmt": [out_fmt],
+                "ulx": [float(pdf["ulx"].iloc[0])],
+                "uly": [float(pdf["uly"].iloc[0])],
+            }
+        )
+
+    return _spread(tiles, "image_id").groupBy("image_id").applyInPandas(
+        assemble,
+        schema="image_id string, bytes binary, w int, h int, fmt string, "
+        "ulx double, uly double",
+    )
+
+
+def threshold_mask(images: DataFrame, thresh: float = 0.5) -> DataFrame:
+    """M7: probability/grey plane -> {0, 255} mask (np.round at 0.5, x255;
+    /root/reference/test.py:241-248).  Uint8 inputs are mapped >=128 -> 255."""
+    return _map_pixels(
+        images, lambda a: np.where(a >= 255 * thresh + 0.5, 255, 0).astype(np.uint8)
+    )
+
+
+def erosion_stage(
+    images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """P1: 3x3 open + remove_small_objects (src/postprocess.py:159-189)."""
+    return _map_pixels(
+        images,
+        lambda a: km.erosion_clean(
+            a, cfg.erosion_filter, cfg.min_object_area_px
+        ).astype(np.int32),
+    )
+
+
+def cc_label_stage(images: DataFrame, connectivity: int = 1) -> DataFrame:
+    """Connected-component instance labels (ndi.label semantics)."""
+    return _map_pixels(images, lambda a: km.label(a, connectivity).astype(np.int32))
+
+
+def watershed_stage(
+    images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """P3 watershed separation (src/postprocess.py:221-270)."""
+    return _map_pixels(
+        images,
+        lambda a: km.watershed_segmentation(
+            a,
+            cell_size=cfg.cell_size_m,
+            min_distance_m=cfg.min_distance_watershed_m,
+            neighbour=cfg.watershed_neighbour,
+        ).astype(np.int32),
+    )
+
+
+def postprocess_stage(
+    images: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    separation: str = "cc",
+) -> DataFrame:
+    """Fused M7+P1+(P3|CC): threshold -> 3x3 open+area filter -> instance
+    labels, one Arrow crossing per image instead of three.  Semantics are
+    byte-identical to chaining threshold_mask | erosion_stage |
+    (watershed_stage | cc_label_stage) — tests pin the equivalence; the fused
+    form exists because each mapInPandas hop re-serializes the full pixel
+    plane over the JVM<->Python pipe."""
+
+    def fused(arr: np.ndarray) -> np.ndarray:
+        t = np.where(arr >= 128, 255, 0).astype(np.uint8)
+        cleaned = km.erosion_clean(t, cfg.erosion_filter, cfg.min_object_area_px)
+        if separation == "watershed":
+            return km.watershed_segmentation(
+                cleaned,
+                cell_size=cfg.cell_size_m,
+                min_distance_m=cfg.min_distance_watershed_m,
+                neighbour=cfg.watershed_neighbour,
+            ).astype(np.int32)
+        return km.label(cleaned, connectivity=1).astype(np.int32)
+
+    return _map_pixels(images, fused)
+
+
+def _map_pixels(images: DataFrame, fn) -> DataFrame:
+    """Apply an array->array kernel to every image row (Arrow-batched).
+    Pixel payloads are re-encoded 'raw' (label planes aren't uint8)."""
+    cols = images.columns
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in images.schema.fields
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                d = r._asdict()
+                arr = _decode_any(d["bytes"], d["fmt"], d["w"], d["h"])
+                out = fn(arr)
+                d["bytes"] = out.astype(out.dtype).tobytes()
+                d["fmt"] = f"npy:{out.dtype.str}"
+                rows.append(d)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return images.mapInPandas(run, schema=schema)
+
+
+def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
+    if fmt.startswith("npy:"):
+        return np.frombuffer(bytes(data), dtype=np.dtype(fmt[4:])).reshape(h, w)
+    return codec.decode(bytes(data), fmt, w, h)
+
+
+POLYGON_SCHEMA = (
+    "image_id string, poly_id int, value int, ring array<array<double>>, "
+    "n_holes int, area_m2 double, mbr array<array<double>>, mbr_area_m2 double"
+)
+
+
+def polygonize_stage(
+    label_images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """P4+P5+P6+P7+P8 fused per image: polygonize the label plane, drop
+    value==0 (src/postprocess.py:303), simplify (eps=0.7 m), shoelace area
+    (round 2dp), minimum rotated rect + its area.
+
+    ``poly_id`` restarts at 1 per image in (value, trace) order — the
+    reference's per-file feature index (src/postprocess.py:334-341)."""
+    eps = cfg.simplify_tolerance_m
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                labels = _decode_any(r.bytes, r.fmt, r.w, r.h)
+                gt = (float(r.ulx), cfg.cell_size_m, 0.0,
+                      float(r.uly), 0.0, -cfg.cell_size_m)
+                pid = 0
+                for poly in kv.polygonize(labels, gt):
+                    if poly["value"] <= 0:
+                        continue
+                    pid += 1
+                    ring = kv.simplify_ring(poly["ring"], eps)
+                    area = kv.polygon_area(ring[:, 0], ring[:, 1])
+                    mbr = kv.minimum_bounding_rectangle(ring[:-1])
+                    mbr_area = kv.polygon_area(mbr[:, 0], mbr[:, 1])
+                    rows.append(
+                        (
+                            r.image_id, pid, int(poly["value"]),
+                            [list(map(float, v)) for v in ring],
+                            len(poly["holes"]), float(area),
+                            [list(map(float, v)) for v in mbr], float(mbr_area),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "poly_id", "value", "ring", "n_holes",
+                    "area_m2", "mbr", "mbr_area_m2",
+                ],
+            )
+
+    return label_images.mapInPandas(run, schema=POLYGON_SCHEMA)
+
+
+def dice_jaccard(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """M8 global Dice/Jaccard (src/metric.py:31-51): per-image pixel sums in
+    a UDF, global partial+final aggregation in Catalyst."""
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = (_decode_any(r.bytes, r.fmt, r.w, r.h) != 0).astype(np.float64)
+                b = (_decode_any(r.t_bytes, r.t_fmt, r.w, r.h) != 0).astype(np.float64)
+                rows.append((float((a * b).sum()), float(a.sum()), float(b.sum())))
+            yield pd.DataFrame(rows, columns=["xy", "x", "y"])
+
+    joined = pred.select("image_id", "bytes", "fmt", "w", "h").join(
+        truth.select(
+            "image_id",
+            F.col("bytes").alias("t_bytes"),
+            F.col("fmt").alias("t_fmt"),
+        ),
+        "image_id",
+    )
+    s = joined.mapInPandas(sums, schema="xy double, x double, y double").agg(
+        F.sum("xy").alias("sxy"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
+    )
+    return s.select(
+        (2.0 * F.col("sxy") / (F.col("sx") + F.col("sy") + 1.0)).alias("dice"),
+        (F.col("sxy") / (F.col("sx") + F.col("sy") - F.col("sxy") + 1.0)).alias(
+            "jaccard"
+        ),
+    )

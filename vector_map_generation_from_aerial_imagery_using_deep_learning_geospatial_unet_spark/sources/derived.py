@@ -54,8 +54,8 @@ images_meta AS (
     concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS image_id,
     CAST(200 + (p_partkey * 37) % 1801 AS INT)               AS w,
     CAST(200 + (p_partkey * 53) % 1801 AS INT)               AS h,
-    (p_partkey % 50) * 210.0                                 AS ulx,
-    (CAST(FLOOR(p_partkey / 50) AS BIGINT) % 50) * 210.0 + 200.0 AS uly
+    (p_partkey % 50) * 210e0                                 AS ulx,
+    (CAST(FLOOR(p_partkey / 50) AS BIGINT) % 50) * 210e0 + 200e0 AS uly
   FROM part
 )"""
 
@@ -82,11 +82,11 @@ FOOTPRINTS_META_SQL = """
 footprints_meta AS (
   SELECT
     concat('fp_', lpad(CAST(c_custkey AS VARCHAR), 8, '0')) AS fp_id,
-    (c_custkey * 97) % 10500 + 0.125 AS cx,
-    (c_custkey * 89) % 10500 + 0.125 AS cy,
-    (c_custkey % 40) + 5.375         AS a,
-    (c_custkey % 30) + 5.375         AS b,
-    (c_custkey % 12) * 15.0          AS theta_deg
+    (c_custkey * 97) % 10500 + 125e-3 AS cx,
+    (c_custkey * 89) % 10500 + 125e-3 AS cy,
+    (c_custkey % 40) + 5375e-3         AS a,
+    (c_custkey % 30) + 5375e-3         AS b,
+    (c_custkey % 12) * 15e0          AS theta_deg
   FROM customer
 )"""
 
@@ -157,8 +157,8 @@ POINTS_META_SQL = """
 points_meta AS (
   SELECT
     event_id                     AS pt_id,
-    (event_id * 131) % 10500 + 0.25 AS px,
-    (event_id * 173) % 10500 + 0.25 AS py
+    (event_id * 131) % 10500 + 25e-2 AS px,
+    (event_id * 173) % 10500 + 25e-2 AS py
   FROM events
 )"""
 

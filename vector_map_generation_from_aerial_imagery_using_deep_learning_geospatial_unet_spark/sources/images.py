@@ -79,8 +79,8 @@ images_meta_pk AS (
     p_partkey                                                AS pk,
     CAST(200 + (p_partkey * 37) % 1801 AS INT)               AS w,
     CAST(200 + (p_partkey * 53) % 1801 AS INT)               AS h,
-    (p_partkey % 50) * 210.0                                 AS ulx,
-    (CAST(FLOOR(p_partkey / 50) AS BIGINT) % 50) * 210.0 + 200.0 AS uly
+    (p_partkey % 50) * 210e0                                 AS ulx,
+    (CAST(FLOOR(p_partkey / 50) AS BIGINT) % 50) * 210e0 + 200e0 AS uly
   FROM part
 )"""
 
@@ -137,11 +137,16 @@ def images_table(
     the driver never holds pixels.
     """
     meta = images_meta(spark, sf_dir).withColumn(
-        "pk",
-        F.regexp_replace("image_id", "^img_0*", "").cast("long"),
+        "pk", F.substring("image_id", 5, 18).cast("long")
     )
     if limit is not None:
         meta = meta.filter(F.col("pk") <= limit)
+    # the tiny parquet arrives as ONE split; pixel synthesis is CPU-bound, so
+    # spread images across the cluster before entering Python (at real scale
+    # the scan has many splits and this is a cheap metadata-only shuffle)
+    meta = meta.repartition(
+        spark.sparkContext.defaultParallelism * 2, "image_id"
+    )
 
     schema = (
         "image_id string, bytes binary, w int, h int, fmt string, "
