@@ -203,6 +203,141 @@ def q_dice_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster.dice_jaccard(pred, imgs)
 
 
+# ---------------------------------------------------------------------- #
+# text / dedup / similarity / pyramid suite
+# ---------------------------------------------------------------------- #
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    return T.exact_dedup(T.corpus(spark, sf_dir))
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    return T.minhash_signature(T.corpus(spark, sf_dir))
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    return T.lsh_candidate_pairs(T.minhash_signature(T.corpus(spark, sf_dir)))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    c = T.corpus(spark, sf_dir)
+    pairs = T.lsh_candidate_pairs(T.minhash_signature(c))
+    return T.ngram_jaccard_pairs(c, pairs)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    return T.simhash32(T.corpus(spark, sf_dir))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    return T.text_stats(T.corpus(spark, sf_dir))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    return T.fingerprint(T.corpus(spark, sf_dir))
+
+
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    return T.lang_stats(T.corpus(spark, sf_dir))
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.ann_bruteforce_topk(queries_df, emb.select("vec_id", "embedding"), k=10).select(
+        "qid", "rank", "vec_id"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path) — approximate: rows-only check; recall
+    vs brute force pinned in pytest."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.ann_lsh_topk(
+        queries_df, emb.select("vec_id", "embedding"), k=10, dim=64
+    ).select("qid", "rank", "vec_id")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 1000
+    )
+    # synthetic embeddings are near-orthogonal (max pairwise cos ~0.51);
+    # 0.35 marks the top ~0.1% most-similar pairs as "near-dups"
+    return S.embedding_near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
+
+
+def q_pyramid_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import pyramid as P
+
+    return P.pyramid_meta(derived.images_meta(spark, sf_dir), levels=5).select(
+        "image_id", "level", "lw", "lh", "lscale"
+    )
+
+
+def q_multires_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import pyramid as P
+
+    return P.multires_meta(derived.images_meta(spark, sf_dir), CFG).select(
+        "image_id", "res_idx", "resolution", "rw", "rh"
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode->resize->feature plumbing (rows-only: pixel stats
+    not SQL-expressible)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="rgb", limit=100)
+    return MM.decode_features(imgs, resize_to=64)
+
+
+def q_training_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M5 tensor prep (rows-only): image+label join -> resize/remap/EDT
+    weight plane; returns per-row tensor stats to keep the result compact."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import datagen as DG
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="rgb", limit=50)
+    labels = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=50)
+    paired = DG.pair_image_label(imgs, labels)
+    t = DG.training_tensors(paired, CFG)
+    return t.select(
+        "image_id",
+        F.size("x").alias("x_len"),
+        F.size("y").alias("y_len"),
+        F.round(F.aggregate("y", F.lit(0.0), lambda a, v: a + v), 2).alias("y_sum"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -217,6 +352,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_polygons": q_pipeline_polygons,
     "pipeline_watershed": q_pipeline_watershed,
     "dice_jaccard": q_dice_jaccard,
+    "exact_dedup": q_exact_dedup,
+    "minhash_signature": q_minhash_signature,
+    "lsh_pairs": q_lsh_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "simhash": q_simhash,
+    "text_stats": q_text_stats,
+    "fingerprint": q_fingerprint,
+    "lang_stats": q_lang_stats,
+    "ann_topk": q_ann_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "pyramid_meta": q_pyramid_meta,
+    "multires_meta": q_multires_meta,
+    "multimodal_features": q_multimodal_features,
+    "training_tensors": q_training_tensors,
 }
 
 
@@ -288,6 +438,42 @@ FROM images_meta""",
         "dice_jaccard": _dice_jaccard_sql(),
         # pipeline_watershed: intentionally no oracle (EDT/watershed are not
         # SQL-expressible) -> driver records the rows-only check.
+        "exact_dedup": "WITH " + T.EXACT_DEDUP_SQL,
+        "minhash_signature": "WITH " + T.minhash_signature_sql(),
+        "lsh_pairs": "WITH " + T.lsh_candidate_pairs_sql(),
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "simhash": "WITH " + T.simhash32_sql(),
+        "text_stats": "WITH " + T.TEXT_STATS_SQL,
+        "fingerprint": "WITH " + T.fingerprint_sql(),
+        "lang_stats": "WITH " + T.LANG_STATS_SQL,
+        "ann_topk": """
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 16),
+cand AS (
+  SELECT q.qid, e.vec_id,
+    row_number() OVER (
+      PARTITION BY q.qid
+      ORDER BY list_cosine_similarity(q.qvec, e.embedding) DESC, e.vec_id
+    ) AS rank
+  FROM q CROSS JOIN embeddings e
+)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id FROM cand WHERE rank <= 10""",
+        "pyramid_meta": derived.with_ctes(
+            derived.IMAGES_META_SQL,
+            _pyramid_sql(5),
+            body="SELECT image_id, level, lw, lh, lscale FROM pyramid",
+        ),
+        "multires_meta": derived.with_ctes(
+            derived.IMAGES_META_SQL,
+            _multires_sql(),
+            body="SELECT image_id, res_idx, resolution, rw, rh FROM multires",
+        ),
+        "embedding_near_dup": """
+WITH e AS (SELECT * FROM embeddings WHERE vec_id < 1000)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
+        # ann_lsh_topk / multimodal_features / training_tensors:
+        # rows-only (approximate or pixel-kernel results).
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -326,6 +512,40 @@ WHERE p.px > t.tminx AND p.px < t.tmaxx
   AND p.py > t.tminy AND p.py < t.tmaxy""",
         ),
     }
+
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+
+def _pyramid_sql(levels: int) -> str:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators.pyramid import pyramid_meta_sql
+
+    return pyramid_meta_sql(levels)
+
+
+def _multires_sql() -> str:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators.pyramid import multires_meta_sql
+
+    return multires_meta_sql()
+
+
+def _ngram_jaccard_sql() -> str:
+    """LSH candidate pairs + exact shingle-set Jaccard."""
+    return (
+        "WITH "
+        + T._lsh_ctes()
+        + """,
+sh_list AS (
+  SELECT cid, list_distinct(list(substr(text, CAST(g AS INT), 5))) AS sh
+  FROM sh0 GROUP BY cid
+)
+SELECT p.cid_a, p.cid_b,
+  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+FROM pairs p
+JOIN sh_list a ON a.cid = p.cid_a
+JOIN sh_list b ON b.cid = p.cid_b"""
+    )
 
 
 def _pipeline_polygons_sql() -> str:

@@ -1,0 +1,87 @@
+"""Checkpoint manifest resume + Structured Streaming ingestion."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators.grid import gen_tiles
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.derived import images_meta
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming import manifest as M
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming.stream import stream_tiles
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmp(request):
+    d = tempfile.mkdtemp()
+    request.addfinalizer(lambda: shutil.rmtree(d, ignore_errors=True))
+    return d
+
+
+def test_run_resumable_skips_completed(spark, tmp):
+    imgs = images_meta(spark, SF).filter(F.col("w") % 2 == 0)
+    calls = []
+
+    def stage(pending):
+        calls.append(pending.count())
+        return gen_tiles(pending, with_geo=False).select(
+            "image_id", "tile_id", "tiy", "tix"
+        )
+
+    out1 = M.run_resumable(imgs, stage, "gen_tiles", tmp)
+    n1 = out1.count()
+    assert calls[-1] > 0 and n1 > 0
+
+    # second run: nothing pending, no new rows
+    out2 = M.run_resumable(imgs, stage, "gen_tiles", tmp)
+    assert calls[-1] == 0
+    assert out2.count() == n1
+
+    # manifest has one 'done' row per image with correct per-image row counts
+    m = spark.read.parquet(M.manifest_path(tmp))
+    exp = {
+        r["image_id"]: r["cnt"]
+        for r in out1.groupBy("image_id").agg(F.count("*").alias("cnt")).collect()
+    }
+    got = {r["image_id"]: r["rows"] for r in m.filter("stage = 'gen_tiles'").collect()}
+    assert got == exp
+
+
+def test_resume_mid_grid_after_partial_run(spark, tmp):
+    imgs = images_meta(spark, SF)
+    half = imgs.filter(F.col("image_id") < "img_00000100")
+
+    def stage(pending):
+        return gen_tiles(pending, with_geo=False).select("image_id", "tile_id")
+
+    M.run_resumable(half, stage, "s", tmp)
+    # full input: only the other half is pending
+    pending = M.resume_filter(imgs, spark, tmp, "s")
+    assert pending.count() == imgs.count() - half.count()
+    out = M.run_resumable(imgs, stage, "s", tmp)
+    assert out.count() == gen_tiles(imgs, with_geo=False).count()
+
+
+def test_stream_tiles_matches_batch(spark, tmp):
+    imgs = images_meta(spark, SF).withColumns(
+        {
+            "bytes": F.lit(b""),
+            "fmt": F.lit("raw"),
+            "caption": F.lit("c"),
+            "phash": F.lit(0).cast("long"),
+            "crs": F.lit("SYNTH:METRIC"),
+        }
+    )
+    src_dir, out_dir, cp_dir = f"{tmp}/src", f"{tmp}/out", f"{tmp}/cp"
+    imgs.write.parquet(src_dir)
+    q = stream_tiles(spark, src_dir, out_dir, cp_dir, available_now=True)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    exp = gen_tiles(imgs.drop("bytes"), with_geo=True).drop("fmt", "crs")
+    assert got.count() == exp.count()
+    assert (
+        got.select("tile_id").exceptAll(exp.select("tile_id")).count() == 0
+    )

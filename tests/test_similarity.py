@@ -1,0 +1,76 @@
+"""ANN operators vs numpy brute force; LSH recall bound."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def numpy_topk(emb_rows, k, n_queries):
+    ids = np.array([r["vec_id"] for r in emb_rows])
+    V = np.array([r["embedding"] for r in emb_rows], dtype=np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    out = {}
+    order = np.argsort(ids)
+    ids, Vn = ids[order], Vn[order]
+    for qi in range(n_queries):
+        qpos = np.where(ids == qi)[0]
+        if not len(qpos):
+            continue
+        cos = Vn @ Vn[qpos[0]]
+        cand = sorted(zip(-cos, ids))[:k]
+        out[qi] = [int(i) for _, i in cand]
+    return out
+
+
+def test_ann_bruteforce_matches_numpy(spark, emb):
+    rows = emb.collect()
+    exp = numpy_topk(rows, k=10, n_queries=8)
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got_rows = S.ann_bruteforce_topk(q, emb.select("vec_id", "embedding"), k=10).collect()
+    got = {}
+    for r in sorted(got_rows, key=lambda r: (r["qid"], r["rank"])):
+        got.setdefault(r["qid"], []).append(r["vec_id"])
+    assert got == exp
+
+
+def test_ann_lsh_recall(spark, emb):
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact_rows = S.ann_bruteforce_topk(q, emb.select("vec_id", "embedding"), k=10).collect()
+    lsh_rows = S.ann_lsh_topk(
+        q, emb.select("vec_id", "embedding"), k=10, dim=64, multiprobe=1
+    ).collect()
+    exact, approx = {}, {}
+    for r in exact_rows:
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in lsh_rows:
+        approx.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid]) for qid in exact
+    ]
+    # synthetic embeddings are near-orthogonal (true neighbours barely closer
+    # than random), the worst case for LSH: a sanity floor is all that holds;
+    # clustered real data recalls much higher with the same machinery
+    assert np.mean(recalls) >= 0.15, recalls
+    # rank-1 self-match always survives (query is its own bucket)
+    for qid in exact:
+        assert qid in approx.get(qid, set())
+
+
+def test_near_dup_pairs_symmetric_free_and_thresholded(spark, emb):
+    out = S.embedding_near_dup_pairs(emb.limit(200), threshold=0.3).collect()
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["cos"] >= 0.3

@@ -1,0 +1,112 @@
+"""ML-side dataflow operators (SURVEY.md §2.4, M1-M7) — the reference's
+DataGenerator tensor preparation re-expressed over DataFrames; the NN itself
+is out of scope (non-goal, SURVEY.md §7).
+
+* pair image/label rows       — equi-join on image_id, the Spark version of
+  the filename join (/root/reference/src/dataGenerator.py:137-143)
+* epoch shuffle (M2)          — orderBy(rand(seed)) / repartition, seeded
+* read_image (M3)             — drop alpha, bilinear resize to 200^2
+* read_label (M4)             — arr[arr==255]=1 remap
+* weight plane (M5)           — w = 10/EDT + 1, EDT==0 -> -99 (verbatim
+  /root/reference/src/dataGenerator.py:99-103)
+* train/val split (M6)        — randomSplit([0.85, 0.15], seed)
+* batch tensors (M1)          — mapInPandas yields (batch, 200, 200, C)
+  float32 blocks as flattened array columns, Arrow-batched
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DEFAULT_CONFIG, EngineConfig
+from ..functions import kernels_morph as km
+from ..functions.kernels_resample import resize_bilinear
+from ..sources import codec
+
+
+def pair_image_label(images: DataFrame, labels: DataFrame) -> DataFrame:
+    """Filename-identity pairing -> image_id equi-join."""
+    return images.join(
+        labels.select(
+            "image_id",
+            F.col("bytes").alias("label_bytes"),
+            F.col("fmt").alias("label_fmt"),
+        ),
+        "image_id",
+    )
+
+
+def epoch_shuffle(df: DataFrame, seed: int) -> DataFrame:
+    """M2: deterministic epoch shuffle (np.random.shuffle of the index list,
+    src/dataGenerator.py:52-56)."""
+    return df.orderBy(F.rand(seed))
+
+
+def train_val_split(df: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, seed: int = 42):
+    """M6: validation_split=0.15 (config.py:21)."""
+    return df.randomSplit([1.0 - cfg.validation_split, cfg.validation_split], seed)
+
+
+def training_tensors(
+    paired: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG, with_weights: bool = True
+) -> DataFrame:
+    """M1+M3+M4+M5: per-row training tensors.
+
+    image  -> float32 (T, T, 3) (alpha dropped, bilinear resize, M3)
+    label  -> float32 (T, T, 1+1): 255->1 remap (M4) + distance-weight plane
+              w = 10/EDT + 1 with EDT==0 -> -99 (M5)
+
+    Tensors travel as flattened array<float> columns; the Arrow batch IS the
+    training batch (maxRecordsPerBatch = config.batch upstream)."""
+    t = cfg.tile_size
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = codec.decode(r.bytes, r.fmt, int(r.w), int(r.h))
+                if img.ndim == 2:
+                    img = np.stack([img] * 3, axis=-1)
+                img = img[:, :, :3]  # drop alpha (dataGenerator.py:66)
+                img = resize_bilinear(img, t, t).astype(np.float32)
+
+                lab = codec.decode(r.label_bytes, r.label_fmt, int(r.w), int(r.h))
+                if lab.ndim == 3:
+                    lab = lab[:, :, 0]
+                lab = lab.copy()
+                lab[lab == 255] = 1  # M4 (dataGenerator.py:76)
+                lab = resize_bilinear(lab, t, t).astype(np.float32)
+
+                planes = [lab]
+                if with_weights:
+                    edt = km.distance_transform_edt(lab)
+                    edt[edt == 0] = -99  # M5 verbatim (dataGenerator.py:99-103)
+                    planes.append((10.0 / edt + 1.0).astype(np.float32))
+                rows.append(
+                    (
+                        r.image_id,
+                        img.ravel().tolist(),
+                        np.stack(planes, axis=-1).ravel().tolist(),
+                        t,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "x", "y", "tile"]
+            )
+
+    return paired.mapInPandas(
+        run, schema="image_id string, x array<float>, y array<float>, tile int"
+    )
+
+
+def prediction_threshold(prob: DataFrame, col: str = "prob") -> DataFrame:
+    """M7: np.round(predict) == 0.5 threshold, x255 on write
+    (/root/reference/test.py:241-248) as a pure column expr."""
+    return prob.withColumn(
+        "mask_value", F.when(F.col(col) > 0.5, 255.0).otherwise(0.0)
+    )

@@ -1,0 +1,362 @@
+"""Text-analysis + deduplication operators for the training-data pipeline
+(graft additions — no reference analogue; first-class per the build brief):
+
+* exact dedup            — md5 hash-groupBy
+* MinHash + LSH banding  — shingle -> portable hash -> k mins -> band buckets
+* SimHash (32-bit)       — token-hash bit voting
+* n-gram Jaccard         — array_intersect/array_union, JVM-side
+* token counting / quality scoring / fingerprinting / language stats
+
+Everything runs as pure ``pyspark.sql`` column expressions (higher-order
+functions; zero Python UDFs) and every operator has an exact DuckDB oracle:
+the portable hash is ``CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`` which
+Spark expresses as ``conv(substring(md5(s), 1, 15), 16, 10)`` — identical
+60-bit integers in both engines.
+
+The driver corpus has no duplicates, so dedup queries run over an AUGMENTED
+corpus built with deterministic string arithmetic (exact dups for
+doc_id%5==0, truncated near-dups for doc_id%7==0) that the oracle SQL
+reconstructs identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+P = 2147483647  # 2^31 - 1
+N_MINHASH = 16
+BANDS = 4  # 4 rows per band
+SHINGLE = 5
+
+STOPWORDS = ("the", "a", "of", "and")
+
+
+# --------------------------------------------------------------------------- #
+# corpus
+# --------------------------------------------------------------------------- #
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + deterministic exact-dup and near-dup rows."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = d.select(F.col("doc_id").alias("cid"), "text", "lang", "source")
+    dups = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("cid"), "text", "lang", "source"
+    )
+    near = d.filter((F.col("doc_id") % 7 == 0) & (F.col("n_chars") > 40)).select(
+        (F.col("doc_id") + 200000).alias("cid"),
+        F.expr("substring(text, 1, n_chars - 10)").alias("text"),
+        "lang",
+        "source",
+    )
+    return base.unionByName(dups).unionByName(near)
+
+
+CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id AS cid, text, lang, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 200000, substr(text, 1, CAST(n_chars - 10 AS INT)), lang, source
+  FROM documents WHERE doc_id % 7 = 0 AND n_chars > 40
+)"""
+
+
+# --------------------------------------------------------------------------- #
+# portable hashing
+# --------------------------------------------------------------------------- #
+
+def phash60(col: Column) -> Column:
+    """60-bit integer hash identical in Spark and DuckDB (md5 prefix)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def PHASH60_SQL(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def shingles(text: Column, n: int = SHINGLE) -> Column:
+    """array<string> of overlapping char n-grams (JVM-side)."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (n - 1), F.lit(1))),
+        lambda i: text.substr(i, F.lit(n)),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# exact dedup
+# --------------------------------------------------------------------------- #
+
+def exact_dedup(c: DataFrame) -> DataFrame:
+    """(cid, content_hash, group_size, canonical_cid, is_dup)."""
+    h = c.withColumn("content_hash", F.md5("text"))
+    g = h.groupBy("content_hash").agg(
+        F.count("*").alias("group_size"), F.min("cid").alias("canonical_cid")
+    )
+    return h.join(g, "content_hash").select(
+        "cid",
+        "content_hash",
+        "group_size",
+        "canonical_cid",
+        (F.col("cid") != F.col("canonical_cid")).alias("is_dup"),
+    )
+
+
+EXACT_DEDUP_SQL = (
+    CORPUS_SQL
+    + """,
+h AS (SELECT cid, md5(text) AS content_hash FROM corpus),
+g AS (SELECT content_hash, count(*) AS group_size, min(cid) AS canonical_cid
+      FROM h GROUP BY content_hash)
+SELECT h.cid, h.content_hash, g.group_size, g.canonical_cid,
+       h.cid <> g.canonical_cid AS is_dup
+FROM h JOIN g USING (content_hash)"""
+)
+
+
+# --------------------------------------------------------------------------- #
+# MinHash signatures + LSH candidate pairs
+# --------------------------------------------------------------------------- #
+
+def _mh_params(i: int) -> tuple[int, int]:
+    return (i * 2654435761 + 1) % P, (i * 40503 + 7) % P
+
+
+def minhash_signature(c: DataFrame) -> DataFrame:
+    """(cid, mh_0..mh_{k-1}): min over shingles of (a_i*h'+b_i) mod P."""
+    sh = c.select(
+        "cid", F.explode(F.array_distinct(shingles(F.col("text")))).alias("s")
+    )
+    sh = sh.withColumn("hp", phash60(F.col("s")) % P)
+    aggs = []
+    for i in range(N_MINHASH):
+        a, b = _mh_params(i)
+        aggs.append(F.min((F.col("hp") * a + b) % P).alias(f"mh_{i}"))
+    return sh.groupBy("cid").agg(*aggs)
+
+
+def _minhash_ctes() -> str:
+    """CTE chain ending in ``sig`` (cid, mh_0..mh_{k-1})."""
+    mins = ",\n  ".join(
+        f"min((hp * {a} + {b}) % {P}) AS mh_{i}"
+        for i, (a, b) in ((i, _mh_params(i)) for i in range(N_MINHASH))
+    )
+    return (
+        CORPUS_SQL
+        + f""",
+sh0 AS (
+  SELECT cid, unnest(generate_series(1, greatest(length(text) - {SHINGLE - 1}, 1))) AS g, text
+  FROM corpus
+),
+sh AS (
+  SELECT DISTINCT cid, {PHASH60_SQL(f"substr(text, CAST(g AS INT), {SHINGLE})")} % {P} AS hp
+  FROM sh0
+),
+sig AS (SELECT cid, {mins} FROM sh GROUP BY cid)"""
+    )
+
+
+def minhash_signature_sql() -> str:
+    return _minhash_ctes() + "\nSELECT * FROM sig"
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Distinct (cid_a < cid_b) pairs sharing at least one LSH band."""
+    rows_per_band = N_MINHASH // BANDS
+    bands = []
+    for band in range(BANDS):
+        cols = [f"mh_{band * rows_per_band + r}" for r in range(rows_per_band)]
+        bands.append(
+            sig.select(
+                "cid",
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws(",", *cols)).alias("bkey"),
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    left = all_bands.alias("l")
+    right = all_bands.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.cid") < F.col("r.cid")),
+        )
+        .select(F.col("l.cid").alias("cid_a"), F.col("r.cid").alias("cid_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def _lsh_ctes() -> str:
+    """CTE chain ending in ``pairs`` (cid_a, cid_b)."""
+    rows_per_band = N_MINHASH // BANDS
+    band_selects = []
+    for band in range(BANDS):
+        cols = [f"mh_{band * rows_per_band + r}" for r in range(rows_per_band)]
+        concat = ", ',', ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT cid, {band} AS band, md5(concat({concat})) AS bkey FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(band_selects)
+    return (
+        _minhash_ctes()
+        + f""",
+bands AS ({bands_sql}),
+pairs AS (
+  SELECT DISTINCT l.cid AS cid_a, r.cid AS cid_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.cid < r.cid
+)"""
+    )
+
+
+def lsh_candidate_pairs_sql() -> str:
+    return _lsh_ctes() + "\nSELECT * FROM pairs"
+
+
+# --------------------------------------------------------------------------- #
+# SimHash (32-bit)
+# --------------------------------------------------------------------------- #
+
+def simhash32(c: DataFrame) -> DataFrame:
+    """(cid, simhash): per-bit token votes; bit j set iff sum over tokens of
+    (2*bit_j(h(token)) - 1) > 0."""
+    toks = c.select("cid", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    toks = toks.withColumn("h", phash60(F.col("tok")))
+    bit_sums = toks.groupBy("cid").agg(
+        *[
+            F.sum(F.shiftright(F.col("h"), j) % 2 * 2 - 1).alias(f"b{j}")
+            for j in range(32)
+        ]
+    )
+    sim = None
+    for j in range(32):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return bit_sums.select("cid", sim.cast("long").alias("simhash"))
+
+
+def simhash32_sql() -> str:
+    bit_sums = ",\n  ".join(
+        f"sum(((h >> {j}) % 2) * 2 - 1) AS b{j}" for j in range(32)
+    )
+    sim = " + ".join(f"CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(32))
+    return (
+        CORPUS_SQL
+        + f""",
+toks AS (
+  SELECT cid, {PHASH60_SQL("t.tok")} AS h
+  FROM corpus, unnest(string_split(text, ' ')) AS t(tok)
+),
+bs AS (SELECT cid, {bit_sums} FROM toks GROUP BY cid)
+SELECT cid, CAST({sim} AS BIGINT) AS simhash FROM bs"""
+    )
+
+
+# --------------------------------------------------------------------------- #
+# n-gram Jaccard (near-dup verify)
+# --------------------------------------------------------------------------- #
+
+def ngram_jaccard_pairs(c: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for given (cid_a, cid_b) pairs — the verify
+    step after LSH.  JVM-side set ops on shingle arrays."""
+    sh = c.select(
+        "cid", F.array_distinct(shingles(F.col("text"))).alias("sh")
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("cid", "cid_a").withColumnRenamed("sh", "sh_a"), "cid_a")
+        .join(sh.withColumnRenamed("cid", "cid_b").withColumnRenamed("sh", "sh_b"), "cid_b")
+        .select(
+            "cid_a",
+            "cid_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# token counting / quality / fingerprint / language stats
+# --------------------------------------------------------------------------- #
+
+def text_stats(c: DataFrame) -> DataFrame:
+    """(cid, n_tokens, n_distinct_tokens, avg_token_len, stopword_ratio,
+    distinct_ratio) — the quality-scoring feature set."""
+    toks = F.split(F.col("text"), " ")
+    distinct_toks = F.array_distinct(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda t: t.isin(*[F.lit(s) for s in STOPWORDS]))
+    )
+    return c.select(
+        "cid",
+        F.size(toks).alias("n_tokens"),
+        F.size(distinct_toks).alias("n_distinct_tokens"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        (stop_hits / F.size(toks)).alias("stopword_ratio"),
+        (F.size(distinct_toks) / F.size(toks)).alias("distinct_ratio"),
+    )
+
+
+TEXT_STATS_SQL = (
+    CORPUS_SQL
+    + f""",
+t AS (SELECT cid, string_split(text, ' ') AS toks FROM corpus)
+SELECT cid,
+  len(toks) AS n_tokens,
+  len(list_distinct(toks)) AS n_distinct_tokens,
+  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+  CAST(len(list_filter(toks, x -> x IN {STOPWORDS!r})) AS DOUBLE) / len(toks) AS stopword_ratio,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio
+FROM t"""
+)
+
+
+def fingerprint(c: DataFrame, n: int = 8) -> DataFrame:
+    """(cid, fingerprint): min 60-bit hash over all char 8-grams — the
+    content fingerprint used for cheap near-identity checks."""
+    sh = c.select("cid", F.explode(shingles(F.col("text"), n)).alias("s"))
+    return sh.groupBy("cid").agg(F.min(phash60(F.col("s"))).alias("fingerprint"))
+
+
+def fingerprint_sql(n: int = 8) -> str:
+    return (
+        CORPUS_SQL
+        + f""",
+sh AS (
+  SELECT cid, {PHASH60_SQL(f"substr(text, CAST(g AS INT), {n})")} AS h
+  FROM (
+    SELECT cid, text,
+           unnest(generate_series(1, greatest(length(text) - {n - 1}, 1))) AS g
+    FROM corpus
+  )
+)
+SELECT cid, min(h) AS fingerprint FROM sh GROUP BY cid"""
+    )
+
+
+def lang_stats(c: DataFrame) -> DataFrame:
+    """Per-language corpus profile (relational agg over the lang label)."""
+    return c.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.round(F.avg(F.size(F.split(F.col("text"), " "))), 2).alias("avg_tokens"),
+    )
+
+
+LANG_STATS_SQL = (
+    CORPUS_SQL
+    + """
+SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars,
+       round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
+FROM corpus GROUP BY lang"""
+)
