@@ -1,0 +1,64 @@
+"""Sinks + M9 loss aggregation."""
+
+import json
+import math
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import sinks
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators.datagen import weighted_bce
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators.grid import gen_tiles
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.derived import images_meta
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def tmp(request):
+    d = tempfile.mkdtemp()
+    request.addfinalizer(lambda: shutil.rmtree(d, ignore_errors=True))
+    return d
+
+
+def test_tile_index_roundtrip(spark, tmp):
+    tiles = gen_tiles(images_meta(spark, SF).limit(20))
+    sinks.write_tile_index(tiles, f"{tmp}/idx")
+    back = spark.read.parquet(f"{tmp}/idx")
+    assert back.count() == tiles.count()
+    assert set(back.columns) >= {"tile_id", "tminx", "tmaxy", "image_id"}
+    sinks.write_tile_index_csv(tiles, f"{tmp}/csv")
+    csv = spark.read.option("header", True).csv(f"{tmp}/csv")
+    assert csv.count() == tiles.count()
+
+
+def test_polygons_to_geojson_valid(spark):
+    df = spark.createDataFrame(
+        [("i1", 1, 1, [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 0.0]], 0.5)],
+        "image_id string, poly_id int, value int, ring array<array<double>>, area_m2 double",
+    )
+    row = sinks.polygons_to_geojson(df).first()
+    feat = json.loads(row["geojson"])
+    assert feat["type"] == "Feature"
+    assert feat["geometry"]["coordinates"][0][0] == [0.0, 0.0]
+    assert feat["properties"]["area"] == 0.5
+
+
+def test_weighted_bce_matches_numpy(spark):
+    rng = np.random.RandomState(3)
+    y = rng.randint(0, 2, 200).astype(float)
+    p = rng.uniform(0.01, 0.99, 200)
+    w = rng.uniform(0.5, 2.0, 200)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(y, p, w)],
+        "y double, p double, weight double",
+    )
+    got = weighted_bce(df).first()["weighted_bce"]
+    eps = 1e-7
+    pc = np.clip(p, eps, 1 - eps)
+    exp = np.mean(-w * (y * np.log(pc) + (1 - y) * np.log(1 - pc)))
+    assert got == pytest.approx(exp, rel=1e-9)
+    assert math.isfinite(got)

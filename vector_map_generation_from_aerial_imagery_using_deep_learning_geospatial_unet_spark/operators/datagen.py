@@ -104,6 +104,19 @@ def training_tensors(
     )
 
 
+def weighted_bce(scores: DataFrame) -> DataFrame:
+    """M9 weighted binary cross-entropy (/root/reference/src/loss.py:7-17):
+    mean over pixels of -w * (y*log(p) + (1-y)*log(1-p)), as a relational
+    aggregation over per-pixel rows (y, p, weight).  Inference never needs
+    it; provided for tensor-prep parity."""
+    eps = 1e-7
+    p = F.least(F.greatest(F.col("p"), F.lit(eps)), F.lit(1.0 - eps))
+    term = -F.col("weight") * (
+        F.col("y") * F.log(p) + (1.0 - F.col("y")) * F.log(1.0 - p)
+    )
+    return scores.agg(F.avg(term).alias("weighted_bce"))
+
+
 def prediction_threshold(prob: DataFrame, col: str = "prob") -> DataFrame:
     """M7: np.round(predict) == 0.5 threshold, x255 on write
     (/root/reference/test.py:241-248) as a pure column expr."""

@@ -193,6 +193,12 @@ def pip_join(
         return cand.filter(inside).drop(ring_col)
 
     if strategy == "arrow":
+        # AQE coalesces the tiny-byte candidate shuffle to a few partitions,
+        # starving the Python refine of parallelism — spread explicitly
+        # (an explicit repartition N is respected by AQE)
+        cand = cand.repartition(
+            points.sparkSession.sparkContext.defaultParallelism * 2
+        )
         out_fields = [f for f in cand.schema.fields if f.name != ring_col]
         schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
         out_cols = [f.name for f in out_fields]
@@ -224,7 +230,7 @@ def knn_join(
     k: int,
     pt_cols: tuple[str, str, str] = ("pt_id", "px", "py"),
     center_cols: tuple[str, str, str] = ("fp_id", "cx", "cy"),
-    r0: int = 3,
+    r0: int | None = None,
 ) -> DataFrame:
     """Exact kNN: for each point the k nearest centers, ranked.
 
@@ -238,6 +244,11 @@ def knn_join(
     cid, cxc, cyc = center_cols
     n_centers = centers.count()
     k_eff = min(k, n_centers)
+    if r0 is None:
+        # density-based initial radius: the ring (2r+1)^2 cells should hold
+        # ~2k centers in expectation so most points retire in round one
+        density = max(n_centers / float(grid.n * grid.n), 1e-9)
+        r0 = max(1, int(np.ceil(((2.0 * k_eff / density) ** 0.5 - 1.0) / 2.0)))
 
     cts = with_cell(centers, grid, cxc, cyc, out="c_cell").select(
         cid, cxc, cyc, "c_cell"

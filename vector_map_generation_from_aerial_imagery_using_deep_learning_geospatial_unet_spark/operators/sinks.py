@@ -1,0 +1,64 @@
+"""Sinks (SURVEY.md §2.1 S5-S8): tile index, envelope CSV, vector outputs.
+
+The reference writes shapefiles/CSV per file (copyTileIndexToDisk / ToCSV,
+/root/reference/src/bf_gridding.py:406-444; fiona/ogr writers,
+/root/reference/src/postprocess.py:147-155,333-342).  Spark-side those become
+partitioned parquet tables (+ optional CSV / GeoJSON text for interchange);
+shapefile itself is a non-goal (SURVEY.md §7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_tile_index(tiles: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7: persist the tile index (one row per tile footprint), partitioned
+    by image so per-image lookups prune files."""
+    (
+        tiles.select(
+            "image_id", "tile_id", "tiy", "tix", "off_x", "off_y", "tw", "th",
+            "tminx", "tminy", "tmaxx", "tmaxy",
+        )
+        .write.mode(mode)
+        .partitionBy("image_id")
+        .parquet(path)
+    )
+
+
+def write_tile_index_csv(tiles: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S7 CSV variant: envelopes only (copyTileIndexToCSV)."""
+    (
+        tiles.select("tile_id", "tminx", "tminy", "tmaxx", "tmaxy")
+        .write.mode(mode)
+        .option("header", True)
+        .csv(path)
+    )
+
+
+def polygons_to_geojson(polygons: DataFrame) -> DataFrame:
+    """S8: one GeoJSON Feature string per polygon row (value + area attrs,
+    matching the reference's attribute schema {id,value,area})."""
+    coords = F.to_json(F.array(F.col("ring")))
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.array(F.col("ring")).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(
+                F.col("poly_id").alias("id"),
+                F.col("value").alias("value"),
+                F.col("area_m2").alias("area"),
+            ).alias("properties"),
+        )
+    )
+    return polygons.select(
+        "image_id", "poly_id", feature.alias("geojson"), coords.alias("coordinates_json")
+    )
+
+
+def write_polygons(polygons: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8: vector sink — parquet with ring arrays + attributes."""
+    polygons.write.mode(mode).parquet(path)

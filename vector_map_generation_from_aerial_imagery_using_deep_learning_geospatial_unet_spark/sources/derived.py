@@ -95,7 +95,10 @@ def footprints_with_env(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Footprints + tight envelope (minx..maxy) of the rotated rect —
     mirrors the SetSpatialFilterRect prefilter columns
     (/root/reference/src/bf_gridding.py:184)."""
-    fp = footprints_meta(spark, sf_dir)
+    return env_from_meta(footprints_meta(spark, sf_dir))
+
+
+def env_from_meta(fp: DataFrame) -> DataFrame:
     th = F.radians(F.col("theta_deg"))
     ex = F.col("a") * F.abs(F.cos(th)) + F.col("b") * F.abs(F.sin(th))
     ey = F.col("a") * F.abs(F.sin(th)) + F.col("b") * F.abs(F.cos(th))
@@ -123,7 +126,10 @@ def footprint_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize each rotated rect as a closed 5-point ring
     array<array<double>> — the generic polygon shape the engine's PIP
     ray-caster consumes (it never sees the rect parameters)."""
-    fp = footprints_meta(spark, sf_dir)
+    return rings_from_meta(footprints_meta(spark, sf_dir))
+
+
+def rings_from_meta(fp: DataFrame) -> DataFrame:
     th = F.radians(F.col("theta_deg"))
     ct, st = F.cos(th), F.sin(th)
     a, b, cx, cy = F.col("a"), F.col("b"), F.col("cx"), F.col("cy")
