@@ -63,7 +63,13 @@ def headline_rows(spark, sf_dir: str, images_path: str) -> int:
 
     pip = E.q_pip_join(spark, sf_dir)
     assign = E.q_point_tile_assign(spark, sf_dir)
-    return tiles.count() + pip.count() + assign.count()
+    # independent outputs -> concurrent actions (how a real pipeline submits):
+    # the joins' scheduling latency overlaps the CPU-bound tile slicing
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(3) as pool:
+        futs = [pool.submit(df.count) for df in (tiles, pip, assign)]
+        return sum(f.result() for f in futs)
 
 
 def timed(fn, *args):
