@@ -88,9 +88,11 @@ def q_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "fp_id",
     )
-    return joins.pip_join(pts, polys, WORLD_GRID, strategy="expr").select(
-        "pt_id", "fp_id"
-    )
+    # 15k footprints ~ a few MB exploded: broadcast kills the probe-side
+    # shuffle entirely (the shuffle path, default, is the 10^12-scale plan)
+    return joins.pip_join(
+        pts, polys, WORLD_GRID, strategy="expr", broadcast_polygons=True
+    ).select("pt_id", "fp_id")
 
 
 def q_pip_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,7 +152,9 @@ def q_point_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tmaxx").alias("maxx"),
         F.col("tmaxy").alias("maxy"),
     )
-    return joins.bbox_range_join(pts, tiles, WORLD_GRID).select(
+    # points are the small side here (100k ids+coords); broadcasting them
+    # lets the exploded tile grid stream shuffle-free off its scan
+    return joins.bbox_range_join(pts, tiles, WORLD_GRID, broadcast="left").select(
         F.col("l_pt_id").alias("pt_id"), F.col("r_tile_id").alias("tile_id")
     )
 
@@ -199,7 +203,7 @@ def q_dice_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
 
     imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=PIPE_CAP)
-    pred = raster.erosion_stage(raster.threshold_mask(imgs), CFG)
+    pred = raster.mask_clean_stage(imgs, CFG)  # fused M7+P1, one Arrow hop
     return raster.dice_jaccard(pred, imgs)
 
 

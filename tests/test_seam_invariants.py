@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import grid, raster
 from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.plans import pipeline
 from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
 from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
@@ -29,6 +29,18 @@ def test_slice_stitch_roundtrip_pixel_exact(spark, imgs):
         o = orig[r["image_id"]]
         b = codec.decode(bytes(o["bytes"]), o["fmt"], o["w"], o["h"])
         np.testing.assert_array_equal(a, b, err_msg=r["image_id"])
+
+
+def test_slice_tiles_enumeration_matches_gen_tiles(spark, imgs):
+    """The Python-side grid enumeration inside slice_tiles (one Arrow hop per
+    image, no bytes amplification) must agree with the JVM-side gen_tiles on
+    every metadata column — same O1/O2/O8 closed forms, two implementations."""
+    cols = ["image_id", "tile_id", "tiy", "tix", "off_x", "off_y", "tw", "th"]
+    sliced = sorted(map(tuple, raster.slice_tiles(imgs).select(cols).collect()))
+    enumerated = sorted(
+        map(tuple, grid.gen_tiles(imgs, with_geo=False).select(cols).collect())
+    )
+    assert sliced == enumerated and len(sliced) > 0
 
 
 def test_overlap_strip_identical_between_adjacent_tiles(spark, imgs):

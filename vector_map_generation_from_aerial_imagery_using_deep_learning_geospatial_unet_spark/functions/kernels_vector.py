@@ -131,21 +131,37 @@ def trace_regions(labels: np.ndarray):
     from .kernels_morph import label as cc_label
 
     labels = np.asarray(labels)
-    for v in np.unique(labels):
-        if v == 0:
-            continue
-        vmask = labels == v
+    ys, xs = np.nonzero(labels)
+    if ys.size == 0:
+        return
+    vals = labels[ys, xs]
+    # one pass over the nonzero pixels -> per-value bbox; all later work is
+    # confined to each value's sub-window (regions are tiny vs the plane)
+    uniq, inv = np.unique(vals, return_inverse=True)
+    n = len(uniq)
+    vy0 = np.full(n, np.iinfo(np.int64).max)
+    vx0 = np.full(n, np.iinfo(np.int64).max)
+    vy1 = np.zeros(n, dtype=np.int64)
+    vx1 = np.zeros(n, dtype=np.int64)
+    np.minimum.at(vy0, inv, ys)
+    np.maximum.at(vy1, inv, ys)
+    np.minimum.at(vx0, inv, xs)
+    np.maximum.at(vx1, inv, xs)
+    for i, v in enumerate(uniq):          # np.unique -> values ascending
+        vmask = labels[vy0[i] : vy1[i] + 1, vx0[i] : vx1[i] + 1] == v
+        # raster order inside the bbox == full-plane raster order restricted
+        # to this value, so component numbering matches the unwindowed scan
         comps = cc_label(vmask, connectivity=1)
         for c in range(1, comps.max() + 1):
             m = comps == c
-            ys, xs = np.nonzero(m)
-            y0, y1, x0, x1 = ys.min(), ys.max(), xs.min(), xs.max()
+            cys, cxs = np.nonzero(m)
+            y0, y1, x0, x1 = cys.min(), cys.max(), cxs.min(), cxs.max()
             sub = m[y0 : y1 + 1, x0 : x1 + 1]
-            loops = _region_loops(sub, ox=int(x0), oy=int(y0))
+            loops = _region_loops(sub, ox=int(vx0[i] + x0), oy=int(vy0[i] + y0))
             # exterior = largest |area| loop; rest are holes
             areas = [abs(_loop_signed_area_px(lp)) for lp in loops]
             ext = int(np.argmax(areas))
-            yield int(v), loops[ext], [lp for i, lp in enumerate(loops) if i != ext]
+            yield int(v), loops[ext], [lp for j, lp in enumerate(loops) if j != ext]
 
 
 def polygonize(labels: np.ndarray, gt: tuple | list) -> list[dict]:

@@ -48,6 +48,7 @@ def bbox_range_join(
     grid: CellGrid,
     lprefix: str = "l_",
     rprefix: str = "r_",
+    broadcast: str | None = None,
 ) -> DataFrame:
     """All (left, right) pairs whose bboxes strictly overlap.
 
@@ -56,6 +57,12 @@ def bbox_range_join(
     skew), the bbox predicate refines, and the pair is emitted exactly once
     — in the top-left cell of the bbox intersection (the classic
     partition-based spatial-join dedup, no ``distinct`` shuffle needed).
+
+    ``broadcast='left'|'right'`` hints that side's exploded cover as a
+    broadcast build side: the other side then streams with NO shuffle at
+    all (single stage).  Use when one side fits executor memory (the small
+    dim — mirrors the reference's in-memory tile index, bf_gridding.py:
+    576-610); the default shuffle join is the 10^12-row scale path.
     """
 
     def prep(df: DataFrame, p: str) -> DataFrame:
@@ -77,6 +84,10 @@ def bbox_range_join(
         )
 
     lc, rc = prep(left, lprefix), prep(right, rprefix)
+    if broadcast == "left":
+        lc = F.broadcast(lc)
+    elif broadcast == "right":
+        rc = F.broadcast(rc)
     joined = lc.join(rc, "cell_id")
     overlap = (
         (F.col(lprefix + "minx") < F.col(rprefix + "maxx"))

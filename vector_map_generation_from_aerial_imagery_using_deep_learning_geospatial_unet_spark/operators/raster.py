@@ -22,7 +22,6 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import kernels_morph as km
 from ..functions import kernels_vector as kv
 from ..sources import codec
-from .grid import gen_tiles
 
 TILE_SCHEMA = (
     "image_id string, tile_id string, tiy int, tix int, off_x int, off_y int, "
@@ -40,36 +39,56 @@ def slice_tiles(
     the window's encoded pixels (createTile's ReadRaster window copy,
     /root/reference/src/bf_gridding.py:545-560).
 
-    The grid enumeration itself is the JVM-side :func:`gen_tiles`; this
-    operator joins pixels in by decoding inside ``mapInPandas`` — one decode
-    per image, sliced views per tile, no pixel ever visits the driver.
+    The grid is enumerated *inside* the Arrow stage with the exact O1/O2/O8
+    formulas (same closed forms as the JVM-side :func:`gen_tiles`; pinned
+    equal by tests/test_seam_invariants.py).  Enumerating JVM-side and then
+    shipping the exploded rows to Python would copy each image's ``bytes``
+    into the Arrow batch once **per tile** (~40x amplification at the default
+    grid) — here each image crosses the JVM->Python pipe exactly once and the
+    windows are sliced as numpy views.  Tile payloads are re-encoded at zlib
+    level 1: lossless, and this is an intermediate hop, not a durable sink.
     """
-    tiles = gen_tiles(images, cfg, overlap=overlap, with_geo=False).select(
-        "image_id", "tile_id", "tiy", "tix", "off_x", "off_y", "tw", "th",
-        "w", "h", "ulx", "uly", "bytes", "fmt",
+    t = cfg.tile_size
+    ov = cfg.overlap_px if overlap is None else overlap
+    step = t - ov
+
+    # one image is ~minutes of downstream pixel work: spread rows across
+    # 2x parallelism partitions or a narrow input (one parquet file, a
+    # .limit(), a cached tiny table) serializes the whole pixel path
+    src = _spread(
+        images.select("image_id", "w", "h", "ulx", "uly", "bytes", "fmt"),
+        "image_id",
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            # decode each distinct image once per batch
-            for (img_bytes, fmt, w, h), grp in pdf.groupby(
-                ["bytes", "fmt", "w", "h"], sort=False
-            ):
-                arr = codec.decode(img_bytes, fmt, int(w), int(h))
-                for r in grp.itertuples(index=False):
-                    win = arr[
-                        r.off_y : r.off_y + r.th, r.off_x : r.off_x + r.tw
-                    ]
-                    out.append(
-                        (
-                            r.image_id, r.tile_id, r.tiy, r.tix,
-                            r.off_x, r.off_y, r.tw, r.th, r.w, r.h,
-                            float(r.ulx), float(r.uly),
-                            codec.encode(np.ascontiguousarray(win), tile_fmt),
-                            tile_fmt,
+            for r in pdf.itertuples(index=False):
+                w, h = int(r.w), int(r.h)
+                arr = codec.decode(r.bytes, r.fmt, w, h)
+                # O1 closed form (bf_gridding.py:104-120)
+                nx = 1 + (max(w - t, 0) + step - 1) // step
+                ny = 1 + (max(h - t, 0) + step - 1) // step
+                digits = len(str(max(nx, ny)))
+                for tiy in range(1, ny + 1):      # y-then-x emission order
+                    off_y = (tiy - 1) * step
+                    th = min(t, h - off_y)
+                    for tix in range(1, nx + 1):
+                        off_x = (tix - 1) * step
+                        tw = min(t, w - off_x)
+                        win = arr[off_y : off_y + th, off_x : off_x + tw]
+                        out.append(
+                            (
+                                r.image_id,
+                                f"{r.image_id}_{tiy:0{digits}d}_{tix:0{digits}d}",
+                                tiy, tix, off_x, off_y, tw, th, w, h,
+                                float(r.ulx), float(r.uly),
+                                codec.encode(
+                                    np.ascontiguousarray(win), tile_fmt, level=1
+                                ),
+                                tile_fmt,
+                            )
                         )
-                    )
             yield pd.DataFrame(
                 out,
                 columns=[
@@ -78,7 +97,7 @@ def slice_tiles(
                 ],
             )
 
-    return tiles.mapInPandas(run, schema=TILE_SCHEMA)
+    return src.mapInPandas(run, schema=TILE_SCHEMA)
 
 
 def _spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
@@ -92,11 +111,16 @@ def _spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
-def stitch_tiles(tiles: DataFrame, out_fmt: str = "png") -> DataFrame:
+def stitch_tiles(
+    tiles: DataFrame, out_fmt: str = "png", level: int = 1
+) -> DataFrame:
     """S5 mosaic as the exact inverse of O2: place tile (tiy, tix) at
     (off_y, off_x); later tiles in (tiy, tix) order win on overlap — the
     gdal.BuildVRT later-file-wins rule with tileImage's y-then-x emission
-    (/root/reference/src/io.py:175-196, src/bf_gridding.py:363-379)."""
+    (/root/reference/src/io.py:175-196, src/bf_gridding.py:363-379).
+
+    Default zlib level 1 (lossless): the stitched plane usually feeds the
+    next pixel stage, not a durable sink — pass level=6 when persisting."""
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["tiy", "tix"])
@@ -113,7 +137,7 @@ def stitch_tiles(tiles: DataFrame, out_fmt: str = "png") -> DataFrame:
         return pd.DataFrame(
             {
                 "image_id": [key[0]],
-                "bytes": [codec.encode(canvas, out_fmt)],
+                "bytes": [codec.encode(canvas, out_fmt, level)],
                 "w": [w], "h": [h], "fmt": [out_fmt],
                 "ulx": [float(pdf["ulx"].iloc[0])],
                 "uly": [float(pdf["uly"].iloc[0])],
@@ -141,9 +165,27 @@ def erosion_stage(
     """P1: 3x3 open + remove_small_objects (src/postprocess.py:159-189)."""
     return _map_pixels(
         images,
+        # output is still a binary mask -> uint8 (4x narrower Arrow rows
+        # than an int32 plane; label stages are the ones that need int32)
         lambda a: km.erosion_clean(
             a, cfg.erosion_filter, cfg.min_object_area_px
-        ).astype(np.int32),
+        ).astype(np.uint8),
+    )
+
+
+def mask_clean_stage(
+    images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Fused M7+P1 (threshold -> 3x3 open + area filter) in ONE Arrow hop —
+    result-identical to ``threshold_mask | erosion_stage`` without the
+    intermediate plane crossing the pipe."""
+    return _map_pixels(
+        images,
+        lambda a: km.erosion_clean(
+            np.where(a >= 128, 255, 0).astype(np.uint8),
+            cfg.erosion_filter,
+            cfg.min_object_area_px,
+        ).astype(np.uint8),
     )
 
 
@@ -179,24 +221,31 @@ def postprocess_stage(
     form exists because each mapInPandas hop re-serializes the full pixel
     plane over the JVM<->Python pipe."""
 
-    def fused(arr: np.ndarray) -> np.ndarray:
-        t = np.where(arr >= 128, 255, 0).astype(np.uint8)
-        cleaned = km.erosion_clean(t, cfg.erosion_filter, cfg.min_object_area_px)
-        if separation == "watershed":
-            return km.watershed_segmentation(
-                cleaned,
-                cell_size=cfg.cell_size_m,
-                min_distance_m=cfg.min_distance_watershed_m,
-                neighbour=cfg.watershed_neighbour,
-            ).astype(np.int32)
-        return km.label(cleaned, connectivity=1).astype(np.int32)
+    return _map_pixels(images, lambda a: _mask_to_labels(a, cfg, separation))
 
-    return _map_pixels(images, fused)
+
+def _mask_to_labels(
+    arr: np.ndarray, cfg: EngineConfig, separation: str
+) -> np.ndarray:
+    """M7+P1+(P3|CC) kernel chain on one decoded plane."""
+    t = np.where(arr >= 128, 255, 0).astype(np.uint8)
+    cleaned = km.erosion_clean(t, cfg.erosion_filter, cfg.min_object_area_px)
+    if separation == "watershed":
+        return km.watershed_segmentation(
+            cleaned,
+            cell_size=cfg.cell_size_m,
+            min_distance_m=cfg.min_distance_watershed_m,
+            neighbour=cfg.watershed_neighbour,
+        ).astype(np.int32)
+    return km.label(cleaned, connectivity=1).astype(np.int32)
 
 
 def _map_pixels(images: DataFrame, fn) -> DataFrame:
     """Apply an array->array kernel to every image row (Arrow-batched).
-    Pixel payloads are re-encoded 'raw' (label planes aren't uint8)."""
+
+    uint8 outputs (masks) re-encode as png level 1 — mask planes compress
+    ~100x, so the Arrow pipe and any downstream shuffle move KBs, not the
+    raw plane.  Wider dtypes (int32 label planes) stay raw ``npy:``."""
     cols = images.columns
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in images.schema.fields
@@ -209,8 +258,12 @@ def _map_pixels(images: DataFrame, fn) -> DataFrame:
                 d = r._asdict()
                 arr = _decode_any(d["bytes"], d["fmt"], d["w"], d["h"])
                 out = fn(arr)
-                d["bytes"] = out.astype(out.dtype).tobytes()
-                d["fmt"] = f"npy:{out.dtype.str}"
+                if out.dtype == np.uint8:
+                    d["bytes"] = codec.encode(out, "png", level=1)
+                    d["fmt"] = "png"
+                else:
+                    d["bytes"] = out.tobytes()
+                    d["fmt"] = f"npy:{out.dtype.str}"
                 rows.append(d)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -238,41 +291,92 @@ def polygonize_stage(
 
     ``poly_id`` restarts at 1 per image in (value, trace) order — the
     reference's per-file feature index (src/postprocess.py:334-341)."""
-    eps = cfg.simplify_tolerance_m
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 labels = _decode_any(r.bytes, r.fmt, r.w, r.h)
-                gt = (float(r.ulx), cfg.cell_size_m, 0.0,
-                      float(r.uly), 0.0, -cfg.cell_size_m)
-                pid = 0
-                for poly in kv.polygonize(labels, gt):
-                    if poly["value"] <= 0:
-                        continue
-                    pid += 1
-                    ring = kv.simplify_ring(poly["ring"], eps)
-                    area = kv.polygon_area(ring[:, 0], ring[:, 1])
-                    mbr = kv.minimum_bounding_rectangle(ring[:-1])
-                    mbr_area = kv.polygon_area(mbr[:, 0], mbr[:, 1])
-                    rows.append(
-                        (
-                            r.image_id, pid, int(poly["value"]),
-                            [list(map(float, v)) for v in ring],
-                            len(poly["holes"]), float(area),
-                            [list(map(float, v)) for v in mbr], float(mbr_area),
-                        )
+                rows.extend(
+                    _polygon_rows(
+                        r.image_id, labels, float(r.ulx), float(r.uly), cfg
                     )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "poly_id", "value", "ring", "n_holes",
-                    "area_m2", "mbr", "mbr_area_m2",
-                ],
-            )
+                )
+            yield pd.DataFrame(rows, columns=_POLYGON_COLS)
 
     return label_images.mapInPandas(run, schema=POLYGON_SCHEMA)
+
+
+_POLYGON_COLS = [
+    "image_id", "poly_id", "value", "ring", "n_holes",
+    "area_m2", "mbr", "mbr_area_m2",
+]
+
+
+def _polygon_rows(
+    image_id: str, labels: np.ndarray, ulx: float, uly: float, cfg: EngineConfig
+) -> list[tuple]:
+    """P4-P8 on one label plane -> polygon row tuples (_POLYGON_COLS order)."""
+    eps = cfg.simplify_tolerance_m
+    gt = (ulx, cfg.cell_size_m, 0.0, uly, 0.0, -cfg.cell_size_m)
+    rows = []
+    pid = 0
+    for poly in kv.polygonize(labels, gt):
+        if poly["value"] <= 0:
+            continue
+        pid += 1
+        ring = kv.simplify_ring(poly["ring"], eps)
+        area = kv.polygon_area(ring[:, 0], ring[:, 1])
+        mbr = kv.minimum_bounding_rectangle(ring[:-1])
+        mbr_area = kv.polygon_area(mbr[:, 0], mbr[:, 1])
+        rows.append(
+            (
+                image_id, pid, int(poly["value"]),
+                [list(map(float, v)) for v in ring],
+                len(poly["holes"]), float(area),
+                [list(map(float, v)) for v in mbr], float(mbr_area),
+            )
+        )
+    return rows
+
+
+def tiles_to_polygons(
+    tiles: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    separation: str = "cc",
+) -> DataFrame:
+    """Fully-fused S5+M7+P1+(P3|CC)+P4-P8: tile group -> stitched canvas ->
+    instance labels -> polygon rows, in ONE ``applyInPandas`` hop.
+
+    Result-identical to ``stitch_tiles | postprocess_stage |
+    polygonize_stage`` (tests pin it), but the stitched plane and the int32
+    label plane never cross the JVM<->Python pipe — at 4 Mpx that saves two
+    ~16 MB Arrow round-trips per image, which dominates the unfused plan's
+    wall time."""
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["tiy", "tix"])  # later-tile-wins stitch order
+        w, h = int(pdf["w"].iloc[0]), int(pdf["h"].iloc[0])
+        first = codec.decode(
+            pdf["bytes"].iloc[0], pdf["fmt"].iloc[0],
+            int(pdf["tw"].iloc[0]), int(pdf["th"].iloc[0]),
+        )
+        shape = (h, w) if first.ndim == 2 else (h, w, first.shape[2])
+        canvas = np.zeros(shape, dtype=first.dtype)
+        for r in pdf.itertuples(index=False):
+            arr = codec.decode(r.bytes, r.fmt, int(r.tw), int(r.th))
+            canvas[r.off_y : r.off_y + r.th, r.off_x : r.off_x + r.tw] = arr
+        labels = _mask_to_labels(canvas, cfg, separation)
+        rows = _polygon_rows(
+            key[0], labels, float(pdf["ulx"].iloc[0]),
+            float(pdf["uly"].iloc[0]), cfg,
+        )
+        return pd.DataFrame(rows, columns=_POLYGON_COLS)
+
+    return (
+        _spread(tiles, "image_id")
+        .groupBy("image_id")
+        .applyInPandas(assemble, schema=POLYGON_SCHEMA)
+    )
 
 
 def dice_jaccard(pred: DataFrame, truth: DataFrame) -> DataFrame:

@@ -37,10 +37,13 @@ def mask_to_polygons(
     tiled=False skips the tile round-trip (direct whole-image path; used by
     seam tests to prove tiled == direct).
     """
-    df = images
     if tiled:
-        df = raster.stitch_tiles(raster.slice_tiles(df, cfg))
-    df = raster.postprocess_stage(df, cfg, separation=separation)
+        # one Python hop from tiles to polygons: the stitched canvas and the
+        # label plane stay inside the UDF (no full-plane Arrow round-trips)
+        return raster.tiles_to_polygons(
+            raster.slice_tiles(images, cfg), cfg, separation=separation
+        )
+    df = raster.postprocess_stage(images, cfg, separation=separation)
     return raster.polygonize_stage(df, cfg)
 
 

@@ -33,10 +33,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow is the only JVM<->Python channel we use.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+        # Pixel rows run 4-20 MB decoded: 64-row input batches bound a batch
+        # to ~1 GB worst-case (vs multi-GB at 256), and maxBytesPerBatch caps
+        # the Python->JVM direction by bytes regardless of row width.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "134217728")
         # Pixel payloads are wide; keep scan splits moderate.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )

@@ -33,8 +33,12 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray) -> bytes:
-    """uint8 (h, w) or (h, w, c) -> PNG bytes (filter 0, zlib level 6)."""
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """uint8 (h, w) or (h, w, c) -> PNG bytes (filter 0, zlib `level`).
+
+    Any level is lossless; intermediate tile hops use level 1 (zlib speed
+    scales steeply with level while mask-like payloads compress well even
+    at 1), durable sinks keep the default 6."""
     if arr.dtype != np.uint8:
         raise ValueError(f"png codec is uint8-only, got {arr.dtype}")
     if arr.ndim == 2:
@@ -48,15 +52,19 @@ def encode_png(arr: np.ndarray) -> bytes:
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
         + _chunk(b"IEND", b"")
     )
 
 
 def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     """Undo PNG per-scanline filters (types 0-4)."""
-    out = np.zeros((h, stride), dtype=np.uint8)
     rows = raw.reshape(h, 1 + stride)
+    if not rows[:, 0].any():
+        # all-filter-0 fast path (what our own encoder always emits): the
+        # scanline loop below costs ~5 ms/Mpx; this is one strided copy
+        return np.ascontiguousarray(rows[:, 1:])
+    out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
         ftype = rows[y, 0]
         line = rows[y, 1:].astype(np.int32)
@@ -143,9 +151,9 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
     return arr
 
 
-def encode(arr: np.ndarray, fmt: str) -> bytes:
+def encode(arr: np.ndarray, fmt: str, level: int = 6) -> bytes:
     if fmt == "png":
-        return encode_png(arr)
+        return encode_png(arr, level)
     if fmt == "raw":
         return encode_raw(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
