@@ -113,9 +113,10 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-NN building lookup via k-ring expansion."""
     pts = derived.points_meta(spark, sf_dir)
     centers = derived.footprints_meta(spark, sf_dir).select("fp_id", "cx", "cy")
-    return joins.knn_join(pts, centers, WORLD_GRID, k=5).select(
-        "pt_id", "fp_id", "rank"
-    )
+    # 15k centers: broadcast build side (shuffle join stays the scale path)
+    return joins.knn_join(
+        pts, centers, WORLD_GRID, k=5, broadcast_centers=True
+    ).select("pt_id", "fp_id", "rank")
 
 
 def q_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -242,6 +242,7 @@ def knn_join(
     pt_cols: tuple[str, str, str] = ("pt_id", "px", "py"),
     center_cols: tuple[str, str, str] = ("fp_id", "cx", "cy"),
     r0: int | None = None,
+    broadcast_centers: bool = False,
 ) -> DataFrame:
     """Exact kNN: for each point the k nearest centers, ranked.
 
@@ -250,6 +251,12 @@ def knn_join(
     is one equi-join; points whose kth candidate is provably inside the ring
     bound retire, the (shrinking) remainder goes another round.  Round count
     is <= log2(grid.n) — a bounded driver loop, never a per-row loop.
+    Each round's top-k is persisted so the loop-carried lineage (probe,
+    anti-join, final union) never recomputes a candidate join.
+
+    ``broadcast_centers=True``: build-side broadcast of the center table
+    (use when centers fit executor memory; the default shuffle join is the
+    scale path).
     """
     pid, pxc, pyc = pt_cols
     cid, cxc, cyc = center_cols
@@ -269,12 +276,14 @@ def knn_join(
     )
     results: list[DataFrame] = []
     r = r0
-    spark = points.sparkSession
     while True:
         full_cover = r >= grid.n  # ring covers the whole domain -> exact
+        build = cts.withColumnRenamed("c_cell", "cell_id")
+        if broadcast_centers:
+            build = F.broadcast(build)
         cand = (
             remaining.withColumn("cell_id", F.explode(grid.k_ring(F.col("p_cell"), r)))
-            .join(cts.withColumnRenamed("c_cell", "cell_id"), "cell_id")
+            .join(build, "cell_id")
             .drop("cell_id")
         )
         dx, dy = F.col(pxc) - F.col(cxc), F.col(pyc) - F.col(cyc)
@@ -285,6 +294,7 @@ def knn_join(
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k_eff)
+            .persist()
         )
         bound = (r * grid.side) ** 2
         per_pt = topk.groupBy(pid).agg(
@@ -298,7 +308,8 @@ def knn_join(
         remaining = remaining.join(done_pts, pid, "anti")
         if full_cover:
             break
-        # cheap emptiness probe ends the loop early in the common case
+        # the probe also warms topk's cache, so the anti-join and the final
+        # union read cached rows instead of re-running the candidate join
         if remaining.isEmpty():
             break
         r *= 2
