@@ -1,0 +1,103 @@
+"""Physical-plan shape tests — the scale properties SURVEY.md §4 promises,
+machine-checked: predicate pushdown to the scan, column pruning, single
+whole-stage-codegen spans for metadata operators, broadcast engagement, no
+JVM-side explode in the pixel path (Arrow byte amplification), and the
+exactly-once spatial join needing no distinct."""
+
+from pyspark.sql import functions as F
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions.cellindex import WORLD_GRID
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import grid, joins, raster
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import derived
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_gen_tiles_single_codegen_no_shuffle(spark):
+    """O1/O2/O8 enumeration: one WholeStageCodegen span, zero exchanges —
+    tile metadata never shuffles."""
+    p = plan(grid.gen_tiles(derived.images_meta(spark, SF)))
+    assert "Exchange" not in p
+    # every operator in the same codegen span (id 1 only)
+    assert "codegen id : 2" not in p and "codegen id : 1" in p
+
+
+def test_image_filter_pushed_below_explode(spark):
+    """An image-level filter lands next to the scan, under both Generates."""
+    df = grid.gen_tiles(
+        derived.images_meta(spark, SF).filter(F.col("w") > 1000)
+    )
+    p = plan(df)
+    # filter evaluates on the scan column, before Generate in the plan walk
+    assert p.index("Condition : ") < p.index("(6) Generate")
+    assert "PushedFilters: [IsNotNull(p_partkey)]" in p
+
+
+def test_column_pruning_reaches_scan(spark):
+    """Projecting two metadata columns reads only the key column from
+    parquet (ReadSchema pruned)."""
+    p = plan(derived.images_meta(spark, SF).select("image_id", "w"))
+    assert "ReadSchema: struct<p_partkey:bigint>" in p
+
+
+def test_slice_tiles_no_jvm_explode(spark):
+    """The pixel path must NOT enumerate tiles JVM-side: an explode there
+    copies each image's bytes into the Arrow stream once per tile."""
+    imgs = IMG.images_table(spark, SF, limit=5)
+    p = plan(raster.slice_tiles(imgs))
+    assert "Generate" not in p
+    assert "MapInPandas" in p
+
+
+def test_pip_join_broadcast_engages(spark):
+    pts = derived.points_meta(spark, SF)
+    polys = derived.footprint_rings(spark, SF).join(
+        derived.footprints_with_env(spark, SF).select(
+            "fp_id", "minx", "miny", "maxx", "maxy"
+        ),
+        "fp_id",
+    )
+    bcast = joins.pip_join(
+        pts, polys, WORLD_GRID, strategy="expr", broadcast_polygons=True
+    )
+    assert "BroadcastHashJoin" in plan(bcast)
+    # the default path is the shuffle join (auto-broadcast only kicks in
+    # because this fixture is tiny — disable it to see the scale plan)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffle = joins.pip_join(pts, polys, WORLD_GRID, strategy="expr")
+        assert "hashpartitioning(cell_id" in plan(shuffle)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_bbox_join_exactly_once_no_distinct(spark):
+    """The intersection-cell dedup rule replaces a distinct: the plan must
+    not contain a dedup aggregate over the pair keys."""
+    tiles = grid.gen_tiles(derived.images_meta(spark, SF)).select(
+        "tile_id",
+        F.col("tminx").alias("minx"), F.col("tminy").alias("miny"),
+        F.col("tmaxx").alias("maxx"), F.col("tmaxy").alias("maxy"),
+    )
+    fps = derived.footprints_with_env(spark, SF).select(
+        "fp_id", "minx", "miny", "maxx", "maxy"
+    )
+    p = plan(joins.bbox_range_join(tiles, fps, WORLD_GRID), mode="simple")
+    assert "Deduplicate" not in p and "Distinct" not in p
+
+
+def test_knn_broadcast_engages(spark):
+    pts = derived.points_meta(spark, SF)
+    centers = derived.footprints_meta(spark, SF).select("fp_id", "cx", "cy")
+    out = joins.knn_join(
+        pts, centers, WORLD_GRID, k=3, broadcast_centers=True
+    )
+    assert "BroadcastHashJoin" in plan(out, mode="simple")

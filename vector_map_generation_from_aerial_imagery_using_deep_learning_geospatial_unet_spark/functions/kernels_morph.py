@@ -332,13 +332,80 @@ def erosion_clean(arr: np.ndarray, filt: int = 3, min_area_px: int = 9) -> np.nd
     return remove_small_objects(as_int, min_size=min_area_px, connectivity=2)
 
 
+def _component_windows(fg: np.ndarray, pad: int):
+    """Padded, merged bounding windows of the foreground components.
+
+    Each component bbox is expanded by ``pad``; expanded boxes that overlap
+    merge (union-find) so any two components whose ``pad``-radius
+    neighborhoods could interact share a window.  Guarantees: every window
+    contains its components with >= pad margin (clipped at plane edges) and
+    no pixel of a foreign component — so window-local EDT and (2*pad'-1)
+    max-filters with pad' <= pad reproduce the full-plane result exactly.
+    """
+    h, w = fg.shape
+    comps = label(fg, connectivity=2)
+    ys, xs = np.nonzero(comps)
+    if ys.size == 0:
+        return
+    ids = comps[ys, xs] - 1
+    n = int(ids.max()) + 1
+    if n > 4000:  # O(n^2) merge would dominate: one full-plane window
+        yield (0, h - 1, 0, w - 1)
+        return
+    y0 = np.full(n, h, np.int64); y1 = np.zeros(n, np.int64)
+    x0 = np.full(n, w, np.int64); x1 = np.zeros(n, np.int64)
+    np.minimum.at(y0, ids, ys); np.maximum.at(y1, ids, ys)
+    np.minimum.at(x0, ids, xs); np.maximum.at(x1, ids, xs)
+    ey0, ey1 = np.maximum(y0 - pad, 0), np.minimum(y1 + pad, h - 1)
+    ex0, ex1 = np.maximum(x0 - pad, 0), np.minimum(x1 + pad, w - 1)
+    # union-find over expanded-bbox overlaps (vectorized pair test)
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ov = (
+        (ey0[:, None] <= ey1[None, :]) & (ey0[None, :] <= ey1[:, None])
+        & (ex0[:, None] <= ex1[None, :]) & (ex0[None, :] <= ex1[:, None])
+    )
+    for a, b in zip(*np.nonzero(np.triu(ov, 1))):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.array([find(i) for i in range(n)])
+    for r in np.unique(roots):
+        m = roots == r
+        yield (
+            int(ey0[m].min()), int(ey1[m].max()),
+            int(ex0[m].min()), int(ex1[m].max()),
+        )
+
+
 def watershed_segmentation(
     arr: np.ndarray, cell_size: float, min_distance_m: float = 7.5,
     neighbour: int = 4,
 ) -> np.ndarray:
-    """P3 pipeline stage (src/postprocess.py:221-270), single band."""
+    """P3 pipeline stage (src/postprocess.py:221-270), single band.
+
+    The EDT and the (2*min_distance+1) peak max-filter — the two
+    plane-proportional costs — run per padded component-cluster window
+    (exact; see :func:`_component_windows`), so cost follows foreground
+    area, not image area.  Marker labeling and the priority flood are
+    already foreground-sparse and stay global."""
+    arr = np.asarray(arr)
     distance_px = int(min_distance_m / cell_size)
-    d = distance_transform_edt(arr)
-    local_max = peak_local_max(d, min_distance=distance_px, labels=arr)
+    fg = arr != 0
+    d = np.zeros(arr.shape, dtype=np.float64)
+    local_max = np.zeros(arr.shape, dtype=bool)
+    for wy0, wy1, wx0, wx1 in _component_windows(fg, pad=distance_px + 1):
+        win = (slice(wy0, wy1 + 1), slice(wx0, wx1 + 1))
+        dsub = distance_transform_edt(arr[win])
+        d[win] = dsub
+        local_max[win] = peak_local_max(
+            dsub, min_distance=distance_px, labels=arr[win]
+        )
     markers = label(local_max, connectivity=1 if neighbour == 4 else 2)
     return watershed(-d, markers, mask=arr)
