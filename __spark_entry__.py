@@ -104,9 +104,9 @@ def q_pip_join_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "fp_id",
     )
-    return joins.pip_join(pts, polys, WORLD_GRID, strategy="arrow").select(
-        "pt_id", "fp_id"
-    )
+    return joins.pip_join(
+        pts, polys, WORLD_GRID, strategy="arrow", broadcast_polygons=True
+    ).select("pt_id", "fp_id")
 
 
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -159,6 +159,47 @@ def _ray_cast_numpy(px: np.ndarray, py: np.ndarray, rings: list) -> np.ndarray:
     return (crossings.astype(np.int64) % 2) == 1
 
 
+def _ray_cast_grouped(
+    px: np.ndarray, py: np.ndarray, codes: np.ndarray, uniq_rings: list
+) -> np.ndarray:
+    """Even-odd ray-cast where candidate i tests ring ``uniq_rings[codes[i]]``.
+
+    Candidates repeat the same polygons many times (one row per matching
+    cell pair), so each distinct ring is flattened to edge arrays exactly
+    once; the per-(candidate, edge) crossing test is then pure vectorized
+    gather — no per-candidate Python at all."""
+    if len(px) == 0:
+        return np.zeros(0, dtype=bool)
+    # rings arrive either pre-shaped (n, 2) float64 or as sequences of
+    # per-vertex pairs (object arrays need stack, not asarray)
+    edges = [
+        r if isinstance(r, np.ndarray) and r.ndim == 2
+        else np.stack(r).astype(np.float64)
+        for r in uniq_rings
+    ]
+    counts = np.array([len(e) - 1 for e in edges], dtype=np.int64)
+    flat = np.concatenate(edges)
+    # vertex index of each ring's first edge start inside `flat`
+    starts = np.concatenate([[0], np.cumsum(counts + 1)[:-1]])
+    ecnt = counts[codes]                       # edges per candidate
+    offs = starts[codes]
+    total = int(ecnt.sum())
+    base = np.cumsum(ecnt) - ecnt
+    pos = np.arange(total) - np.repeat(base, ecnt) + np.repeat(offs, ecnt)
+    cand_idx = np.repeat(np.arange(len(codes)), ecnt)
+    x1, y1 = flat[pos, 0], flat[pos, 1]
+    x2, y2 = flat[pos + 1, 0], flat[pos + 1, 1]
+    ppx, ppy = px[cand_idx], py[cand_idx]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        hit = ((y1 > ppy) != (y2 > ppy)) & (
+            ppx < (x2 - x1) * (ppy - y1) / (y2 - y1) + x1
+        )
+    crossings = np.bincount(
+        cand_idx, weights=hit.astype(np.float64), minlength=len(codes)
+    )
+    return (crossings.astype(np.int64) % 2) == 1
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -204,13 +245,17 @@ def pip_join(
         return cand.filter(inside).drop(ring_col)
 
     if strategy == "arrow":
-        # AQE coalesces the tiny-byte candidate shuffle to a few partitions,
-        # starving the Python refine of parallelism — spread explicitly
-        # (an explicit repartition N is respected by AQE)
+        # spread before the Python refine: AQE byte-coalescing (shuffle
+        # path) or a single scan split (broadcast path over a small points
+        # file) would otherwise starve it of parallelism
         cand = cand.repartition(
             points.sparkSession.sparkContext.defaultParallelism * 2
         )
-        out_fields = [f for f in cand.schema.fields if f.name != ring_col]
+        # flatten JVM-side: Arrow->pandas of array<double> lands as one
+        # numpy array per row; nested array<array<double>> would cost a
+        # Python object per vertex
+        cand = cand.withColumn("__ring", F.flatten(F.col(ring_col))).drop(ring_col)
+        out_fields = [f for f in cand.schema.fields if f.name != "__ring"]
         schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
         out_cols = [f.name for f in out_fields]
 
@@ -218,10 +263,19 @@ def pip_join(
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                mask = _ray_cast_numpy(
+                # candidates repeat each polygon ~cells x points times:
+                # factorize so every distinct ring is flattened once
+                codes, _ = pd.factorize(pdf[poly_id])
+                first_idx = np.unique(codes, return_index=True)[1]
+                uniq_rings = [
+                    np.asarray(r, dtype=np.float64).reshape(-1, 2)
+                    for r in pdf["__ring"].to_numpy()[first_idx]
+                ]
+                mask = _ray_cast_grouped(
                     pdf[pxc].to_numpy(np.float64),
                     pdf[pyc].to_numpy(np.float64),
-                    list(pdf[ring_col]),
+                    codes,
+                    uniq_rings,
                 )
                 yield pdf.loc[mask, out_cols]
 

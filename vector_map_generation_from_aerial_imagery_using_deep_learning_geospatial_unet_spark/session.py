@@ -33,10 +33,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow is the only JVM<->Python channel we use.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # Pixel rows run 4-20 MB decoded: 64-row input batches bound a batch
-        # to ~1 GB worst-case (vs multi-GB at 256), and maxBytesPerBatch caps
-        # the Python->JVM direction by bytes regardless of row width.
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # Pixel payloads cross the pipe compressed (png-1, ~100x for masks),
+        # so 256-row input batches stay well under executor memory while
+        # keeping per-batch Python overhead amortized for small-row joins;
+        # maxBytesPerBatch caps the Python->JVM direction by bytes
+        # regardless of row width.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
         .config("spark.sql.execution.arrow.maxBytesPerBatch", "134217728")
         # Pixel payloads are wide; keep scan splits moderate.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
