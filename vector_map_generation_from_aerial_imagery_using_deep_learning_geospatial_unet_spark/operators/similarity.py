@@ -115,6 +115,94 @@ def ann_lsh_topk(
     )
 
 
+def ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int = 2,
+    c_cols: tuple[str, str] = ("vec_id", "embedding"),
+) -> DataFrame:
+    """IVF coarse quantizer: deterministic Lloyd k-means, pure DataFrame ops.
+
+    Init = the n rows with smallest xxhash64(id) — a deterministic pseudo
+    random sample that plans as distributed TakeOrdered (no global sort, no
+    RNG); each iteration is assign (broadcast centroids, ``max_by`` cosine)
+    + recompute (posexplode -> per-dimension avg -> re-assemble).  Centroid
+    count is small by construction (the inverted-list fanout), so the
+    broadcast and the n_centroids x dim regroup are negligible at any
+    corpus scale.  Returns (cent_id, cvec)."""
+    cid, cvec = c_cols
+    seeds = (
+        corpus.select(F.col(cvec).alias("cvec"), F.xxhash64(F.col(cid)).alias("_h"))
+        .orderBy("_h")
+        .limit(n_centroids)
+    )
+    cents = seeds.select(
+        (F.row_number().over(Window.orderBy("_h")) - 1).alias("cent_id"),
+        "cvec",
+    )
+    for _ in range(iters):
+        assigned = (
+            corpus.join(F.broadcast(cents))
+            .withColumn("cos", cosine(F.col(cvec), F.col("cvec")))
+            .groupBy(cid, cvec)
+            .agg(F.max_by("cent_id", F.struct("cos", F.col("cent_id").cast("double") * -1)).alias("cent_id"))
+        )
+        cents = (
+            assigned.select("cent_id", F.posexplode(F.col(cvec)).alias("pos", "v"))
+            .groupBy("cent_id", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("cent_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("cvec")
+            )
+        )
+    return cents
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    q_cols: tuple[str, str] = ("qid", "qvec"),
+    c_cols: tuple[str, str] = ("vec_id", "embedding"),
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-list scale path: the corpus is
+    partitioned into n_centroids lists by nearest coarse centroid; each
+    query scores only its ``nprobe`` nearest lists (~nprobe/n_centroids of
+    the corpus).  (qid, rank, vec_id, cos)."""
+    qid, qvec = q_cols
+    cid, cvec = c_cols
+    cents = ivf_centroids(corpus, n_centroids, c_cols=c_cols)
+    lists = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col(cvec), F.col("cvec")))
+        .groupBy(cid, cvec)
+        .agg(F.max_by("cent_id", F.struct("ccos", F.col("cent_id").cast("double") * -1)).alias("cent_id"))
+    )
+    wq = Window.partitionBy(qid).orderBy(F.desc("ccos"), "cent_id")
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col(qvec), F.col("cvec")))
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select(qid, qvec, "cent_id")
+    )
+    scored = probes.join(lists, "cent_id").withColumn(
+        "cos", cosine(F.col(qvec), F.col(cvec))
+    )
+    w = Window.partitionBy(qid).orderBy(F.desc("cos"), F.col(cid))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, "rank", cid, "cos")
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float,
