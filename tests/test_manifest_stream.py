@@ -65,6 +65,52 @@ def test_resume_mid_grid_after_partial_run(spark, tmp):
     assert out.count() == gen_tiles(imgs, with_geo=False).count()
 
 
+def _images_with_payload(spark, phash_col):
+    return images_meta(spark, SF).withColumns(
+        {
+            "bytes": F.lit(b""),
+            "fmt": F.lit("raw"),
+            "caption": F.lit("c"),
+            "phash": phash_col.cast("long"),
+            "crs": F.lit("SYNTH:METRIC"),
+        }
+    )
+
+
+def test_stream_dedup_images_first_arrival_wins(spark, tmp):
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming.stream import stream_dedup_images
+
+    # phash collides in groups of ~4 -> dedup must keep one per group
+    imgs = _images_with_payload(spark, F.xxhash64("image_id") % 500)
+    src, out, cp = f"{tmp}/src", f"{tmp}/out", f"{tmp}/cp"
+    imgs.write.parquet(src)
+    q = stream_dedup_images(spark, src, out, cp)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_distinct = imgs.select("phash").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("phash").distinct().count() == n_distinct
+
+
+def test_stream_ingest_stats_windowed_agg(spark, tmp):
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming.stream import stream_ingest_stats
+
+    imgs = _images_with_payload(spark, F.xxhash64("image_id"))
+    src, out, cp = f"{tmp}/src", f"{tmp}/out", f"{tmp}/cp"
+    imgs.write.parquet(src)
+    q = stream_ingest_stats(spark, src, out, cp)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # append mode: every emitted window closed below the final watermark;
+    # totals over emitted windows match a batch groupBy of the same rows
+    rows = got.collect()
+    assert len(rows) > 10
+    span = {(r["win_start"], r["win_end"]) for r in rows}
+    assert len(span) == len(rows)  # one row per closed window
+    total_imgs = sum(r["images"] for r in rows)
+    assert 0 < total_imgs <= imgs.count()
+
+
 def test_stream_tiles_matches_batch(spark, tmp):
     imgs = images_meta(spark, SF).withColumns(
         {

@@ -61,3 +61,109 @@ def stream_tiles(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def _event_time():
+    """Deterministic event time derived from row content (epoch +
+    phash-spread seconds).  A real deployment replaces this with its ingest
+    timestamp column; deriving it from data keeps the watermark/window
+    semantics fully testable with availableNow backlog runs (wall-clock
+    current_timestamp would never advance a watermark past a window end
+    inside one run)."""
+    from pyspark.sql import functions as F
+
+    return F.timestamp_seconds(
+        F.lit(1_700_000_000) + F.pmod(F.col("phash"), F.lit(7200))
+    )
+
+
+def stream_dedup_images(
+    spark: SparkSession,
+    images_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    available_now: bool = True,
+):
+    """Streaming exact-dedup on ``phash``: only the first arrival of each
+    perceptual hash passes through (the streaming twin of
+    ``operators.text.exact_dedup``).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon, so state is bounded at any ingest rate — the
+    requirement for running this against an unbounded 10^12-image feed."""
+    from pyspark.sql import functions as F
+
+    src = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(images_dir)
+    )
+    deduped = (
+        src.withColumn("ingest_ts", _event_time())
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["phash"])
+        .drop("bytes")
+    )
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_ingest_stats(
+    spark: SparkSession,
+    images_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    available_now: bool = True,
+):
+    """Watermarked windowed aggregation over the ingest stream: per
+    event-time window, image count + total pixels + tile-grid size (the
+    streaming metrics feed a deployment would watch).  Late rows beyond the
+    watermark are dropped; the window closes and emits exactly once
+    (append mode)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.grid import tile_counts
+
+    cfg = DEFAULT_CONFIG
+    src = (
+        spark.readStream.schema(IMAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(images_dir)
+    )
+    stats = (
+        src.withColumn("ingest_ts", _event_time())
+        .withWatermark("ingest_ts", watermark)
+        .groupBy(F.window("ingest_ts", window))
+        .agg(
+            F.count("*").alias("images"),
+            F.sum(F.col("w").cast("long") * F.col("h")).alias("pixels"),
+            F.sum(
+                tile_counts(F.col("w"), cfg.tile_size, cfg.overlap_px).cast("long")
+                * tile_counts(F.col("h"), cfg.tile_size, cfg.overlap_px)
+            ).alias("tiles"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "images", "pixels", "tiles",
+        )
+    )
+    writer = (
+        stats.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
