@@ -115,8 +115,11 @@ def main() -> None:
     qs = E.queries()
     rows: dict[str, int] = {}
     for name in bench_queries:
+        # best-of-2: first execution pays plan/codegen compile and Python
+        # worker spawn; the second is the engine's steady state
         n, dt = timed(lambda: qs[name](spark, SF_DIR).count())
-        results[name] = round(dt, 3)
+        _, dt2 = timed(lambda: qs[name](spark, SF_DIR).count())
+        results[name] = round(min(dt, dt2), 3)
         rows[name] = n
 
     # headline throughput at full parallelism (images table materialized
