@@ -203,7 +203,11 @@ def q_dice_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
 
-    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=PIPE_CAP)
+    # persist: both join branches (pred chain + truth) read the same rows;
+    # without it the synthesis lineage executes twice
+    imgs = IMG.images_table(
+        spark, sf_dir, fmt="png", kind="mask", limit=PIPE_CAP
+    ).persist()
     pred = raster.mask_clean_stage(imgs, CFG)  # fused M7+P1, one Arrow hop
     return raster.dice_jaccard(pred, imgs)
 
@@ -314,6 +318,19 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(emb, threshold=0.35).select("id_a", "id_b")
 
 
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucket-pruned near-dup (scale path) — approximate subset of the
+    exact pair set: rows-only check; subset+recall pinned in pytest."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 1000
+    )
+    return S.embedding_near_dup_pairs_lsh(emb, threshold=0.35, dim=64).select(
+        "id_a", "id_b"
+    )
+
+
 def q_pyramid_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import pyramid as P
 
@@ -384,6 +401,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "pyramid_meta": q_pyramid_meta,
     "multires_meta": q_multires_meta,
     "multimodal_features": q_multimodal_features,

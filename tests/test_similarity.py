@@ -102,6 +102,22 @@ def test_ivf_centroids_partition_corpus(spark, emb):
     assert dim == 64
 
 
+def test_near_dup_lsh_subset_of_exact_with_recall(spark, emb):
+    sub = emb.limit(200)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs(sub, threshold=0.2).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_dup_pairs_lsh(sub, threshold=0.2, dim=64).collect()
+    }
+    assert approx <= exact          # never invents pairs
+    if exact:
+        # near-orthogonal synthetic data is LSH's worst case; floor only
+        assert len(approx) / len(exact) >= 0.1
+
+
 def test_near_dup_pairs_symmetric_free_and_thresholded(spark, emb):
     out = S.embedding_near_dup_pairs(emb.limit(200), threshold=0.3).collect()
     for r in out:

@@ -209,9 +209,9 @@ def embedding_near_dup_pairs(
     c_cols: tuple[str, str] = ("vec_id", "embedding"),
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold — embedding-space near-dup
-    detection.  Self-join pruned by the LSH bucket equi-join (exact pairs
-    above ~0.9 almost always share all sign bits; tests compare against the
-    brute-force pair set)."""
+    detection, EXACT via the full self-join (the correctness baseline the
+    DuckDB oracle checks; O(n^2), fine up to ~10^5 rows).  The scale path is
+    :func:`embedding_near_dup_pairs_lsh`."""
     cid, cvec = c_cols
     a = corpus.select(
         F.col(cid).alias("id_a"), F.col(cvec).alias("vec_a")
@@ -221,5 +221,45 @@ def embedding_near_dup_pairs(
     )
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
         "cos", cosine(F.col("vec_a"), F.col("vec_b"))
+    )
+    return pairs.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+
+def embedding_near_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    c_cols: tuple[str, str] = ("vec_id", "embedding"),
+    multiprobe: int = 1,
+) -> DataFrame:
+    """Near-dup pairs at scale: candidates must share an LSH bucket or
+    differ in <= ``multiprobe`` sign bits, so the self-join is a bucket
+    equi-join (shuffle on bucket) instead of O(n^2).  Approximate: a true
+    pair whose vectors disagree on > multiprobe hyperplane signs is missed
+    — at near-dup thresholds (cos >= ~0.9) sign flips are rare, and the
+    recall-vs-exact gap is pinned by tests.  Emitted exactly once per pair
+    (dedup on the probe expansion)."""
+    cid, cvec = c_cols
+    base = corpus.select(
+        F.col(cid).alias("_id"), F.col(cvec).alias("_vec")
+    ).withColumn("bucket0", lsh_bucket(F.col("_vec"), dim))
+    probes = [F.col("bucket0")]
+    if multiprobe >= 1:
+        probes += [
+            F.col("bucket0").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)
+        ]
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"),
+        F.explode(F.array(*probes)).alias("bucket"),
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"),
+        F.col("bucket0").alias("bucket"),
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
     )
     return pairs.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
