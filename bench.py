@@ -102,6 +102,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     bench_queries = [
+        # spatial / tiling core
         "gen_tiles",
         "point_tile_assign",
         "pip_join",
@@ -111,6 +112,21 @@ def main() -> None:
         "pipeline_polygons",
         "pipeline_watershed",
         "dice_jaccard",
+        # training-data ops (first-class per the build brief)
+        "exact_dedup",
+        "minhash_signature",
+        "lsh_pairs",
+        "ngram_jaccard",
+        "simhash",
+        "text_stats",
+        "fingerprint",
+        "ann_topk",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "embedding_near_dup",
+        "embedding_near_dup_lsh",
+        "multimodal_features",
+        "training_tensors",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}
