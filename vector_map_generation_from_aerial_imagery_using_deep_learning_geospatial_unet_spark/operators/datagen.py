@@ -87,11 +87,14 @@ def training_tensors(
                     edt = km.distance_transform_edt(lab)
                     edt[edt == 0] = -99  # M5 verbatim (dataGenerator.py:99-103)
                     planes.append((10.0 / edt + 1.0).astype(np.float32))
+                # numpy arrays, not python lists: Arrow serializes an
+                # ndarray column element zero-copy-ish; .tolist() would
+                # materialize 120k Python floats per row
                 rows.append(
                     (
                         r.image_id,
-                        img.ravel().tolist(),
-                        np.stack(planes, axis=-1).ravel().tolist(),
+                        img.ravel(),
+                        np.stack(planes, axis=-1).ravel(),
                         t,
                     )
                 )

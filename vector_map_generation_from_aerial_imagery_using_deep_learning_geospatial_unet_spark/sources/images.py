@@ -102,9 +102,13 @@ def render_rgb(pk: int, w: int, h: int) -> np.ndarray:
     yy = (np.arange(h, dtype=np.uint32)[:, None] * 7 + pk) % 97
     xx = (np.arange(w, dtype=np.uint32)[None, :] * 13 + pk) % 89
     base = (40 + yy + xx).astype(np.uint8)
-    img = np.stack([base, base + 17, base + 31], axis=-1).astype(np.uint8)
-    mask = render_mask(pk, w, h) == 255
-    img[mask] = (220, 210, 200)
+    img = np.empty((h, w, 3), dtype=np.uint8)
+    img[:, :, 0] = base
+    img[:, :, 1] = base + 17
+    img[:, :, 2] = base + 31
+    # per-blob rectangular writes instead of a full-plane boolean gather
+    for x0, y0, rw, rh in rect_params(pk, w, h):
+        img[y0 : y0 + rh, x0 : x0 + rw] = (220, 210, 200)
     return img
 
 
