@@ -7,7 +7,7 @@ Layout: a parquet table at ``<root>/manifest`` with one row per
 (stage, image_id) unit of completed work:
 
     stage: string, image_id: string, rows: long, checksum: long,
-    status: string, wall_sec: double, ts: timestamp
+    partition_id: int, status: string, wall_sec: double, ts: timestamp
 
 Resume = ``left_anti`` join of the input against completed units, so a
 restarted job re-processes only unfinished images — "resumes mid-tile-grid"
@@ -40,9 +40,14 @@ def record_stage(
     compared unit-by-unit."""
     cols = checksum_cols or [c for c in result.columns if c != key]
     t0 = time.time()
-    per_key = result.groupBy(key).agg(
-        F.count(F.lit(1)).alias("rows"),
-        _xor_agg(F.xxhash64(*[F.col(c) for c in cols])).alias("checksum"),
+    per_key = (
+        result.withColumn("_pid", F.spark_partition_id())
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            _xor_agg(F.xxhash64(*[F.col(c) for c in cols])).alias("checksum"),
+            F.min("_pid").alias("partition_id"),
+        )
     )
     wall = time.time() - t0
     (
@@ -51,6 +56,7 @@ def record_stage(
             F.col(key).alias("image_id"),
             "rows",
             "checksum",
+            "partition_id",
             F.lit("done").alias("status"),
             F.lit(wall).alias("wall_sec"),
             F.current_timestamp().alias("ts"),
