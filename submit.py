@@ -66,6 +66,7 @@ def main(argv=None) -> int:
 
     # spark-submit owns master/executors; only engine policy confs are set
     # here (getOrCreate layers them onto the submitted session)
+    owns_session = SparkSession.getActiveSession() is None
     spark = vm.get_spark(app_name=f"engine-{args.job}")
     if args.shuffle_partitions:
         spark.conf.set("spark.sql.shuffle.partitions",
@@ -102,7 +103,8 @@ def main(argv=None) -> int:
     wall = time.time() - t0
     print(json.dumps({"job": args.job, "rows": n, "sec": round(wall, 2),
                       "rows_per_sec": round(n / wall, 1), "output": out}))
-    spark.stop()
+    if owns_session:  # embedded callers (tests) keep their session
+        spark.stop()
     return 0
 
 
