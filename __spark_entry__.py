@@ -216,6 +216,30 @@ def q_dice_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text / dedup / similarity / pyramid suite
 # ---------------------------------------------------------------------- #
 
+def q_skeletonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 skeletonize (linearFeature branch) — per-image medial-line pixel
+    count.  Thinning has no SQL twin: rows-only; numpy oracles in pytest."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=60)
+    sk = raster.skeletonize_stage(imgs, CFG)
+
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
+
+    def count(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = codec.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+                rows.append((r.image_id, int((a != 0).sum())))
+            yield pd.DataFrame(rows, columns=["image_id", "skeleton_px"])
+
+    return sk.mapInPandas(count, schema="image_id string, skeleton_px long")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
 
@@ -388,6 +412,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "point_tile_assign": q_point_tile_assign,
     "pipeline_polygons": q_pipeline_polygons,
     "pipeline_watershed": q_pipeline_watershed,
+    "skeletonize": q_skeletonize,
     "dice_jaccard": q_dice_jaccard,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,

@@ -173,6 +173,22 @@ def erosion_stage(
     )
 
 
+def skeletonize_stage(
+    images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """P2 linear-feature path (src/postprocess.py:193-217): binarize,
+    dilate skeletonize_filter x skeletonize_filter (=5), thin to the 1-px
+    medial line, x255 — behind the reference's ``linearFeature`` flag
+    (test.py:357-384)."""
+
+    def kern(a: np.ndarray) -> np.ndarray:
+        binary = np.where(a != 0, np.uint8(255), np.uint8(0))
+        fat = km.dilate(binary, cfg.skeletonize_filter)
+        return (km.skeletonize(fat).astype(np.uint8) * 255).astype(np.uint8)
+
+    return _map_pixels(images, kern)
+
+
 def mask_clean_stage(
     images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
