@@ -62,3 +62,27 @@ def test_weighted_bce_matches_numpy(spark):
     exp = np.mean(-w * (y * np.log(pc) + (1 - y) * np.log(1 - pc)))
     assert got == pytest.approx(exp, rel=1e-9)
     assert math.isfinite(got)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """write_bucketed co-location: joining two tables bucketed on the same
+    (key, buckets) plans with no Exchange on either side."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators.sinks import write_bucketed
+
+    a = spark.range(500).selectExpr("concat('img_', id) as image_id", "id as va")
+    b = spark.range(500).selectExpr("concat('img_', id) as image_id", "id * 2 as vb")
+    write_bucketed(a, "bkt_a", buckets=8)
+    write_bucketed(b, "bkt_b", buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table("bkt_a").join(spark.table("bkt_b"), "image_id")
+        jvm = spark._jvm
+        plan = j._jdf.queryExecution().explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "Exchange" not in plan, plan
+        assert j.count() == 500
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("drop table if exists bkt_a")
+        spark.sql("drop table if exists bkt_b")

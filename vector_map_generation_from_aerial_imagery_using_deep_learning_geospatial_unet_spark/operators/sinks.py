@@ -62,3 +62,25 @@ def polygons_to_geojson(polygons: DataFrame) -> DataFrame:
 def write_polygons(polygons: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S8: vector sink — parquet with ring arrays + attributes."""
     polygons.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str = "image_id",
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed catalog sink: co-locates rows by hash(key) at WRITE time, so
+    every later equi-join or groupBy between tables bucketed on the same
+    (key, buckets) runs with ZERO exchanges — the bucketing half of the
+    §4.2 partitioning policy (tiles x labels, tiles x predictions, any
+    repeated per-image join in a training pipeline).  Plan-tested:
+    tests/test_sinks.py asserts the bucket join is shuffle-free."""
+    (
+        df.write.mode(mode)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)
+    )
