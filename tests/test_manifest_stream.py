@@ -131,3 +131,28 @@ def test_stream_tiles_matches_batch(spark, tmp):
     assert (
         got.select("tile_id").exceptAll(exp.select("tile_id")).count() == 0
     )
+
+
+def test_stream_image_completion_stateful(spark, tmp):
+    """applyInPandasWithState accumulator: an image emits complete=true
+    exactly when its full tile grid has arrived, across microbatches."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators.grid import gen_tiles
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming.stream import stream_image_completion
+
+    imgs = images_meta(spark, SF).filter(F.col("image_id") < "img_00000040")
+    tiles = gen_tiles(imgs, with_geo=False).select(
+        "image_id", "tile_id", "tiy", "tix", "w", "h"
+    )
+    src, out, cp = f"{tmp}/tiles", f"{tmp}/done", f"{tmp}/cp"
+    # write in two halves -> tiles of one image can straddle files/batches
+    tiles.filter(F.col("tix") % 2 == 0).write.parquet(src)
+    tiles.filter(F.col("tix") % 2 == 1).write.mode("append").parquet(src)
+    q = stream_image_completion(spark, src, out, cp)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    done = {r["image_id"]: r["n_tiles"] for r in got.filter("complete").collect()}
+    exp = {
+        r["image_id"]: r["n"]
+        for r in tiles.groupBy("image_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert done == exp

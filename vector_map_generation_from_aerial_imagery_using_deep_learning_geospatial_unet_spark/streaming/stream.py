@@ -116,6 +116,88 @@ def stream_dedup_images(
     return writer.start()
 
 
+def stream_image_completion(
+    spark: SparkSession,
+    tiles_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    timeout_ms: int = 60_000,
+    available_now: bool = True,
+):
+    """Custom stateful streaming operator (``applyInPandasWithState``):
+    per-image tile accumulator that emits one ``(image_id, n_tiles)`` row
+    the moment every tile of that image's grid has arrived — the trigger a
+    streaming deployment uses to start the stitch/postprocess stage for an
+    image while later images are still uploading.
+
+    State per image: (tiles_seen, tiles_expected).  Expected count comes
+    from the tile rows themselves (nx*ny is derivable from (w, h)); state
+    is dropped on emission, and a processing-time timeout emits stragglers
+    as ``complete = false`` so abandoned uploads can't pin state forever.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..config import DEFAULT_CONFIG
+    from ..operators.grid import tile_counts
+
+    tile_schema = (
+        "image_id string, tile_id string, tiy int, tix int, w int, h int"
+    )
+    src = (
+        spark.readStream.schema(tile_schema)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(tiles_dir)
+    )
+    cfg = DEFAULT_CONFIG
+    src = src.withColumn(
+        "expected",
+        tile_counts(F.col("w"), cfg.tile_size, cfg.overlap_px)
+        * tile_counts(F.col("h"), cfg.tile_size, cfg.overlap_px),
+    )
+
+    def track(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (seen, expected) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"image_id": [key[0]], "n_tiles": [seen], "complete": [False]}
+            )
+            return
+        seen, expected = state.get if state.exists else (0, -1)
+        for pdf in pdfs:
+            seen += len(pdf)
+            if len(pdf):
+                expected = int(pdf["expected"].iloc[0])
+        if expected >= 0 and seen >= expected:
+            if state.exists:
+                state.remove()
+            yield pd.DataFrame(
+                {"image_id": [key[0]], "n_tiles": [seen], "complete": [True]}
+            )
+        else:
+            state.update((seen, expected))
+            state.setTimeoutDuration(timeout_ms)
+
+    done = src.groupBy("image_id").applyInPandasWithState(
+        track,
+        outputStructType="image_id string, n_tiles long, complete boolean",
+        stateStructType="seen long, expected long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+    writer = (
+        done.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_ingest_stats(
     spark: SparkSession,
     images_dir: str,
