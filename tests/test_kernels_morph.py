@@ -166,3 +166,41 @@ def test_skeletonize_thins_bar():
     # 1px thin: no 2x2 block fully set
     blocks = sk[:-1, :-1] & sk[1:, :-1] & sk[:-1, 1:] & sk[1:, 1:]
     assert not blocks.any()
+
+
+def test_windowed_watershed_equals_full_plane():
+    """The component-cluster windowing is an optimization, not a semantics
+    change: a concave merged group's bounding window can contain a foreign
+    component (regression: its values were clobbered with clipped ones)."""
+
+    def full_plane(arr, distance_px=7):
+        d = km.distance_transform_edt(arr)
+        lm = km.peak_local_max(d, min_distance=distance_px, labels=arr)
+        markers = km.label(lm, connectivity=1)
+        return km.watershed(-d, markers, mask=arr)
+
+    # L-shaped group whose pad-merged window contains an unrelated blob
+    m = np.zeros((120, 160), np.uint8)
+    m[100:103, 0:141] = 255   # bottom bar
+    m[10:91, 137:140] = 255   # right bar (merges with bottom via padding)
+    m[1:21, 50:70] = 255      # foreign blob inside the L's bounding window
+    np.testing.assert_array_equal(
+        km.watershed_segmentation(m, 1.0), full_plane(m)
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        h, w = rng.integers(60, 160, 2)
+        m = np.zeros((h, w), np.uint8)
+        for _ in range(rng.integers(1, 6)):
+            y, x = rng.integers(0, h - 12), rng.integers(0, w - 12)
+            rh = rng.integers(3, min(40, h - y))
+            rw = rng.integers(3, min(40, w - x))
+            if rng.integers(0, 2):
+                m[y:y + rh, x:x + rw] = 255
+            else:
+                m[y:y + rh, x:x + 3] = 255
+                m[y + rh - 3:y + rh, x:x + rw] = 255
+        np.testing.assert_array_equal(
+            km.watershed_segmentation(m, 1.0), full_plane(m)
+        )

@@ -337,10 +337,17 @@ def _component_windows(fg: np.ndarray, pad: int):
 
     Each component bbox is expanded by ``pad``; expanded boxes that overlap
     merge (union-find) so any two components whose ``pad``-radius
-    neighborhoods could interact share a window.  Guarantees: every window
-    contains its components with >= pad margin (clipped at plane edges) and
-    no pixel of a foreign component — so window-local EDT and (2*pad'-1)
-    max-filters with pad' <= pad reproduce the full-plane result exactly.
+    neighborhoods could interact share a window.  Yields
+    ``(y0, y1, x0, x1, member_mask)`` where ``member_mask`` selects the
+    window pixels that belong to the group's OWN components: a concave
+    group's bounding window can geometrically contain a *foreign*
+    component (whose expanded bbox overlaps no member's), and its
+    window-local values would be computed from a clipped view — callers
+    must write back only where ``member_mask`` is true.  For member pixels
+    the window-local EDT and (2*pad'-1) max-filters with pad' <= pad
+    reproduce the full-plane result exactly: members' nearest zeros and
+    entire peak neighborhoods lie inside their expanded bboxes, and any
+    component near enough to interact is, by construction, a member.
     """
     h, w = fg.shape
     comps = label(fg, connectivity=2)
@@ -350,7 +357,7 @@ def _component_windows(fg: np.ndarray, pad: int):
     ids = comps[ys, xs] - 1
     n = int(ids.max()) + 1
     if n > 4000:  # O(n^2) merge would dominate: one full-plane window
-        yield (0, h - 1, 0, w - 1)
+        yield (0, h - 1, 0, w - 1, fg.copy())
         return
     y0 = np.full(n, h, np.int64); y1 = np.zeros(n, np.int64)
     x0 = np.full(n, w, np.int64); x1 = np.zeros(n, np.int64)
@@ -376,12 +383,15 @@ def _component_windows(fg: np.ndarray, pad: int):
         if ra != rb:
             parent[rb] = ra
     roots = np.array([find(i) for i in range(n)])
+    # comp id -> group root, as a label-plane LUT (0 = background)
+    lut = np.full(n + 1, -1, np.int64)
+    lut[1:] = roots
     for r in np.unique(roots):
         m = roots == r
-        yield (
-            int(ey0[m].min()), int(ey1[m].max()),
-            int(ex0[m].min()), int(ex1[m].max()),
-        )
+        wy0 = int(ey0[m].min()); wy1 = int(ey1[m].max())
+        wx0 = int(ex0[m].min()); wx1 = int(ex1[m].max())
+        member = lut[comps[wy0 : wy1 + 1, wx0 : wx1 + 1]] == r
+        yield (wy0, wy1, wx0, wx1, member)
 
 
 def watershed_segmentation(
@@ -400,12 +410,14 @@ def watershed_segmentation(
     fg = arr != 0
     d = np.zeros(arr.shape, dtype=np.float64)
     local_max = np.zeros(arr.shape, dtype=bool)
-    for wy0, wy1, wx0, wx1 in _component_windows(fg, pad=distance_px + 1):
+    for wy0, wy1, wx0, wx1, member in _component_windows(fg, pad=distance_px + 1):
         win = (slice(wy0, wy1 + 1), slice(wx0, wx1 + 1))
         dsub = distance_transform_edt(arr[win])
-        d[win] = dsub
-        local_max[win] = peak_local_max(
-            dsub, min_distance=distance_px, labels=arr[win]
-        )
+        # write back ONLY this group's pixels: the bounding window of a
+        # concave group can contain a foreign component whose window-local
+        # values are clipped/wrong — its own group writes them correctly
+        d[win][member] = dsub[member]
+        lm = peak_local_max(dsub, min_distance=distance_px, labels=arr[win])
+        local_max[win][member] = lm[member]
     markers = label(local_max, connectivity=1 if neighbour == 4 else 2)
     return watershed(-d, markers, mask=arr)
