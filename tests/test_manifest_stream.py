@@ -78,12 +78,16 @@ def _images_with_payload(spark, phash_col):
 
 
 def test_stream_dedup_images_first_arrival_wins(spark, tmp):
+    """Uniques must NEVER drop, across multiple microbatches (regression:
+    content-derived event times made later batches 'late' and silently
+    discarded first arrivals)."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming.stream import stream_dedup_images
 
-    # phash collides in groups of ~4 -> dedup must keep one per group
+    # phash collides in groups of ~4 -> dedup must keep one per group;
+    # 24 files / maxFilesPerTrigger=8 -> at least 3 microbatches
     imgs = _images_with_payload(spark, F.xxhash64("image_id") % 500)
     src, out, cp = f"{tmp}/src", f"{tmp}/out", f"{tmp}/cp"
-    imgs.write.parquet(src)
+    imgs.repartition(24).write.parquet(src)
     q = stream_dedup_images(spark, src, out, cp)
     q.awaitTermination(120)
     got = spark.read.parquet(out)
@@ -93,22 +97,30 @@ def test_stream_dedup_images_first_arrival_wins(spark, tmp):
 
 
 def test_stream_ingest_stats_windowed_agg(spark, tmp):
+    """No data is late-dropped: emitted windows partition the ingested rows;
+    the only incompleteness is the tail window awaiting the next trigger."""
+    import time as _time
+
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming.stream import stream_ingest_stats
 
     imgs = _images_with_payload(spark, F.xxhash64("image_id"))
     src, out, cp = f"{tmp}/src", f"{tmp}/out", f"{tmp}/cp"
-    imgs.write.parquet(src)
-    q = stream_ingest_stats(spark, src, out, cp)
+    imgs.repartition(24).write.parquet(src)
+    q = stream_ingest_stats(spark, src, out, cp, window="2 seconds")
     q.awaitTermination(120)
-    got = spark.read.parquet(out)
-    # append mode: every emitted window closed below the final watermark;
-    # totals over emitted windows match a batch groupBy of the same rows
-    rows = got.collect()
-    assert len(rows) > 10
+    # a second pass (new data arrives) advances the watermark and flushes
+    # the previous run's tail windows
+    imgs.limit(50).repartition(2).write.mode("append").parquet(src)
+    _time.sleep(3)
+    q2 = stream_ingest_stats(spark, src, out, cp, window="2 seconds")
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) >= 1
     span = {(r["win_start"], r["win_end"]) for r in rows}
-    assert len(span) == len(rows)  # one row per closed window
-    total_imgs = sum(r["images"] for r in rows)
-    assert 0 < total_imgs <= imgs.count()
+    assert len(span) == len(rows)  # one emission per closed window
+    total = sum(r["images"] for r in rows)
+    # run-1 rows fully flushed by run 2; only run-2's tail may be pending
+    assert imgs.count() <= total <= imgs.count() + 50
 
 
 def test_stream_tiles_matches_batch(spark, tmp):

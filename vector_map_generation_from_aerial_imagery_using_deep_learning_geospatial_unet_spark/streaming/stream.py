@@ -63,20 +63,6 @@ def stream_tiles(
     return writer.start()
 
 
-def _event_time():
-    """Deterministic event time derived from row content (epoch +
-    phash-spread seconds).  A real deployment replaces this with its ingest
-    timestamp column; deriving it from data keeps the watermark/window
-    semantics fully testable with availableNow backlog runs (wall-clock
-    current_timestamp would never advance a watermark past a window end
-    inside one run)."""
-    from pyspark.sql import functions as F
-
-    return F.timestamp_seconds(
-        F.lit(1_700_000_000) + F.pmod(F.col("phash"), F.lit(7200))
-    )
-
-
 def stream_dedup_images(
     spark: SparkSession,
     images_dir: str,
@@ -91,7 +77,12 @@ def stream_dedup_images(
 
     ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
     watermark horizon, so state is bounded at any ingest rate — the
-    requirement for running this against an unbounded 10^12-image feed."""
+    requirement for running this against an unbounded 10^12-image feed.
+    Event time is the processing-side ingest timestamp: it is monotone
+    across microbatches, so no row is ever behind the watermark and only
+    true duplicates are dropped (a duplicate arriving more than
+    ``watermark`` after its first copy would pass — the documented bounded
+    horizon of dropDuplicatesWithinWatermark)."""
     from pyspark.sql import functions as F
 
     src = (
@@ -100,7 +91,7 @@ def stream_dedup_images(
         .parquet(images_dir)
     )
     deduped = (
-        src.withColumn("ingest_ts", _event_time())
+        src.withColumn("ingest_ts", F.current_timestamp())
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["phash"])
         .drop("bytes")
@@ -121,6 +112,7 @@ def stream_image_completion(
     tiles_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
     timeout_ms: int = 60_000,
     available_now: bool = True,
 ):
@@ -139,7 +131,6 @@ def stream_image_completion(
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from ..config import DEFAULT_CONFIG
     from ..operators.grid import tile_counts
 
     tile_schema = (
@@ -150,7 +141,6 @@ def stream_image_completion(
         .option("maxFilesPerTrigger", 4)
         .parquet(tiles_dir)
     )
-    cfg = DEFAULT_CONFIG
     src = src.withColumn(
         "expected",
         tile_counts(F.col("w"), cfg.tile_size, cfg.overlap_px)
@@ -203,15 +193,21 @@ def stream_ingest_stats(
     images_dir: str,
     out_dir: str,
     checkpoint_dir: str,
-    window: str = "1 minute",
-    watermark: str = "2 minutes",
+    window: str = "5 seconds",
+    watermark: str = "0 seconds",
     available_now: bool = True,
 ):
     """Watermarked windowed aggregation over the ingest stream: per
     event-time window, image count + total pixels + tile-grid size (the
-    streaming metrics feed a deployment would watch).  Late rows beyond the
-    watermark are dropped; the window closes and emits exactly once
-    (append mode)."""
+    streaming metrics feed a deployment would watch).
+
+    Event time is the ingest timestamp (monotone across microbatches), so
+    with the zero-delay default watermark no data is ever late-dropped: a
+    window closes and emits exactly once (append mode) as soon as a later
+    microbatch advances the watermark past its end; the tail window's
+    partial flushes on the next trigger/restart.  A deployment with a real
+    upstream event-time column swaps it in and sets the watermark to its
+    actual lateness bound."""
     from pyspark.sql import functions as F
 
     from ..operators.grid import tile_counts
@@ -223,7 +219,7 @@ def stream_ingest_stats(
         .parquet(images_dir)
     )
     stats = (
-        src.withColumn("ingest_ts", _event_time())
+        src.withColumn("ingest_ts", F.current_timestamp())
         .withWatermark("ingest_ts", watermark)
         .groupBy(F.window("ingest_ts", window))
         .agg(
