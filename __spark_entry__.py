@@ -200,16 +200,22 @@ def q_pipeline_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dice_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 global Dice/Jaccard between the thresholded mask and the opened
     mask (blobs survive the 3x3 open intact -> analytic pixel sums)."""
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions import kernels_morph as _KM
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
 
-    # persist: both join branches (pred chain + truth) read the same rows;
-    # without it the synthesis lineage executes twice
-    imgs = IMG.images_table(
-        spark, sf_dir, fmt="png", kind="mask", limit=PIPE_CAP
-    ).persist()
-    pred = raster.mask_clean_stage(imgs, CFG)  # fused M7+P1, one Arrow hop
-    return raster.dice_jaccard(pred, imgs)
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=PIPE_CAP)
+    # pred is a pure function of truth -> fused self-comparison: one decode
+    # per row, no join, no persist (a persist here would pin the byte
+    # column in executor storage for the rest of the session)
+    kernel = lambda a: _KM.erosion_clean(
+        np.where(a >= 128, 255, 0).astype(np.uint8),
+        CFG.erosion_filter,
+        CFG.min_object_area_px,
+    )
+    return raster.dice_jaccard_self(imgs, kernel, CFG)
 
 
 # ---------------------------------------------------------------------- #

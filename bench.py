@@ -93,7 +93,9 @@ def warmup(spark, images_path: str) -> None:
 
     imgs = spark.read.parquet(images_path).limit(256)
     raster.slice_tiles(imgs, E.CFG).count()
-    small = "/root/testdata/sf0.001"
+    small = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(small):
+        small = SF_DIR  # same plan shapes, just a larger warm-up
     E.q_pip_join(spark, small).count()
     E.q_point_tile_assign(spark, small).count()
 

@@ -64,6 +64,11 @@ def test_ann_lsh_recall(spark, emb):
     # than random), the worst case for LSH: a sanity floor is all that holds;
     # clustered real data recalls much higher with the same machinery
     assert np.mean(recalls) >= 0.15, recalls
+    # rank-1 self-match always survives: a query shares bucket0 with its own
+    # corpus row (cos = 1.0), pinning the candidate-generation path exactly
+    rank1 = {r["qid"]: r["vec_id"] for r in lsh_rows if r["rank"] == 1}
+    for qid in exact:
+        assert rank1.get(qid) == qid
 
 
 def test_ann_ivf_recall_and_determinism(spark, emb):

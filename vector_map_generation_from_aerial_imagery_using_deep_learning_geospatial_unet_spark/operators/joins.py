@@ -329,6 +329,7 @@ def knn_join(
         pid, pxc, pyc, "p_cell"
     )
     results: list[DataFrame] = []
+    cached: list[DataFrame] = []
     r = r0
     while True:
         full_cover = r >= grid.n  # ring covers the whole domain -> exact
@@ -350,6 +351,7 @@ def knn_join(
             .filter(F.col("rank") <= k_eff)
             .persist()
         )
+        cached.append(topk)
         bound = (r * grid.side) ** 2
         per_pt = topk.groupBy(pid).agg(
             F.count("*").alias("_cnt"), F.max("dist2").alias("_kth")
@@ -370,4 +372,8 @@ def knn_join(
     out = results[0]
     for df in results[1:]:
         out = out.unionByName(df)
-    return out.drop("p_cell")
+    out = out.drop("p_cell").persist()
+    out.count()  # materialize the (small) result...
+    for df in cached:
+        df.unpersist()  # ...then release every round's candidate cache
+    return out

@@ -395,6 +395,41 @@ def tiles_to_polygons(
     )
 
 
+def dice_jaccard_self(
+    images: DataFrame, kernel, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """M8 when prediction is a pure function of the truth image (the common
+    evaluate-my-own-transform case): decode each row ONCE, apply ``kernel``
+    in-process, emit the three partial sums — no second table, no join, no
+    caching of the byte column.  Same output as
+    ``dice_jaccard(kernel_stage(imgs), imgs)``."""
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                b = _decode_any(r.bytes, r.fmt, r.w, r.h)
+                a = kernel(b)
+                rows.append(
+                    (
+                        float(((a != 0) & (b != 0)).sum()),
+                        float((a != 0).sum()),
+                        float((b != 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["xy", "x", "y"])
+
+    s = images.mapInPandas(sums, schema="xy double, x double, y double").agg(
+        F.sum("xy").alias("sxy"), F.sum("x").alias("sx"), F.sum("y").alias("sy")
+    )
+    return s.select(
+        (2.0 * F.col("sxy") / (F.col("sx") + F.col("sy") + 1.0)).alias("dice"),
+        (F.col("sxy") / (F.col("sx") + F.col("sy") - F.col("sxy") + 1.0)).alias(
+            "jaccard"
+        ),
+    )
+
+
 def dice_jaccard(pred: DataFrame, truth: DataFrame) -> DataFrame:
     """M8 global Dice/Jaccard (src/metric.py:31-51): per-image pixel sums in
     a UDF, global partial+final aggregation in Catalyst."""

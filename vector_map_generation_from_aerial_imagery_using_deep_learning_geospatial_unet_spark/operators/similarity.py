@@ -71,6 +71,18 @@ def _plane(j: int, dim: int) -> list[float]:
     return out
 
 
+def _probe_masks(multiprobe: int) -> list[int]:
+    """XOR masks for every bucket within Hamming distance <= multiprobe
+    (includes the zero mask = the bucket itself)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, min(multiprobe, N_PLANES) + 1):
+        for bits in combinations(range(N_PLANES), r):
+            masks.append(sum(1 << j for j in bits))
+    return masks
+
+
 def lsh_bucket(vec: Column, dim: int) -> Column:
     """Sign-bit bucket id over N_PLANES deterministic hyperplanes."""
     bucket = F.lit(0)
@@ -90,18 +102,16 @@ def ann_lsh_topk(
     multiprobe: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's bucket or any bucket
-    at Hamming distance <= multiprobe (flip one sign bit) — the scale path:
-    the corpus side is bucket-partitioned, so each query scores only its
+    at Hamming distance <= multiprobe sign-bit flips — the scale path: the
+    corpus side is bucket-partitioned, so each query scores only its
     candidate buckets instead of the full corpus."""
     qid, qvec = q_cols
     cid, cvec = c_cols
     cb = corpus.withColumn("bucket", lsh_bucket(F.col(cvec), dim))
     qb = queries.withColumn("bucket0", lsh_bucket(F.col(qvec), dim))
-    probes = [F.col("bucket0")]
-    if multiprobe >= 1:
-        probes += [
-            F.col("bucket0").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)
-        ]
+    probes = [
+        F.col("bucket0").bitwiseXOR(F.lit(m)) for m in _probe_masks(multiprobe)
+    ]
     qb = qb.withColumn("bucket", F.explode(F.array(*probes)))
     scored = qb.join(cb, "bucket").withColumn(
         "cos", cosine(F.col(qvec), F.col(cvec))
@@ -243,11 +253,9 @@ def embedding_near_dup_pairs_lsh(
     base = corpus.select(
         F.col(cid).alias("_id"), F.col(cvec).alias("_vec")
     ).withColumn("bucket0", lsh_bucket(F.col("_vec"), dim))
-    probes = [F.col("bucket0")]
-    if multiprobe >= 1:
-        probes += [
-            F.col("bucket0").bitwiseXOR(F.lit(1 << j)) for j in range(N_PLANES)
-        ]
+    probes = [
+        F.col("bucket0").bitwiseXOR(F.lit(m)) for m in _probe_masks(multiprobe)
+    ]
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"),
         F.explode(F.array(*probes)).alias("bucket"),
