@@ -16,20 +16,20 @@ def corpus(spark):
 
 
 def test_corpus_has_planted_dups(spark, corpus):
-    base = corpus.filter(F.col("cid") < 100000).count()
-    dups = corpus.filter((F.col("cid") >= 100000) & (F.col("cid") < 200000)).count()
-    near = corpus.filter(F.col("cid") >= 200000).count()
+    base = corpus.filter(F.col("cid") < 1_000_000_000_000).count()
+    dups = corpus.filter((F.col("cid") >= 1_000_000_000_000) & (F.col("cid") < 2_000_000_000_000)).count()
+    near = corpus.filter(F.col("cid") >= 2_000_000_000_000).count()
     assert dups > 0 and near > 0 and base > dups
 
 
 def test_exact_dedup_finds_planted_dups(spark, corpus):
     out = T.exact_dedup(corpus)
     dup_rows = out.filter("is_dup").collect()
-    # every planted exact dup (cid = orig + 100000) is flagged, canonical = orig
+    # every planted exact dup (cid = orig + 1_000_000_000_000) is flagged, canonical = orig
     for r in dup_rows:
-        assert r["cid"] >= 100000
-        assert r["canonical_cid"] == r["cid"] - 100000 or r["group_size"] >= 2
-    planted = corpus.filter((F.col("cid") >= 100000) & (F.col("cid") < 200000)).count()
+        assert r["cid"] >= 1_000_000_000_000
+        assert r["canonical_cid"] == r["cid"] - 1_000_000_000_000 or r["group_size"] >= 2
+    planted = corpus.filter((F.col("cid") >= 1_000_000_000_000) & (F.col("cid") < 2_000_000_000_000)).count()
     assert len(dup_rows) == planted
 
 
@@ -43,9 +43,9 @@ def test_phash60_matches_md5_prefix(spark):
 
 def test_minhash_exact_dups_have_identical_signatures(spark, corpus):
     sig = T.minhash_signature(corpus)
-    a = sig.filter(F.col("cid") % 5 == 0).filter(F.col("cid") < 100000)
-    b = sig.filter(F.col("cid") >= 100000).select(
-        (F.col("cid") - 100000).alias("cid"),
+    a = sig.filter(F.col("cid") % 5 == 0).filter(F.col("cid") < 1_000_000_000_000)
+    b = sig.filter(F.col("cid") >= 1_000_000_000_000).select(
+        (F.col("cid") - 1_000_000_000_000).alias("cid"),
         *[F.col(f"mh_{i}").alias(f"dup_mh_{i}") for i in range(T.N_MINHASH)],
     )
     joined = a.join(b, "cid").collect()
@@ -60,11 +60,11 @@ def test_lsh_pairs_contain_exact_dups_and_jaccard_confirms(spark, corpus):
     pairs = T.lsh_candidate_pairs(sig)
     got = {(r["cid_a"], r["cid_b"]) for r in pairs.collect()}
     exact = {
-        (r["cid"], r["cid"] + 100000)
+        (r["cid"], r["cid"] + 1_000_000_000_000)
         for r in corpus.filter(
-            (F.col("cid") % 5 == 0) & (F.col("cid") < 100000)
+            (F.col("cid") % 5 == 0) & (F.col("cid") < 1_000_000_000_000)
         ).select("cid").collect()
-        if (r["cid"] + 100000, ) is not None
+        if (r["cid"] + 1_000_000_000_000, ) is not None
     }
     exact = {p for p in exact if p[1] in {x["cid"] for x in corpus.select("cid").collect()}}
     assert exact <= got, f"missing {list(exact - got)[:5]}"
@@ -74,7 +74,7 @@ def test_lsh_pairs_contain_exact_dups_and_jaccard_confirms(spark, corpus):
     by_pair = {(r["cid_a"], r["cid_b"]): r["jaccard"] for r in rows}
     for p in exact:
         assert by_pair[p] == 1.0
-    near = [v for (a, b), v in by_pair.items() if b >= 200000 and a == b - 200000]
+    near = [v for (a, b), v in by_pair.items() if b >= 2_000_000_000_000 and a == b - 2_000_000_000_000]
     assert near and min(near) > 0.7
 
 
@@ -82,12 +82,12 @@ def test_simhash_dups_equal_near_dups_close(spark, corpus):
     sh = T.simhash32(corpus)
     rows = {r["cid"]: r["simhash"] for r in sh.collect()}
     for cid, v in rows.items():
-        if 100000 <= cid < 200000:
-            assert rows[cid - 100000] == v  # exact dup -> same simhash
+        if 1_000_000_000_000 <= cid < 2_000_000_000_000:
+            assert rows[cid - 1_000_000_000_000] == v  # exact dup -> same simhash
     hams = [
-        bin(rows[cid - 200000] ^ v).count("1")
+        bin(rows[cid - 2_000_000_000_000] ^ v).count("1")
         for cid, v in rows.items()
-        if cid >= 200000
+        if cid >= 2_000_000_000_000
     ]
     assert hams and max(hams) <= 12  # near dup -> small hamming distance
     assert sorted(hams)[len(hams) // 2] <= 6  # typical pair is very close
@@ -112,5 +112,5 @@ def test_text_stats_python_oracle(spark, corpus):
 def test_fingerprint_stable_and_dup_equal(spark, corpus):
     fp = {r["cid"]: r["fingerprint"] for r in T.fingerprint(corpus).collect()}
     for cid, v in fp.items():
-        if 100000 <= cid < 200000:
-            assert fp[cid - 100000] == v
+        if 1_000_000_000_000 <= cid < 2_000_000_000_000:
+            assert fp[cid - 1_000_000_000_000] == v

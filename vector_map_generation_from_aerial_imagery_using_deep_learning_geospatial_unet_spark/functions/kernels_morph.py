@@ -89,6 +89,8 @@ def _pad_extremes(dtype) -> tuple:
     consider in-bounds neighbours (cv2 BORDER_CONSTANT morphology default)."""
     if np.issubdtype(dtype, np.floating):
         return np.inf, -np.inf
+    if dtype == np.bool_:
+        return True, False
     info = np.iinfo(dtype)
     return info.max, info.min
 
@@ -173,6 +175,7 @@ def label(mask: np.ndarray, connectivity: int = 1) -> np.ndarray:
         if row[-1]:
             ends.append(w)
         cur_runs = []
+        j = 0  # two-pointer merge: both run lists are sorted by start
         for s, e in zip(starts, ends):
             rid = len(parent)
             parent.append(rid)
@@ -180,26 +183,26 @@ def label(mask: np.ndarray, connectivity: int = 1) -> np.ndarray:
             # union with overlapping runs in previous row
             lo = s if connectivity == 1 else s - 1
             hi = e if connectivity == 1 else e + 1
-            for ps, pe, prid in prev_runs:
-                if ps < hi and pe > lo:
-                    union(rid, prid)
+            while j < len(prev_runs) and prev_runs[j][1] <= lo:
+                j += 1
+            k = j  # don't consume: the next run may overlap the same prevs
+            while k < len(prev_runs) and prev_runs[k][0] < hi:
+                union(rid, prev_runs[k][2])
+                k += 1
             cur_runs.append((s, e, rid))
         prev_runs = cur_runs
 
     if not parent:
         return np.zeros((h, w), dtype=np.int32)
     roots = np.array([find(i) for i in range(len(parent))], dtype=np.int64)
-    # relabel roots in raster order of first appearance
-    order: dict[int, int] = {}
+    # relabel in raster order of first appearance — union() always keeps
+    # the minimum run id as root and run ids are created in raster order,
+    # so a component's root IS its raster-first run: ranking the roots
+    # ascending reproduces the first-appearance numbering with no pixel loop
+    uniq = np.unique(roots)
+    lut = (np.searchsorted(uniq, roots) + 1).astype(np.int32)
     flat = run_label.ravel()
     occupied = flat >= 0
-    for rid in flat[occupied]:
-        r = roots[rid]
-        if r not in order:
-            order[r] = len(order) + 1
-    lut = np.zeros(len(parent) + 1, dtype=np.int32)
-    for rid in range(len(parent)):
-        lut[rid] = order[roots[rid]]
     out = np.zeros(h * w, dtype=np.int32)
     out[occupied] = lut[flat[occupied]]
     return out.reshape(h, w)
@@ -327,7 +330,7 @@ def skeletonize(mask: np.ndarray) -> np.ndarray:
 def erosion_clean(arr: np.ndarray, filt: int = 3, min_area_px: int = 9) -> np.ndarray:
     """P1 pipeline stage (src/postprocess.py:159-189): NxN open, then
     remove_small_objects on the *int* array (value-as-label semantics)."""
-    opened = dilate(erode(arr, filt), filt)
+    opened = binary_open(arr, filt)
     as_int = np.absolute(opened.astype(np.int32))
     return remove_small_objects(as_int, min_size=min_area_px, connectivity=2)
 

@@ -19,7 +19,7 @@ def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     h, w = arr.shape[:2]
     xs = np.minimum((np.arange(out_w) * (w / out_w)).astype(np.int64), w - 1)
     ys = np.minimum((np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
-    return arr[np.ix_(ys, xs)] if arr.ndim == 2 else arr[np.ix_(ys, xs)]
+    return arr[np.ix_(ys, xs)]  # np.ix_ handles both 2-D and 3-D
 
 
 def resize_bilinear(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

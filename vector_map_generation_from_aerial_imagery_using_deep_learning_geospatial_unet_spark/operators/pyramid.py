@@ -81,7 +81,7 @@ def build_pyramid(images: DataFrame, levels: int) -> DataFrame:
                     rows.append(
                         (
                             r.image_id, level,
-                            codec.encode(np.ascontiguousarray(cur), "png"),
+                            codec.encode(np.ascontiguousarray(cur), "png", level=1),
                             cur.shape[1], cur.shape[0], "png",
                             float(r.ulx), float(r.uly), 0.1 * (2 ** level),
                         )
@@ -112,8 +112,11 @@ def multires_meta(images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Data
     )
 
 
-def multires_meta_sql() -> str:
-    return """
+def multires_meta_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    # cell size threaded through so the twin tracks any EngineConfig, not
+    # just the default 0.1 m
+    cs = repr(cfg.cell_size_m)
+    return f"""
 res AS (
   SELECT im.*, r.res_idx, r.res_idx * 1e-1 AS resolution
   FROM images_meta im,
@@ -121,8 +124,8 @@ res AS (
 ),
 multires AS (
   SELECT image_id, w, h, ulx, uly, res_idx, resolution,
-    CAST(round(w * (1e-1 / (res_idx * 1e-1))) AS INT) AS rw,
-    CAST(round(h * (1e-1 / (res_idx * 1e-1))) AS INT) AS rh
+    CAST(round(w * ({cs} / (res_idx * 1e-1))) AS INT) AS rw,
+    CAST(round(h * ({cs} / (res_idx * 1e-1))) AS INT) AS rh
   FROM res
 )"""
 
@@ -147,7 +150,7 @@ def multires_resample(images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> 
                     rows.append(
                         (
                             r.image_id, float(r.resolution),
-                            codec.encode(np.ascontiguousarray(out), "png"),
+                            codec.encode(np.ascontiguousarray(out), "png", level=1),
                             int(r.rw), int(r.rh), "png",
                         )
                     )

@@ -37,14 +37,18 @@ STOPWORDS = ("the", "a", "of", "and")
 # --------------------------------------------------------------------------- #
 
 def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + deterministic exact-dup and near-dup rows."""
+    """documents + deterministic exact-dup and near-dup rows.
+
+    Synthetic-row cid offsets are 1e12 apart: doc_id is a bigint, so a
+    collision would need 10^12 base documents — offsets of 1e5 collided as
+    soon as the table passed 100k rows."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     base = d.select(F.col("doc_id").alias("cid"), "text", "lang", "source")
     dups = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("cid"), "text", "lang", "source"
+        (F.col("doc_id") + F.lit(1_000_000_000_000)).alias("cid"), "text", "lang", "source"
     )
     near = d.filter((F.col("doc_id") % 7 == 0) & (F.col("n_chars") > 40)).select(
-        (F.col("doc_id") + 200000).alias("cid"),
+        (F.col("doc_id") + F.lit(2_000_000_000_000)).alias("cid"),
         F.expr("substring(text, 1, n_chars - 10)").alias("text"),
         "lang",
         "source",
@@ -56,9 +60,9 @@ CORPUS_SQL = """
 corpus AS (
   SELECT doc_id AS cid, text, lang, source FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text, lang, source FROM documents WHERE doc_id % 5 = 0
+  SELECT doc_id + 1000000000000, text, lang, source FROM documents WHERE doc_id % 5 = 0
   UNION ALL
-  SELECT doc_id + 200000, substr(text, 1, CAST(n_chars - 10 AS INT)), lang, source
+  SELECT doc_id + 2000000000000, substr(text, 1, CAST(n_chars - 10 AS INT)), lang, source
   FROM documents WHERE doc_id % 7 = 0 AND n_chars > 40
 )"""
 
