@@ -462,12 +462,14 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tile_counts": derived.with_ctes(
             derived.IMAGES_META_SQL,
-            body="""
+            # constants derived from CFG like the other tile oracles, so an
+            # EngineConfig change can't silently split engine from oracle
+            body=f"""
 SELECT image_id, w, h,
-  CAST(1 + FLOOR((greatest(w - 200, 0) + 189) / 190) AS INT) AS nx,
-  CAST(1 + FLOOR((greatest(h - 200, 0) + 189) / 190) AS INT) AS ny,
-  CAST(1 + FLOOR((greatest(w - 200, 0) + 189) / 190) AS INT)
-    * CAST(1 + FLOOR((greatest(h - 200, 0) + 189) / 190) AS INT) AS n_tiles
+  CAST(1 + FLOOR((greatest(w - {CFG.tile_size}, 0) + {CFG.tile_size - CFG.overlap_px - 1}) / {CFG.tile_size - CFG.overlap_px}) AS INT) AS nx,
+  CAST(1 + FLOOR((greatest(h - {CFG.tile_size}, 0) + {CFG.tile_size - CFG.overlap_px - 1}) / {CFG.tile_size - CFG.overlap_px}) AS INT) AS ny,
+  CAST(1 + FLOOR((greatest(w - {CFG.tile_size}, 0) + {CFG.tile_size - CFG.overlap_px - 1}) / {CFG.tile_size - CFG.overlap_px}) AS INT)
+    * CAST(1 + FLOOR((greatest(h - {CFG.tile_size}, 0) + {CFG.tile_size - CFG.overlap_px - 1}) / {CFG.tile_size - CFG.overlap_px}) AS INT) AS n_tiles
 FROM images_meta""",
         ),
         "gen_tiles": derived.with_ctes(

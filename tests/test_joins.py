@@ -151,3 +151,27 @@ def test_cellindex_properties(spark):
         assert len(r["ring"]) in (4, 6, 9)  # corner / edge / interior clamp
         assert r["cell"] in r["cover"]
         assert len(set(r["ring"])) == len(r["ring"])
+
+
+def test_cell_parent_chains_resolutions(spark):
+    """parent() derives res from the cell id (h3 cell_to_parent semantics):
+    chaining yields genuine coarser ids, not re-stamped res-1 collisions."""
+    from pyspark.sql import functions as F
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions.cellindex import (
+        CellGrid, _IY_SHIFT, _RES_SHIFT,
+    )
+
+    g = CellGrid(x0=0.0, y0=0.0, size=1024.0, res=6)
+    df = spark.createDataFrame([(513.0, 257.0)], "x double, y double")
+    c = df.select(
+        g.cell_of(F.col("x"), F.col("y")).alias("c0")
+    ).withColumn("c1", g.parent(F.col("c0"))).withColumn(
+        "c2", g.parent(F.col("c1"))
+    )
+    r = c.first()
+    for lvl, cell in enumerate([r["c0"], r["c1"], r["c2"]]):
+        assert cell // _RES_SHIFT == 6 - lvl
+    # geometry halves each level
+    assert (r["c1"] % _IY_SHIFT) == (r["c0"] % _IY_SHIFT) // 2
+    assert (r["c2"] % _IY_SHIFT) == (r["c1"] % _IY_SHIFT) // 2

@@ -168,3 +168,46 @@ def test_stream_image_completion_stateful(spark, tmp):
         for r in tiles.groupBy("image_id").agg(F.count("*").alias("n")).collect()
     }
     assert done == exp
+
+
+def test_resume_records_zero_output_units(spark, tmp):
+    """A unit whose stage output is empty still gets a manifest entry and
+    is NOT re-run on resume (regression: empty units were pending forever)."""
+    imgs = images_meta(spark, SF).filter(F.col("image_id") < "img_00000020")
+    calls = []
+
+    def stage(pending):
+        calls.append(pending.count())
+        # emit rows only for half the units; the rest complete with 0 rows
+        return gen_tiles(pending, with_geo=False).select(
+            "image_id", "tile_id"
+        ).filter(F.substring("image_id", 12, 1).cast("int") % 2 == 0)
+
+    M.run_resumable(imgs, stage, "s0", tmp)
+    assert calls[-1] > 0
+    M.run_resumable(imgs, stage, "s0", tmp)
+    assert calls[-1] == 0  # zero-output units are done too
+    m = spark.read.parquet(M.manifest_path(tmp)).filter("stage = 's0'")
+    assert m.filter("rows = 0").count() > 0
+
+
+def test_orphan_output_rows_are_invisible_and_reconverge(spark, tmp):
+    """Crash between output append and manifest append: the orphan rows are
+    filtered from reads, the unit stays pending, and the retry's copy is the
+    single visible one."""
+    imgs = images_meta(spark, SF).filter(F.col("image_id") < "img_00000010")
+
+    def stage(pending):
+        return gen_tiles(pending, with_geo=False).select("image_id", "tile_id")
+
+    # simulate the crashed first attempt: output lands, manifest doesn't
+    out_path = f"{tmp}/s1"
+    stage(imgs).withColumn("_run_id", F.lit("deadbeef")).write.mode(
+        "append"
+    ).parquet(out_path)
+    # clean retry
+    result = M.run_resumable(imgs, stage, "s1", tmp)
+    exp = stage(imgs).count()
+    assert result.count() == exp  # orphans not double-counted
+    raw = spark.read.parquet(out_path)
+    assert raw.count() == 2 * exp  # both copies are physically there

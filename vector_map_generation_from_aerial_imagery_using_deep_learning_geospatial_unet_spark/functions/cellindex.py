@@ -67,10 +67,15 @@ class CellGrid:
         return self.pack(self.ix_of(x), self.iy_of(y))
 
     def parent(self, cell: Column) -> Column:
+        """Containing cell one resolution up.  Like h3's cell_to_parent,
+        the resolution comes from the CELL id, not from this grid — so
+        ``parent(parent(c))`` yields a genuine res-2 id instead of
+        stamping res-1 twice and colliding with unrelated cells."""
         ix = cell % _IY_SHIFT
         iy = F.floor(cell / _IY_SHIFT) % (1 << 26)
+        res = F.floor(cell / _RES_SHIFT)
         return (
-            F.lit(self.res - 1) * _RES_SHIFT
+            (res - 1) * _RES_SHIFT
             + F.floor(iy / 2) * _IY_SHIFT
             + F.floor(ix / 2)
         ).cast("long")

@@ -111,6 +111,25 @@ def _spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
+def _stitch_canvas(pdf: pd.DataFrame) -> tuple[np.ndarray, int, int]:
+    """Assemble one image group's tiles into the full canvas (S5 inverse of
+    O2): (tiy, tix) ascending, later tile wins on overlap.  Shared by
+    stitch_tiles and the fused tiles_to_polygons so the seam rule lives in
+    exactly one place."""
+    pdf = pdf.sort_values(["tiy", "tix"])
+    w, h = int(pdf["w"].iloc[0]), int(pdf["h"].iloc[0])
+    first = codec.decode(
+        pdf["bytes"].iloc[0], pdf["fmt"].iloc[0],
+        int(pdf["tw"].iloc[0]), int(pdf["th"].iloc[0]),
+    )
+    shape = (h, w) if first.ndim == 2 else (h, w, first.shape[2])
+    canvas = np.zeros(shape, dtype=first.dtype)
+    for r in pdf.itertuples(index=False):
+        arr = codec.decode(r.bytes, r.fmt, int(r.tw), int(r.th))
+        canvas[r.off_y : r.off_y + r.th, r.off_x : r.off_x + r.tw] = arr
+    return canvas, w, h
+
+
 def stitch_tiles(
     tiles: DataFrame, out_fmt: str = "png", level: int = 1
 ) -> DataFrame:
@@ -123,17 +142,7 @@ def stitch_tiles(
     next pixel stage, not a durable sink — pass level=6 when persisting."""
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["tiy", "tix"])
-        w, h = int(pdf["w"].iloc[0]), int(pdf["h"].iloc[0])
-        first = codec.decode(
-            pdf["bytes"].iloc[0], pdf["fmt"].iloc[0],
-            int(pdf["tw"].iloc[0]), int(pdf["th"].iloc[0]),
-        )
-        shape = (h, w) if first.ndim == 2 else (h, w, first.shape[2])
-        canvas = np.zeros(shape, dtype=first.dtype)
-        for r in pdf.itertuples(index=False):
-            arr = codec.decode(r.bytes, r.fmt, int(r.tw), int(r.th))
-            canvas[r.off_y : r.off_y + r.th, r.off_x : r.off_x + r.tw] = arr
+        canvas, w, h = _stitch_canvas(pdf)
         return pd.DataFrame(
             {
                 "image_id": [key[0]],
@@ -370,17 +379,7 @@ def tiles_to_polygons(
     wall time."""
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["tiy", "tix"])  # later-tile-wins stitch order
-        w, h = int(pdf["w"].iloc[0]), int(pdf["h"].iloc[0])
-        first = codec.decode(
-            pdf["bytes"].iloc[0], pdf["fmt"].iloc[0],
-            int(pdf["tw"].iloc[0]), int(pdf["th"].iloc[0]),
-        )
-        shape = (h, w) if first.ndim == 2 else (h, w, first.shape[2])
-        canvas = np.zeros(shape, dtype=first.dtype)
-        for r in pdf.itertuples(index=False):
-            arr = codec.decode(r.bytes, r.fmt, int(r.tw), int(r.th))
-            canvas[r.off_y : r.off_y + r.th, r.off_x : r.off_x + r.tw] = arr
+        canvas, _, _ = _stitch_canvas(pdf)
         labels = _mask_to_labels(canvas, cfg, separation)
         rows = _polygon_rows(
             key[0], labels, float(pdf["ulx"].iloc[0]),

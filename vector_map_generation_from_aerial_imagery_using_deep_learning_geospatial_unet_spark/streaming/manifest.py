@@ -4,22 +4,37 @@ mid-job resume (north_rule; the Spark upgrade of the reference's
 /root/reference/test.py:87,253,300,387).
 
 Layout: a parquet table at ``<root>/manifest`` with one row per
-(stage, image_id) unit of completed work:
+(stage, unit) of completed work:
 
     stage: string, image_id: string, rows: long, checksum: long,
-    partition_id: int, status: string, wall_sec: double, ts: timestamp
+    partition_id: int, run_id: string, status: string, wall_sec: double,
+    ts: timestamp
+
+(``image_id`` is the unit-key column name regardless of the caller's
+``key``; unit keys are opaque strings here.)
+
+Crash semantics: stage output is appended FIRST, the manifest entry
+SECOND, and both carry the attempt's ``run_id``.  Readers take only
+output rows whose (unit, run_id) appears in the manifest — so a crash
+between the two appends leaves invisible orphan rows, the unit stays
+pending, and the retry's copy (a new run_id) is the single visible one:
+exactly-once *read* semantics over at-least-once writes.
 
 Resume = ``left_anti`` join of the input against completed units, so a
-restarted job re-processes only unfinished images — "resumes mid-tile-grid"
-because tile grids are enumerated per image.
+restarted job re-processes only unfinished units — "resumes mid-tile-grid"
+because tile grids are enumerated per image.  Units whose output is empty
+(e.g. an all-background mask producing zero polygons) still get a
+``rows = 0`` manifest entry and are not re-run forever.
 """
 
 from __future__ import annotations
 
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 
 def manifest_path(root: str) -> str:
@@ -32,14 +47,22 @@ def record_stage(
     root: str,
     key: str = "image_id",
     checksum_cols: list[str] | None = None,
+    units: DataFrame | None = None,
+    run_id: str | None = None,
+    wall_sec: float | None = None,
 ) -> None:
     """Aggregate the stage's output per key and append to the manifest.
 
     ``checksum`` is an order-insensitive xxhash64-xor over the selected
-    columns — cheap, associative, and stable under shuffle, so reruns can be
-    compared unit-by-unit."""
+    columns — cheap, associative, and stable under shuffle, so reruns can
+    be compared unit-by-unit.  ``units`` (one-column DF of unit keys), when
+    given, is the COMPLETE set of units this call completed: keys with no
+    output rows are recorded with rows = 0 instead of being dropped by the
+    groupBy.  ``wall_sec`` is the caller-measured stage wall time (this
+    function cannot observe it — the stage executes inside the caller's
+    output write, not here); recorded per manifest row as the stage total.
+    """
     cols = checksum_cols or [c for c in result.columns if c != key]
-    t0 = time.time()
     per_key = (
         result.withColumn("_pid", F.spark_partition_id())
         .groupBy(key)
@@ -49,7 +72,13 @@ def record_stage(
             F.min("_pid").alias("partition_id"),
         )
     )
-    wall = time.time() - t0
+    if units is not None:
+        ucol = units.columns[0]
+        per_key = (
+            units.select(F.col(ucol).alias(key))
+            .join(per_key, key, "left")
+            .fillna({"rows": 0, "checksum": 0, "partition_id": -1})
+        )
     (
         per_key.select(
             F.lit(stage).alias("stage"),
@@ -57,8 +86,11 @@ def record_stage(
             "rows",
             "checksum",
             "partition_id",
+            F.lit(run_id or "").alias("run_id"),
             F.lit("done").alias("status"),
-            F.lit(wall).alias("wall_sec"),
+            F.lit(float(wall_sec if wall_sec is not None else -1.0)).alias(
+                "wall_sec"
+            ),
             F.current_timestamp().alias("ts"),
         )
         .write.mode("append")
@@ -79,24 +111,56 @@ def _xor_agg(col):
     )
 
 
-def completed_units(spark: SparkSession, root: str, stage: str) -> DataFrame:
-    """Distinct image_ids already finished for ``stage`` (empty DF if the
-    manifest doesn't exist yet)."""
+def _read_manifest(spark: SparkSession, root: str) -> DataFrame | None:
+    """None only when the manifest genuinely doesn't exist yet; any other
+    read failure (corruption, permissions) propagates — silently treating
+    it as 'nothing done' would duplicate every completed unit's output."""
     try:
-        m = spark.read.parquet(manifest_path(root))
-    except Exception:
-        return spark.createDataFrame([], "image_id string")
+        return spark.read.parquet(manifest_path(root))
+    except AnalysisException as ex:
+        if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
+            return None
+        raise
+
+
+def completed_units(spark: SparkSession, root: str, stage: str) -> DataFrame:
+    """Distinct unit keys already finished for ``stage`` (with the run_id
+    that completed them); empty DF if the manifest doesn't exist yet."""
+    m = _read_manifest(spark, root)
+    if m is None:
+        return spark.createDataFrame([], "image_id string, run_id string")
     return (
         m.filter((F.col("stage") == stage) & (F.col("status") == "done"))
-        .select("image_id")
+        .select("image_id", "run_id")
         .distinct()
     )
 
 
-def resume_filter(inputs: DataFrame, spark: SparkSession, root: str, stage: str) -> DataFrame:
+def resume_filter(
+    inputs: DataFrame,
+    spark: SparkSession,
+    root: str,
+    stage: str,
+    key: str = "image_id",
+) -> DataFrame:
     """inputs minus already-completed units — the restart path."""
-    done = completed_units(spark, root, stage)
-    return inputs.join(done, "image_id", "left_anti")
+    done = completed_units(spark, root, stage).select(
+        F.col("image_id").alias(key)
+    )
+    return inputs.join(done, key, "left_anti")
+
+
+def stage_output(
+    spark: SparkSession, root: str, stage: str, key: str = "image_id"
+) -> DataFrame:
+    """The stage's VISIBLE output: rows whose (unit, run_id) is recorded in
+    the manifest.  Orphan rows from a crash between output append and
+    manifest append carry an unrecorded run_id and are filtered out."""
+    out = spark.read.parquet(f"{root.rstrip('/')}/{stage}")
+    done = completed_units(spark, root, stage).select(
+        F.col("image_id").alias(key), F.col("run_id").alias("_run_id")
+    )
+    return out.join(done, [key, "_run_id"], "left_semi").drop("_run_id")
 
 
 def run_resumable(
@@ -108,15 +172,30 @@ def run_resumable(
     checksum_cols: list[str] | None = None,
 ) -> DataFrame:
     """Execute ``stage_fn(pending_inputs)`` for not-yet-done units, append
-    their lineage, and return the new results.  Callers union with any
-    previously persisted stage output if they need the full set."""
+    their output (stamped with this attempt's run_id) and their lineage, and
+    return the stage's FULL visible output (all completed units, old + new,
+    orphans from interrupted attempts excluded)."""
     spark = inputs.sparkSession
-    pending = resume_filter(inputs, spark, root, stage)
-    out = stage_fn(pending)
+    run_id = uuid.uuid4().hex
+    pending = resume_filter(inputs, spark, root, stage, key=key)
+    out = stage_fn(pending).withColumn("_run_id", F.lit(run_id))
     out_path = f"{root.rstrip('/')}/{stage}"
+    t0 = time.time()
     out.write.mode("append").parquet(out_path)
-    persisted = spark.read.parquet(out_path).join(
-        pending.select(key).distinct(), key, "semi"
+    wall = time.time() - t0
+    fresh = (
+        spark.read.parquet(out_path)
+        .filter(F.col("_run_id") == run_id)
+        .drop("_run_id")
     )
-    record_stage(persisted, stage, root, key=key, checksum_cols=checksum_cols)
-    return spark.read.parquet(out_path)
+    record_stage(
+        fresh,
+        stage,
+        root,
+        key=key,
+        checksum_cols=checksum_cols,
+        units=pending.select(key).distinct(),
+        run_id=run_id,
+        wall_sec=wall,
+    )
+    return stage_output(spark, root, stage, key=key).drop("_run_id")
