@@ -197,7 +197,10 @@ def main() -> None:
         scaling["efficiency_n_to_4n"] = round((thr_hi / thr_lo) / (hi / lo), 3)
 
     out = {
-        "metric": "tiles+joined-rows/sec (gen_tiles + cell PIP join + point-tile assign)",
+        # driver contract fixes unit='sec', so `value` is the headline
+        # job's WALL TIME; the BASELINE.json rate lives in rows_per_sec
+        # (lower value = better, higher rows_per_sec = better)
+        "metric": "headline wall sec (gen_tiles + cell PIP join + point-tile assign); rate in rows_per_sec",
         "value": round(t_head, 3),
         "unit": "sec",
         "queries": results,

@@ -68,9 +68,8 @@ def main(argv=None) -> int:
     # here (getOrCreate layers them onto the submitted session)
     owns_session = SparkSession.getActiveSession() is None
     spark = vm.get_spark(app_name=f"engine-{args.job}")
-    if args.shuffle_partitions:
-        spark.conf.set("spark.sql.shuffle.partitions",
-                       str(args.shuffle_partitions))
+    shuffle = args.shuffle_partitions or spark.sparkContext.defaultParallelism * 2
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle))
     cfg = EngineConfig(tile_size=args.tile_size, overlap_px=args.overlap)
 
     imgs = load_images(spark, args.images)
@@ -90,15 +89,13 @@ def main(argv=None) -> int:
         stage_fn = lambda df: pyramid.build_pyramid(df, levels=3)
         stage = "pyramid"
 
-    if args.resume:
-        result = MF.run_resumable(imgs, stage_fn, stage, out)
-        n = result.count()
-    else:
-        result = stage_fn(imgs)
-        result.write.mode("overwrite").parquet(f"{out}/{stage}")
-        result = spark.read.parquet(f"{out}/{stage}")
-        MF.record_stage(result, stage, out)
-        n = result.count()
+    # both modes flow through the manifest machinery (run_id-stamped
+    # output + lineage, exactly-once reads); a fresh run just forgets the
+    # stage first so stale 'done' rows can't shadow the new output
+    if not args.resume:
+        MF.clear_stage(spark, out, stage)
+    result = MF.run_resumable(imgs, stage_fn, stage, out)
+    n = result.count()
 
     wall = time.time() - t0
     print(json.dumps({"job": args.job, "rows": n, "sec": round(wall, 2),

@@ -86,3 +86,29 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("drop table if exists bkt_a")
         spark.sql("drop table if exists bkt_b")
+
+
+def test_geojson_emits_interior_rings(spark):
+    """A donut region's GeoJSON carries exterior + hole rings — the hole
+    must not be rendered as built-up area."""
+    import json
+
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators.sinks import polygons_to_geojson
+
+    plane = np.zeros((20, 20), dtype=np.int32)
+    plane[2:18, 2:18] = 1
+    plane[8:12, 8:12] = 0  # courtyard
+    df = spark.createDataFrame(
+        [("img_x", plane.tobytes(), 20, 20, "npy:<i4", 0.0, 0.0)],
+        "image_id string, bytes binary, w int, h int, fmt string, "
+        "ulx double, uly double",
+    )
+    polys = raster.polygonize_stage(df).collect()
+    assert len(polys) == 1 and polys[0]["n_holes"] == 1
+    assert len(polys[0]["holes"]) == 1
+    gj = polygons_to_geojson(raster.polygonize_stage(df)).first()
+    feat = json.loads(gj["geojson"])
+    assert len(feat["geometry"]["coordinates"]) == 2  # exterior + 1 hole

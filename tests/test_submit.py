@@ -41,3 +41,26 @@ def test_submit_tiles_job_and_resume(spark, tmp, capsys):
     m = spark.read.parquet(f"{tmp}/manifest")
     assert m.filter("stage = 'tiles'").count() > 20
     assert "partition_id" in m.columns
+
+
+def test_fresh_run_then_resume_mix(spark, tmp, capsys):
+    """Regression: a fresh (non-resume) run followed by --resume must not
+    lose the fresh run's rows or skip units whose output was overwritten."""
+    rc = submit.main([
+        "--images", f"synth:{SF}:15", "--output", tmp, "--job", "tiles",
+    ])
+    assert rc == 0
+    out1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    rc = submit.main([
+        "--images", f"synth:{SF}:30", "--output", tmp, "--job", "tiles",
+        "--resume",
+    ])
+    assert rc == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["rows"] > out1["rows"] > 0
+    # fresh run again: old manifest rows for the stage are forgotten
+    rc = submit.main([
+        "--images", f"synth:{SF}:10", "--output", tmp, "--job", "tiles",
+    ])
+    out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < out3["rows"] < out1["rows"]

@@ -30,12 +30,17 @@ from ..sources import codec
 
 
 def pair_image_label(images: DataFrame, labels: DataFrame) -> DataFrame:
-    """Filename-identity pairing -> image_id equi-join."""
+    """Filename-identity pairing -> image_id equi-join.  Label dims travel
+    with the label payload — the reference resizes image and label
+    independently (dataGenerator.py:59-77), so their source sizes may
+    differ."""
     return images.join(
         labels.select(
             "image_id",
             F.col("bytes").alias("label_bytes"),
             F.col("fmt").alias("label_fmt"),
+            F.col("w").alias("label_w"),
+            F.col("h").alias("label_h"),
         ),
         "image_id",
     )
@@ -75,7 +80,9 @@ def training_tensors(
                 img = img[:, :, :3]  # drop alpha (dataGenerator.py:66)
                 img = resize_bilinear(img, t, t).astype(np.float32)
 
-                lab = codec.decode(r.label_bytes, r.label_fmt, int(r.w), int(r.h))
+                lw = int(getattr(r, "label_w", r.w))
+                lh = int(getattr(r, "label_h", r.h))
+                lab = codec.decode(r.label_bytes, r.label_fmt, lw, lh)
                 if lab.ndim == 3:
                     lab = lab[:, :, 0]
                 lab = lab.copy()

@@ -303,7 +303,8 @@ def _decode_any(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
 
 POLYGON_SCHEMA = (
     "image_id string, poly_id int, value int, ring array<array<double>>, "
-    "n_holes int, area_m2 double, mbr array<array<double>>, mbr_area_m2 double"
+    "holes array<array<array<double>>>, n_holes int, area_m2 double, "
+    "mbr array<array<double>>, mbr_area_m2 double"
 )
 
 
@@ -332,7 +333,7 @@ def polygonize_stage(
 
 
 _POLYGON_COLS = [
-    "image_id", "poly_id", "value", "ring", "n_holes",
+    "image_id", "poly_id", "value", "ring", "holes", "n_holes",
     "area_m2", "mbr", "mbr_area_m2",
 ]
 
@@ -350,6 +351,7 @@ def _polygon_rows(
             continue
         pid += 1
         ring = kv.simplify_ring(poly["ring"], eps)
+        holes = [kv.simplify_ring(hh, eps) for hh in poly["holes"]]
         area = kv.polygon_area(ring[:, 0], ring[:, 1])
         mbr = kv.minimum_bounding_rectangle(ring[:-1])
         mbr_area = kv.polygon_area(mbr[:, 0], mbr[:, 1])
@@ -357,6 +359,7 @@ def _polygon_rows(
             (
                 image_id, pid, int(poly["value"]),
                 [list(map(float, v)) for v in ring],
+                [[list(map(float, v)) for v in hh] for hh in holes],
                 len(poly["holes"]), float(area),
                 [list(map(float, v)) for v in mbr], float(mbr_area),
             )

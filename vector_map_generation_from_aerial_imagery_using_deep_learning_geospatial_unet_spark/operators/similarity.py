@@ -188,6 +188,11 @@ def ann_ivf_topk(
     qid, qvec = q_cols
     cid, cvec = c_cols
     cents = ivf_centroids(corpus, n_centroids, c_cols=c_cols)
+    # the quantizer is tiny by construction (n_centroids x dim) but its
+    # lineage is the full Lloyd DAG over the corpus — materialize it once
+    # so the lists join and the probes join don't each recompute k-means
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(cents.collect(), cents.schema)
     lists = (
         corpus.join(F.broadcast(cents))
         .withColumn("ccos", cosine(F.col(cvec), F.col("cvec")))

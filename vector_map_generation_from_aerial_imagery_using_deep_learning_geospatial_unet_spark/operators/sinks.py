@@ -38,14 +38,25 @@ def write_tile_index_csv(tiles: DataFrame, path: str, mode: str = "overwrite") -
 
 def polygons_to_geojson(polygons: DataFrame) -> DataFrame:
     """S8: one GeoJSON Feature string per polygon row (value + area attrs,
-    matching the reference's attribute schema {id,value,area})."""
-    coords = F.to_json(F.array(F.col("ring")))
+    matching the reference's attribute schema {id,value,area}).  Coordinates
+    carry the exterior ring followed by interior (hole) rings, per the
+    GeoJSON Polygon spec — a donut must not cover its courtyard."""
+    if "holes" in polygons.columns:
+        rings = F.concat(
+            F.array(F.col("ring")),
+            F.coalesce(
+                F.col("holes"), F.array().cast("array<array<array<double>>>")
+            ),
+        )
+    else:  # hole-free producers (e.g. MBR-only paths)
+        rings = F.array(F.col("ring"))
+    coords = F.to_json(rings)
     feature = F.to_json(
         F.struct(
             F.lit("Feature").alias("type"),
             F.struct(
                 F.lit("Polygon").alias("type"),
-                F.array(F.col("ring")).alias("coordinates"),
+                rings.alias("coordinates"),
             ).alias("geometry"),
             F.struct(
                 F.col("poly_id").alias("id"),

@@ -18,13 +18,24 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    # Master precedence: explicit arg > SPARK_GRAFT_MASTER env > whatever
+    # spark-submit / spark-defaults configured > local[*] fallback.  Never
+    # unconditionally call .master(): that would override spark-submit's
+    # --master and silently run cluster submissions single-node local.
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        from pyspark import SparkConf
+
+        if not SparkConf().contains("spark.master"):
+            master = "local[*]"
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     )
+    b = SparkSession.builder.appName(app_name)
+    if master is not None:
+        b = b.master(master)
     b = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        b
         # Adaptive execution: runtime shuffle coalescing + skew-join splitting
         # (engine policy for densely built-up cells, SURVEY.md §4.2).
         .config("spark.sql.adaptive.enabled", "true")

@@ -163,6 +163,32 @@ def stage_output(
     return out.join(done, [key, "_run_id"], "left_semi").drop("_run_id")
 
 
+def clear_stage(spark: SparkSession, root: str, stage: str) -> None:
+    """Forget a stage entirely: drop its output directory and its manifest
+    rows (rewriting the manifest without them).  The fresh-run ('overwrite')
+    path of :func:`run_resumable`-based drivers — leaving stale 'done' rows
+    behind an overwritten output dir would make a later --resume silently
+    skip units whose data no longer exists."""
+    out_path = f"{root.rstrip('/')}/{stage}"
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(out_path)
+    p.getFileSystem(hconf).delete(p, True)
+    m = _read_manifest(spark, root)
+    if m is None:
+        return
+    kept = m.filter(F.col("stage") != stage)
+    # materialize before overwriting the file being read
+    rows = kept.collect()
+    if rows:
+        spark.createDataFrame(rows, kept.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(manifest_path(root))
+    else:
+        mp = jvm.org.apache.hadoop.fs.Path(manifest_path(root))
+        mp.getFileSystem(hconf).delete(mp, True)
+
+
 def run_resumable(
     inputs: DataFrame,
     stage_fn,

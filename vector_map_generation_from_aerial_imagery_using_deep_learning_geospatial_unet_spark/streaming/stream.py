@@ -90,10 +90,14 @@ def stream_dedup_images(
         .option("maxFilesPerTrigger", 8)
         .parquet(images_dir)
     )
+    stamped = src.withColumn("ingest_ts", F.current_timestamp())
+    # null keys compare equal in dropDuplicates* — images whose phash is
+    # missing would collapse to one survivor; they bypass dedup instead
     deduped = (
-        src.withColumn("ingest_ts", F.current_timestamp())
+        stamped.filter(F.col("phash").isNotNull())
         .withWatermark("ingest_ts", watermark)
         .dropDuplicatesWithinWatermark(["phash"])
+        .unionByName(stamped.filter(F.col("phash").isNull()))
         .drop("bytes")
     )
     writer = (
