@@ -48,8 +48,12 @@ def ann_bruteforce_topk(
     corpus row, per-query window rank.  (qid, rank, vec_id, cos)."""
     qid, qvec = q_cols
     cid, cvec = c_cols
-    scored = corpus.join(F.broadcast(queries)).withColumn(
-        "cos", cosine(F.col(qvec), F.col(cvec))
+    # norms as columns: computed once per row instead of once per PAIR
+    # (same FP expression order as cosine(), so values are bit-identical)
+    cn = corpus.withColumn("_cnorm", _norm(F.col(cvec)))
+    qn = queries.withColumn("_qnorm", _norm(F.col(qvec)))
+    scored = cn.join(F.broadcast(qn)).withColumn(
+        "cos", _dot(F.col(qvec), F.col(cvec)) / (F.col("_qnorm") * F.col("_cnorm"))
     )
     w = Window.partitionBy(qid).orderBy(F.desc("cos"), F.col(cid))
     return (
@@ -107,14 +111,18 @@ def ann_lsh_topk(
     candidate buckets instead of the full corpus."""
     qid, qvec = q_cols
     cid, cvec = c_cols
-    cb = corpus.withColumn("bucket", lsh_bucket(F.col(cvec), dim))
-    qb = queries.withColumn("bucket0", lsh_bucket(F.col(qvec), dim))
+    cb = corpus.withColumn("bucket", lsh_bucket(F.col(cvec), dim)).withColumn(
+        "_cnorm", _norm(F.col(cvec))
+    )
+    qb = queries.withColumn("bucket0", lsh_bucket(F.col(qvec), dim)).withColumn(
+        "_qnorm", _norm(F.col(qvec))
+    )
     probes = [
         F.col("bucket0").bitwiseXOR(F.lit(m)) for m in _probe_masks(multiprobe)
     ]
     qb = qb.withColumn("bucket", F.explode(F.array(*probes)))
     scored = qb.join(cb, "bucket").withColumn(
-        "cos", cosine(F.col(qvec), F.col(cvec))
+        "cos", _dot(F.col(qvec), F.col(cvec)) / (F.col("_qnorm") * F.col("_cnorm"))
     )
     w = Window.partitionBy(qid).orderBy(F.desc("cos"), F.col(cid))
     return (
@@ -229,13 +237,18 @@ def embedding_near_dup_pairs(
     :func:`embedding_near_dup_pairs_lsh`."""
     cid, cvec = c_cols
     a = corpus.select(
-        F.col(cid).alias("id_a"), F.col(cvec).alias("vec_a")
+        F.col(cid).alias("id_a"), F.col(cvec).alias("vec_a"),
+        _norm(F.col(cvec)).alias("norm_a"),
     )
     b = corpus.select(
-        F.col(cid).alias("id_b"), F.col(cvec).alias("vec_b")
+        F.col(cid).alias("id_b"), F.col(cvec).alias("vec_b"),
+        _norm(F.col(cvec)).alias("norm_b"),
     )
+    # norms precomputed per ROW; the O(n^2) pair stage evaluates only the
+    # dot (cosine() inline would redo both norms once per pair)
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
-        "cos", cosine(F.col("vec_a"), F.col("vec_b"))
+        "cos",
+        _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
     )
     return pairs.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
 
@@ -255,24 +268,32 @@ def embedding_near_dup_pairs_lsh(
     recall-vs-exact gap is pinned by tests.  Emitted exactly once per pair
     (dedup on the probe expansion)."""
     cid, cvec = c_cols
-    base = corpus.select(
-        F.col(cid).alias("_id"), F.col(cvec).alias("_vec")
-    ).withColumn("bucket0", lsh_bucket(F.col("_vec"), dim))
+    base = (
+        corpus.select(F.col(cid).alias("_id"), F.col(cvec).alias("_vec"))
+        .withColumn("bucket0", lsh_bucket(F.col("_vec"), dim))
+        .withColumn("_norm", _norm(F.col("_vec")))
+    )
     probes = [
         F.col("bucket0").bitwiseXOR(F.lit(m)) for m in _probe_masks(multiprobe)
     ]
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"),
+        F.col("_norm").alias("norm_a"),
         F.explode(F.array(*probes)).alias("bucket"),
     )
     b = base.select(
         F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"),
+        F.col("_norm").alias("norm_b"),
         F.col("bucket0").alias("bucket"),
     )
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .withColumn(
+            "cos",
+            _dot(F.col("vec_a"), F.col("vec_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
     )
     return pairs.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
