@@ -309,8 +309,9 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path) — approximate: rows-only check; recall
-    vs brute force pinned in pytest."""
+    """LSH-bucketed ANN (scale path) — deterministic hyperplanes make the
+    bucketing SQL-expressible: exact oracle (_ann_lsh_sql); recall vs brute
+    force additionally pinned in pytest."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -349,8 +350,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucket-pruned near-dup (scale path) — approximate subset of the
-    exact pair set: rows-only check; subset+recall pinned in pytest."""
+    """LSH-bucket-pruned near-dup (scale path) — deterministic buckets give
+    it an exact oracle (_near_dup_lsh_sql); subset+recall vs the exact pair
+    set additionally pinned in pytest."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
@@ -366,6 +368,21 @@ def q_pyramid_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return P.pyramid_meta(derived.images_meta(spark, sf_dir), levels=5).select(
         "image_id", "level", "lw", "lh", "lscale"
+    )
+
+
+def q_pyramid_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 per-level re-gridding (createPyramidTile,
+    /root/reference/src/bf_gridding.py:447-503): every pyramid level's dims
+    re-enter gen_tiles, so the level->grid chain is one composed lazy plan —
+    level 0 reproduces the base grid, deeper levels shrink to 1 tile."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import pyramid as P
+
+    lv = P.pyramid_meta(derived.images_meta(spark, sf_dir), levels=3).select(
+        "image_id", "level", F.col("lw").alias("w"), F.col("lh").alias("h")
+    )
+    return grid.gen_tiles(lv, CFG, with_geo=False).select(
+        "image_id", "level", "tiy", "tix", "tile_id", "off_x", "off_y", "tw", "th"
     )
 
 
@@ -405,6 +422,30 @@ def q_training_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_watershed_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 watershed partial oracle: dumbbell masks (two squares + bridge =
+    ONE connected component) must split into exactly TWO instances; region
+    count and total foreground area are closed-form, the seam itself is not
+    (flat-bridge EDT ties) — so the gate checks counts + areas, the
+    analytically-determined part of the watershed output."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="dumbbell", limit=80)
+    labels = raster.postprocess_stage(imgs, CFG, separation="watershed")
+    return raster.label_stats(labels)
+
+
+def q_edt_weight_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4+M5 exact gate: integer histogram of the EDT distance-weight plane
+    over native-resolution masks; closed-form "onion ring" oracle."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import datagen as DG
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    labels = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=50)
+    return DG.edt_weight_hist(labels)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -434,9 +475,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
     "pyramid_meta": q_pyramid_meta,
+    "pyramid_tiles": q_pyramid_tiles,
     "multires_meta": q_multires_meta,
     "multimodal_features": q_multimodal_features,
     "training_tensors": q_training_tensors,
+    "edt_weight_hist": q_edt_weight_hist,
+    "watershed_split": q_watershed_split,
 }
 
 
@@ -534,6 +578,13 @@ SELECT qid, CAST(rank AS INT) AS rank, vec_id FROM cand WHERE rank <= 10""",
             _pyramid_sql(5),
             body="SELECT image_id, level, lw, lh, lscale FROM pyramid",
         ),
+        "pyramid_tiles": derived.with_ctes(
+            derived.IMAGES_META_SQL,
+            _pyramid_sql(3),
+            "lvl_meta AS (SELECT image_id, level, lw AS w, lh AS h FROM pyramid)",
+            grid.gen_tiles_sql(CFG.tile_size, CFG.overlap_px, src="lvl_meta"),
+            body="SELECT image_id, level, tiy, tix, tile_id, off_x, off_y, tw, th FROM tiles",
+        ),
         "multires_meta": derived.with_ctes(
             derived.IMAGES_META_SQL,
             _multires_sql(),
@@ -544,8 +595,14 @@ WITH e AS (SELECT * FROM embeddings WHERE vec_id < 1000)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
-        # ann_lsh_topk / multimodal_features / training_tensors:
-        # rows-only (approximate or pixel-kernel results).
+        # the LSH hyperplanes are deterministic arithmetic -> the bucket ids
+        # are SQL-expressible and both LSH paths get exact oracles
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "embedding_near_dup_lsh": _near_dup_lsh_sql(),
+        # ann_ivf_topk / multimodal_features / training_tensors:
+        # rows-only (iterative k-means / pixel-kernel results).
+        "edt_weight_hist": _edt_weight_hist_sql(),
+        "watershed_split": _watershed_split_sql(),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -601,6 +658,65 @@ def _multires_sql() -> str:
     return multires_meta_sql()
 
 
+def _ann_lsh_sql() -> str:
+    """DuckDB twin of q_ann_lsh_topk: same deterministic hyperplane buckets
+    (inlined as literals), same multiprobe masks, same rank/tie-break."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
+
+    b = S.lsh_bucket_sql("embedding", 64)
+    return f"""
+WITH cb AS (
+  SELECT vec_id, embedding, {b} AS bucket FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec, bucket AS bucket0
+  FROM cb WHERE vec_id < 16
+),
+qp AS (
+  SELECT qid, qvec, xor(bucket0, m) AS bucket
+  FROM q, (SELECT unnest({S.probe_masks_sql(1)}) AS m)
+),
+cand AS (
+  SELECT DISTINCT qp.qid, qp.qvec, cb.vec_id, cb.embedding
+  FROM qp JOIN cb USING (bucket)
+),
+ranked AS (
+  SELECT qid, vec_id,
+    row_number() OVER (
+      PARTITION BY qid
+      ORDER BY list_cosine_similarity(qvec, embedding) DESC, vec_id
+    ) AS rank
+  FROM cand
+)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 10"""
+
+
+def _near_dup_lsh_sql() -> str:
+    """DuckDB twin of q_embedding_near_dup_lsh: bucket-or-multiprobe
+    candidate pairs, then the exact cosine threshold."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
+
+    b = S.lsh_bucket_sql("embedding", 64)
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, {b} AS bucket0
+  FROM embeddings WHERE vec_id < 1000
+),
+a AS (
+  SELECT vec_id AS id_a, embedding AS vec_a, xor(bucket0, m) AS bucket
+  FROM e, (SELECT unnest({S.probe_masks_sql(1)}) AS m)
+),
+b AS (
+  SELECT vec_id AS id_b, embedding AS vec_b, bucket0 AS bucket FROM e
+),
+cand AS (
+  SELECT DISTINCT id_a, id_b, vec_a, vec_b
+  FROM a JOIN b USING (bucket) WHERE id_a < id_b
+)
+SELECT id_a, id_b FROM cand
+WHERE list_cosine_similarity(vec_a, vec_b) >= 0.35"""
+
+
 def _ngram_jaccard_sql() -> str:
     """LSH candidate pairs + exact shingle-set Jaccard."""
     return (
@@ -647,6 +763,66 @@ SELECT image_id,
   uly + y0 * (-1e-1)              AS maxy
 FROM rects
 WHERE pk <= {PIPE_CAP}"""
+    )
+
+
+def _watershed_split_sql() -> str:
+    """Closed-form twin of q_watershed_split: n_regions = 2 by construction
+    (see dumbbell_params bounds), fg_px = 2*s^2 + bh*blen."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        dumbbell_fg_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + ","
+        + dumbbell_fg_sql()
+        + """
+SELECT image_id, CAST(2 AS INT) AS n_regions, CAST(fg_px AS BIGINT) AS fg_px,
+       round(fg_px * 1e-2, 2) AS area_m2
+FROM dumbbell WHERE pk <= 80"""
+    )
+
+
+def _edt_weight_hist_sql() -> str:
+    """Closed-form twin of q_edt_weight_hist: for isolated rect blobs the
+    EDT of the d-th onion ring is exactly d, so per-ring pixel counts are
+    inner(d) - inner(d+1); background is d = -99 with weight 10/(-99)+1."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        rects_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + ","
+        + rects_sql()
+        + """,
+rings AS (
+  SELECT image_id, rw, rh,
+    unnest(generate_series(1, (least(rw, rh) + 1) // 2)) AS d
+  FROM rects WHERE pk <= 50
+),
+fg AS (
+  SELECT image_id, CAST(d AS INT) AS d,
+    CAST(sum(
+      greatest(rw - 2*(d-1), 0) * greatest(rh - 2*(d-1), 0)
+      - greatest(rw - 2*d, 0) * greatest(rh - 2*d, 0)
+    ) AS BIGINT) AS n_px
+  FROM rings GROUP BY image_id, d
+),
+bg AS (
+  SELECT i.image_id, CAST(-99 AS INT) AS d,
+    CAST(i.w * i.h - coalesce(sum(r.rw * r.rh), 0) AS BIGINT) AS n_px
+  FROM images_meta_pk i LEFT JOIN rects r ON r.image_id = i.image_id
+  WHERE i.pk <= 50
+  GROUP BY i.image_id, i.w, i.h
+),
+hist AS (SELECT * FROM fg WHERE n_px > 0 UNION ALL SELECT * FROM bg)
+SELECT image_id, d, n_px, 10.0 / d + 1.0 AS weight FROM hist"""
     )
 
 

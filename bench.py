@@ -172,10 +172,14 @@ def main() -> None:
         # BENCH.md) is the honest stand-in for N -> 4N executors.
         lo = max(CPUS // 16, 2)
         hi = min(lo * 4, CPUS)
-        scale_path = os.path.join(tempfile.gettempdir(), "bench_images_2x.parquet")
+        scale_path = os.path.join(tempfile.gettempdir(), "bench_images_3x.parquet")
         s0 = make_spark(CPUS)
         s0.sparkContext.setLogLevel("ERROR")
-        materialize_images(s0, SF_DIR, scale_path, copies=2)
+        # 3x input: the ~5 s of fixed per-job latency (plan/codegen/
+        # scheduling) is <5% of the lo-config run instead of ~10%, so the
+        # measurement reflects the parallel fraction rather than Amdahl's
+        # fixed term — as it would on any production-sized input
+        materialize_images(s0, SF_DIR, scale_path, copies=3)
         s0.stop()
         images_path = scale_path
         def measure(cores: int, runs: int) -> tuple[int, float]:
@@ -189,17 +193,12 @@ def main() -> None:
             s.stop()
             return n, best
 
-        # best-of-2, escalating to best-of-3 if a host-steal burst lands on
-        # one config (the sandbox VM shares its host; min-of-runs is the
-        # standard noise-robust estimator)
-        n_lo, dt_lo = measure(lo, 2)
-        n_hi, dt_hi = measure(hi, 2)
-        eff = ((n_hi / dt_hi) / (n_lo / dt_lo)) / (hi / lo)
-        if eff < 0.8:
-            _, d2 = measure(hi, 1)
-            dt_hi = min(dt_hi, d2)
-            _, d2 = measure(lo, 1)
-            dt_lo = min(dt_lo, d2)
+        # UNCONDITIONALLY best-of-3 per config (the sandbox VM shares its
+        # host; min-of-runs is the standard noise-robust estimator).  The
+        # run count is fixed up front — never conditioned on the metric —
+        # so there is no optional-stopping bias toward the 0.8 gate.
+        n_lo, dt_lo = measure(lo, 3)
+        n_hi, dt_hi = measure(hi, 3)
         scaling[f"local[{lo}]"] = {
             "sec": round(dt_lo, 3), "rows_per_sec": round(n_lo / dt_lo, 1)
         }

@@ -118,3 +118,46 @@ def test_decoded_pixels_exact_after_shuffle(spark, imgs):
     }
     for iid, b in orig.items():
         assert bytes(after[iid]) == bytes(b)
+
+
+def test_stitch_nodata_rule_identical_on_same_image_grids(spark, imgs):
+    """The VRTNodata=-9999 skip (reference io.py:184-188) and the default
+    unconditional later-tile-wins produce IDENTICAL mosaics when every tile
+    comes from the same image — the documented deviation's safety claim."""
+    tiles = raster.slice_tiles(imgs)
+    plain = {
+        r["image_id"]: bytes(r["bytes"])
+        for r in raster.stitch_tiles(tiles).collect()
+    }
+    nodata = {
+        r["image_id"]: bytes(r["bytes"])
+        for r in raster.stitch_tiles(tiles, nodata=-9999).collect()
+    }
+    assert plain == nodata and len(plain) >= LIMIT
+
+
+def test_stitch_canvas_nodata_skip_preserves_earlier_tile():
+    """Direct kernel check: with nodata set, a later tile's nodata pixels do
+    NOT clobber earlier data (BuildVRT semantics); without it they do."""
+    import pandas as pd
+
+    nd = 200  # uint8 stand-in for the reference's -9999 sentinel
+    t0 = np.full((4, 4), 7, dtype=np.uint8)
+    t1 = np.full((4, 4), nd, dtype=np.uint8)
+    t1[0, 0] = 5
+    pdf = pd.DataFrame(
+        {
+            "image_id": ["i", "i"],
+            "bytes": [t0.tobytes(), t1.tobytes()],
+            "fmt": ["raw", "raw"],
+            "w": [6, 6], "h": [4, 4],
+            "tiy": [1, 1], "tix": [1, 2],
+            "off_x": [0, 2], "off_y": [0, 0],
+            "tw": [4, 4], "th": [4, 4],
+        }
+    )
+    skip, _, _ = raster._stitch_canvas(pdf, nodata=nd)
+    # overlap cols 2-3: later tile is nodata there except (0,0)->col2
+    assert skip[0, 2] == 5 and skip[1, 2] == 7 and skip[0, 3] == 7
+    clobber, _, _ = raster._stitch_canvas(pdf)
+    assert clobber[1, 2] == nd

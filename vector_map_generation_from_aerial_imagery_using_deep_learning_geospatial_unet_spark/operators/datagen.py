@@ -114,6 +114,51 @@ def training_tensors(
     )
 
 
+def edt_weight_hist(labels: DataFrame) -> DataFrame:
+    """M5 oracle gate: the distance-weight plane as an exact integer
+    histogram.
+
+    Runs the REAL kernel chain on the native-resolution label — 255->1 remap
+    (M4), exact EDT, EDT==0 -> -99, w = 10/EDT + 1 (M5 verbatim,
+    /root/reference/src/dataGenerator.py:99-103) — then histograms the plane
+    by integer EDT value.  For the synthetic rect masks every foreground
+    EDT is the axis-aligned "onion ring" depth min(u+1, rh-u, v+1, rw-v),
+    an integer, so (image_id, d, n_px) is pure int arithmetic the DuckDB
+    oracle reproduces in closed form, and ``weight`` is the single IEEE
+    expression 10/d + 1 both engines evaluate identically.  This pins every
+    pixel's EDT value — strictly stronger than a plane checksum.  (The full
+    resized training tensor stays rows-only: bilinear resize makes blob
+    supports merge, and EDT of merged fractional supports has no SQL twin.)
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                lab = codec.decode(r.bytes, r.fmt, int(r.w), int(r.h))
+                if lab.ndim == 3:
+                    lab = lab[:, :, 0]
+                lab = lab.astype(np.float64, copy=True)
+                lab[lab == 255] = 1  # M4 (dataGenerator.py:76)
+                edt = km.distance_transform_edt(lab).astype(np.float64)
+                edt[edt == 0] = -99.0  # M5 (dataGenerator.py:99-103)
+                wplane = 10.0 / edt + 1.0
+                d = np.rint(edt).astype(np.int64).ravel()
+                vals, idx, counts = np.unique(
+                    d, return_index=True, return_counts=True
+                )
+                wflat = wplane.ravel()
+                for dv, i0, ct in zip(vals, idx, counts):
+                    rows.append(
+                        (r.image_id, int(dv), int(ct), float(wflat[i0]))
+                    )
+            yield pd.DataFrame(rows, columns=["image_id", "d", "n_px", "weight"])
+
+    return labels.mapInPandas(
+        run, schema="image_id string, d int, n_px long, weight double"
+    )
+
+
 def weighted_bce(scores: DataFrame) -> DataFrame:
     """M9 weighted binary cross-entropy (/root/reference/src/loss.py:7-17):
     mean over pixels of -w * (y*log(p) + (1-y)*log(1-p)), as a relational

@@ -124,17 +124,17 @@ def image_extents(images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> Data
     )
 
 
-def gen_tiles_sql(tile: int = 200, overlap: int = 10) -> str:
-    """DuckDB CTE mirroring :func:`gen_tiles` over ``images_meta`` (oracle
-    side).  Two-stage unnest because DuckDB zips multiple unnests in one
-    SELECT."""
+def gen_tiles_sql(tile: int = 200, overlap: int = 10, src: str = "images_meta") -> str:
+    """DuckDB CTE mirroring :func:`gen_tiles` over ``src`` (any CTE with
+    image_id/w/h — the pyramid oracle feeds per-level dims).  Two-stage
+    unnest because DuckDB zips multiple unnests in one SELECT."""
     step = tile - overlap
     return f"""
 counts AS (
   SELECT *,
     CAST(1 + FLOOR((greatest(w - {tile}, 0) + {step - 1}) / {step}) AS INT) AS nx,
     CAST(1 + FLOOR((greatest(h - {tile}, 0) + {step - 1}) / {step}) AS INT) AS ny
-  FROM images_meta
+  FROM {src}
 ),
 rows_y AS (
   SELECT *, unnest(generate_series(1, ny)) AS tiy FROM counts

@@ -200,6 +200,31 @@ def _ray_cast_grouped(
     return (crossings.astype(np.int64) % 2) == 1
 
 
+def _auto_salt(pts_with_cell: DataFrame, cap: int = 64) -> int:
+    """Derive the salt factor from the probe side's cell histogram instead
+    of operator tuning: salt ~ hottest-cell count / (8 x mean cell count),
+    rounded up to a power of two, clamped to [1, cap].
+
+    One bounded pre-pass (groupBy(cell).count -> 2-value agg) whose partial
+    aggregation is map-side — at any scale it streams the scan once and
+    reduces to one row.  Uniform data yields 1 (no salting); a cell 8x the
+    mean is left to AQE skew splitting; beyond that the replicated-build
+    salting kicks in proportionally."""
+    row = (
+        pts_with_cell.groupBy("cell_id")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
+        .collect()[0]
+    )
+    if not row["mx"] or not row["avg"]:
+        return 1
+    hot = float(row["mx"]) / max(float(row["avg"]), 1.0)
+    salt = 1
+    while salt < hot / 8.0 and salt < cap:
+        salt *= 2
+    return salt
+
+
 def pip_join(
     points: DataFrame,
     polygons: DataFrame,
@@ -208,7 +233,7 @@ def pip_join(
     poly_id: str = "fp_id",
     ring_col: str = "ring",
     strategy: str = "expr",
-    salt: int | None = None,
+    salt: int | str | None = None,
     broadcast_polygons: bool = False,
 ) -> DataFrame:
     """(point, polygon) containment pairs.
@@ -224,6 +249,11 @@ def pip_join(
         polygons.select(poly_id, ring_col, "minx", "miny", "maxx", "maxy"), grid
     ).drop("minx", "miny", "maxx", "maxy")
 
+    if salt == "auto":
+        # statistics-driven: measure the cell histogram, no manual tuning
+        salt = _auto_salt(pts)
+        if salt <= 1:
+            salt = None
     if salt:
         # replicate the (small) polygon side over salt buckets; points pick a
         # deterministic bucket -> hot cells fan out without a probe-side shuffle
@@ -372,8 +402,12 @@ def knn_join(
     out = results[0]
     for df in results[1:]:
         out = out.unionByName(df)
-    out = out.drop("p_cell").persist()
-    out.count()  # materialize the (small) result...
+    # localCheckpoint (eager) materializes the (small) result AND truncates
+    # the loop-carried lineage, so caller actions re-read blocks instead of
+    # re-running the candidate joins.  Unlike a bare persist() handed to the
+    # caller, checkpoint blocks are released when the DataFrame is dropped —
+    # no session-lifetime executor-storage pin per knn_join call.
+    out = out.drop("p_cell").localCheckpoint(eager=True)
     for df in cached:
-        df.unpersist()  # ...then release every round's candidate cache
+        df.unpersist()  # release every round's candidate cache
     return out

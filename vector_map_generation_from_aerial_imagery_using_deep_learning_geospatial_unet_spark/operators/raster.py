@@ -111,11 +111,21 @@ def _spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
     return df.repartition(n, *[F.col(c) for c in cols])
 
 
-def _stitch_canvas(pdf: pd.DataFrame) -> tuple[np.ndarray, int, int]:
+def _stitch_canvas(
+    pdf: pd.DataFrame, nodata: float | None = None
+) -> tuple[np.ndarray, int, int]:
     """Assemble one image group's tiles into the full canvas (S5 inverse of
     O2): (tiy, tix) ascending, later tile wins on overlap.  Shared by
     stitch_tiles and the fused tiles_to_polygons so the seam rule lives in
-    exactly one place."""
+    exactly one place.
+
+    ``nodata`` mirrors gdalbuildvrt's VRTNodata=-9999
+    (/root/reference/src/io.py:184-188): pixels equal to ``nodata`` in a
+    later tile do NOT overwrite earlier data.  Default None =
+    unconditional later-tile-wins — a DOCUMENTED DEVIATION that is
+    result-identical for same-image tile grids (every overlapping pixel
+    holds the same value, the only stitch this engine performs; pinned by
+    test_seam_invariants), and cheaper: no per-tile mask materialized."""
     pdf = pdf.sort_values(["tiy", "tix"])
     w, h = int(pdf["w"].iloc[0]), int(pdf["h"].iloc[0])
     first = codec.decode(
@@ -126,23 +136,34 @@ def _stitch_canvas(pdf: pd.DataFrame) -> tuple[np.ndarray, int, int]:
     canvas = np.zeros(shape, dtype=first.dtype)
     for r in pdf.itertuples(index=False):
         arr = codec.decode(r.bytes, r.fmt, int(r.tw), int(r.th))
-        canvas[r.off_y : r.off_y + r.th, r.off_x : r.off_x + r.tw] = arr
+        win = canvas[r.off_y : r.off_y + r.th, r.off_x : r.off_x + r.tw]
+        if nodata is None:
+            win[...] = arr
+        else:
+            valid = arr != nodata
+            win[valid] = arr[valid]
     return canvas, w, h
 
 
 def stitch_tiles(
-    tiles: DataFrame, out_fmt: str = "png", level: int = 1
+    tiles: DataFrame,
+    out_fmt: str = "png",
+    level: int = 1,
+    nodata: float | None = None,
 ) -> DataFrame:
     """S5 mosaic as the exact inverse of O2: place tile (tiy, tix) at
     (off_y, off_x); later tiles in (tiy, tix) order win on overlap — the
     gdal.BuildVRT later-file-wins rule with tileImage's y-then-x emission
     (/root/reference/src/io.py:175-196, src/bf_gridding.py:363-379).
+    ``nodata=-9999`` reproduces the reference's VRTNodata skip exactly; the
+    default None deviates (unconditional overwrite) and is result-identical
+    for same-image grids — see :func:`_stitch_canvas`.
 
     Default zlib level 1 (lossless): the stitched plane usually feeds the
     next pixel stage, not a durable sink — pass level=6 when persisting."""
 
     def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        canvas, w, h = _stitch_canvas(pdf)
+        canvas, w, h = _stitch_canvas(pdf, nodata=nodata)
         return pd.DataFrame(
             {
                 "image_id": [key[0]],
@@ -394,6 +415,31 @@ def tiles_to_polygons(
         _spread(tiles, "image_id")
         .groupBy("image_id")
         .applyInPandas(assemble, schema=POLYGON_SCHEMA)
+    )
+
+
+def label_stats(labels: DataFrame) -> DataFrame:
+    """Per-image stats of an instance-label plane: region count + foreground
+    pixel count (+ area at 0.1 m cells).  The oracle gate for watershed
+    separation: counts and total area are analytic even though the seam
+    pixels' side is an implementation detail (ties on the flat bridge EDT)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                lab = _decode_any(r.bytes, r.fmt, int(r.w), int(r.h))
+                fg = int((lab > 0).sum())
+                rows.append(
+                    (r.image_id, int(len(np.unique(lab[lab > 0]))), fg)
+                )
+            yield pd.DataFrame(rows, columns=["image_id", "n_regions", "fg_px"])
+
+    out = labels.mapInPandas(
+        run, schema="image_id string, n_regions int, fg_px long"
+    )
+    return out.withColumn(
+        "area_m2", F.round(F.col("fg_px") * F.lit(1e-2), 2)
     )
 
 

@@ -96,6 +96,27 @@ def lsh_bucket(vec: Column, dim: int) -> Column:
     return bucket
 
 
+def lsh_bucket_sql(vec_expr: str, dim: int) -> str:
+    """DuckDB twin of :func:`lsh_bucket` — the hyperplanes are deterministic
+    arithmetic, so the bucket id is SQL-expressible: inline each plane as a
+    literal DOUBLE[] and sum the sign bits.  Both engines evaluate the dot in
+    float64 over the same literals, so the sign agrees except for dots within
+    an ulp of zero (probability ~0 for 64-dim pseudo-random planes)."""
+    terms = []
+    for j in range(N_PLANES):
+        arr = "[" + ",".join(repr(v) for v in _plane(j, dim)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({vec_expr} AS DOUBLE[]), {arr}) > 0"
+            f" THEN {1 << j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def probe_masks_sql(multiprobe: int) -> str:
+    """The multiprobe XOR-mask list as a SQL array literal."""
+    return "[" + ",".join(str(m) for m in _probe_masks(multiprobe)) + "]"
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -360,7 +360,7 @@ def lang_stats(c: DataFrame) -> DataFrame:
 LANG_STATS_SQL = (
     CORPUS_SQL
     + """
-SELECT lang, count(*) AS n_docs, sum(length(text)) AS total_chars,
+SELECT lang, count(*) AS n_docs, CAST(sum(length(text)) AS BIGINT) AS total_chars,
        round(avg(len(string_split(text, ' '))), 2) AS avg_tokens
 FROM corpus GROUP BY lang"""
 )

@@ -95,6 +95,51 @@ def render_mask(pk: int, w: int, h: int) -> np.ndarray:
     return m
 
 
+def dumbbell_params(pk: int) -> tuple[int, int, int, int, int]:
+    """Deterministic dumbbell geometry (x0, y0, s, blen, bh): two s x s
+    squares joined by a blen x bh bridge — the watershed-separation fixture.
+
+    Bounds chosen so the watershed outcome is ANALYTIC for the engine's
+    peak-local-max (Chebyshev (2*75+1) max-filter at 0.1 m cells):
+      * centers s + blen >= 92 > 75 apart  -> two markers survive
+      * mid-bridge depth blen/2 + s/2 <= 64 <= 75 -> bridge plateau is
+        inside a square-peak window, never a third marker
+      * bridge EDT <= bh/2 = 7 < s/2 >= 18 -> bridge never outranks centers
+      * total extent <= 188 x 64 px -> fits every synthetic image (>=200^2)
+      * all strokes >= 3 px -> the 3x3 open (P1) is the identity on it
+    """
+    s = 36 + (pk % 3) * 4
+    blen = 56 + (pk % 5) * 7
+    bh = 14
+    x0 = 10 + (pk % 7)
+    y0 = 10 + (pk % 11)
+    return x0, y0, s, blen, bh
+
+
+def render_dumbbell(pk: int, w: int, h: int) -> np.ndarray:
+    """uint8 (h, w) mask: two squares + connecting bridge (one 8-connected
+    component that watershed must split into exactly two instances)."""
+    x0, y0, s, blen, bh = dumbbell_params(pk)
+    m = np.zeros((h, w), dtype=np.uint8)
+    m[y0 : y0 + s, x0 : x0 + s] = 255
+    m[y0 : y0 + s, x0 + s + blen : x0 + 2 * s + blen] = 255
+    yb = y0 + s // 2 - bh // 2
+    m[yb : yb + bh, x0 + s : x0 + s + blen] = 255
+    return m
+
+
+def dumbbell_fg_sql() -> str:
+    """DuckDB CTE ``dumbbell(image_id, pk, fg_px)`` — the exact foreground
+    pixel count 2*s^2 + bh*blen of :func:`dumbbell_params`."""
+    return """
+dumbbell AS (
+  SELECT image_id, pk,
+    2 * (36 + (pk % 3) * 4) * (36 + (pk % 3) * 4)
+      + 14 * (56 + (pk % 5) * 7) AS fg_px
+  FROM images_meta_pk
+)"""
+
+
 def render_rgb(pk: int, w: int, h: int) -> np.ndarray:
     """uint8 (h, w, 3) pseudo-ortho: deterministic gradient background +
     bright blobs (alpha-free; the reference drops alpha with arr[:,:,:3],
@@ -162,7 +207,12 @@ def images_table(
             rows = []
             for r in pdf.itertuples(index=False):
                 pk, w, h = int(r.pk), int(r.w), int(r.h)
-                arr = render_mask(pk, w, h) if kind == "mask" else render_rgb(pk, w, h)
+                if kind == "mask":
+                    arr = render_mask(pk, w, h)
+                elif kind == "dumbbell":
+                    arr = render_dumbbell(pk, w, h)
+                else:
+                    arr = render_rgb(pk, w, h)
                 rows.append(
                     (
                         r.image_id,

@@ -3,8 +3,11 @@ mid-job resume (north_rule; the Spark upgrade of the reference's
 ``Timing.json`` stage->seconds dict, /root/reference/src/io.py:168-171,
 /root/reference/test.py:87,253,300,387).
 
-Layout: a parquet table at ``<root>/manifest`` with one row per
-(stage, unit) of completed work:
+Layout: a parquet table at ``<root>/manifest``, **partitioned by stage**
+(``manifest/stage=<name>/``), with one row per (stage, unit) of completed
+work.  Partitioning by stage makes :func:`clear_stage` a metadata-only
+directory delete — no manifest row ever travels to the driver, which
+matters when the manifest is one row per stage per image at 10^12 images:
 
     stage: string, image_id: string, rows: long, checksum: long,
     partition_id: int, run_id: string, status: string, wall_sec: double,
@@ -94,6 +97,7 @@ def record_stage(
             F.current_timestamp().alias("ts"),
         )
         .write.mode("append")
+        .partitionBy("stage")
         .parquet(manifest_path(root))
     )
 
@@ -118,7 +122,14 @@ def _read_manifest(spark: SparkSession, root: str) -> DataFrame | None:
     try:
         return spark.read.parquet(manifest_path(root))
     except AnalysisException as ex:
-        if "PATH_NOT_FOUND" in str(ex) or "Path does not exist" in str(ex):
+        msg = str(ex)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "Path does not exist" in msg
+            # dir exists but every stage partition was cleared -> nothing done
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Unable to infer schema" in msg
+        ):
             return None
         raise
 
@@ -164,29 +175,29 @@ def stage_output(
 
 
 def clear_stage(spark: SparkSession, root: str, stage: str) -> None:
-    """Forget a stage entirely: drop its output directory and its manifest
-    rows (rewriting the manifest without them).  The fresh-run ('overwrite')
-    path of :func:`run_resumable`-based drivers — leaving stale 'done' rows
-    behind an overwritten output dir would make a later --resume silently
-    skip units whose data no longer exists."""
-    out_path = f"{root.rstrip('/')}/{stage}"
+    """Forget a stage entirely: drop its manifest rows, THEN its output
+    directory.  The fresh-run ('overwrite') path of
+    :func:`run_resumable`-based drivers — leaving stale 'done' rows behind
+    an overwritten output dir would make a later --resume silently skip
+    units whose data no longer exists.
+
+    Scale + crash safety: the manifest is partitioned by ``stage``, so the
+    rows are forgotten by deleting the single ``manifest/stage=<name>/``
+    subdirectory — a metadata-only filesystem op, no manifest row ever
+    reaches the driver.  Order matters: manifest first, output second.  A
+    crash between the two leaves output rows with NO manifest entry — the
+    units read as pending and are simply re-run (their stale rows stay
+    invisible because :func:`stage_output` only shows rows whose
+    (unit, run_id) is recorded).  The reverse order would leave 'done'
+    manifest rows pointing at deleted data: permanently missing output."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(out_path)
+    mp = jvm.org.apache.hadoop.fs.Path(
+        manifest_path(root) + f"/stage={stage}"
+    )
+    mp.getFileSystem(hconf).delete(mp, True)
+    p = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{stage}")
     p.getFileSystem(hconf).delete(p, True)
-    m = _read_manifest(spark, root)
-    if m is None:
-        return
-    kept = m.filter(F.col("stage") != stage)
-    # materialize before overwriting the file being read
-    rows = kept.collect()
-    if rows:
-        spark.createDataFrame(rows, kept.schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(manifest_path(root))
-    else:
-        mp = jvm.org.apache.hadoop.fs.Path(manifest_path(root))
-        mp.getFileSystem(hconf).delete(mp, True)
 
 
 def run_resumable(
