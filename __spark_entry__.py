@@ -404,6 +404,39 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(imgs, resize_to=64)
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-JPEG multimodal path (rows-only: lossy pixel stats have no SQL
+    twin; the PSNR>=40 contract is pinned in tests/test_jpeg.py): slice a
+    diagonal tile sample, transcode each 200^2 tile to baseline JFIF with
+    the pure-numpy codec, run decode->resize->feature extraction — the
+    web-data jpeg shape of a training pipeline at tile granularity."""
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec, images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="rgb", limit=8)
+    tiles = raster.slice_tiles(imgs, CFG).filter(F.col("tix") == F.col("tiy"))
+
+    def transcode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(bytes(r.bytes), r.fmt, int(r.tw), int(r.th))
+                rows.append(
+                    (r.tile_id, codec.encode(arr, "jpeg"), int(r.tw), int(r.th), "jpeg")
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    jpeg_tiles = tiles.mapInPandas(
+        transcode, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    return MM.decode_features(jpeg_tiles, resize_to=64)
+
+
 def q_training_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M5 tensor prep (rows-only): image+label join -> resize/remap/EDT
     weight plane; returns per-row tensor stats to keep the result compact."""
@@ -478,6 +511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pyramid_tiles": q_pyramid_tiles,
     "multires_meta": q_multires_meta,
     "multimodal_features": q_multimodal_features,
+    "multimodal_jpeg": q_multimodal_jpeg,
     "training_tensors": q_training_tensors,
     "edt_weight_hist": q_edt_weight_hist,
     "watershed_split": q_watershed_split,

@@ -3,8 +3,9 @@ build brief): image/audio/video payloads as opaque ``binary`` columns with
 typed metadata; decode / feature-extract / resize / frame-sample as Arrow
 UDFs over ``mapInPandas``.
 
-The container has no image/audio libs, so: png/raw decode is REAL (our
-codec); jpeg/webp/audio/video decode is a clearly-marked stub that raises
+The container has no image/audio libs, so: png/raw/jpeg decode is REAL (our
+codecs — baseline JFIF in ``sources/codec_jpeg.py``, pure numpy);
+webp/audio/video decode is a clearly-marked stub that raises
 ``NotImplementedError`` unless ``stub_ok=True``, in which case a
 deterministic fake (seeded by payload hash) stands in — the Spark-side
 plumbing (schema, partitioning, UDF signature, Arrow batch shape) is real
@@ -24,8 +25,8 @@ from pyspark.sql import DataFrame
 from ..functions.kernels_resample import resize_bilinear
 from ..sources import codec
 
-REAL_FORMATS = {"png", "raw"}
-STUB_FORMATS = {"jpeg", "jpg", "webp", "wav", "mp3", "mp4", "webm"}
+REAL_FORMATS = {"png", "raw", "jpeg", "jpg"}  # jpeg: sources/codec_jpeg.py
+STUB_FORMATS = {"webp", "wav", "mp3", "mp4", "webm"}
 
 
 def _decode_payload(data: bytes, fmt: str, w: int, h: int, stub_ok: bool) -> np.ndarray:

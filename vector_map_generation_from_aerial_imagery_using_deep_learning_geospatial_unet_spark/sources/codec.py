@@ -144,6 +144,10 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         arr = decode_png(bytes(data))
     elif fmt == "raw":
         arr = decode_raw(bytes(data), w, h)
+    elif fmt in ("jpeg", "jpg"):
+        from . import codec_jpeg
+
+        arr = codec_jpeg.decode_jpeg(bytes(data))
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
     if arr.shape[0] != h or arr.shape[1] != w:
@@ -156,4 +160,10 @@ def encode(arr: np.ndarray, fmt: str, level: int = 6) -> bytes:
         return encode_png(arr, level)
     if fmt == "raw":
         return encode_raw(arr)
+    if fmt in ("jpeg", "jpg"):
+        from . import codec_jpeg
+
+        # level rides the png signature; jpeg quality pinned at 95 (lossy;
+        # PSNR >= 40 dB contract, BASELINE.json input_hint)
+        return codec_jpeg.encode_jpeg(arr, quality=95)
     raise ValueError(f"unknown fmt {fmt!r}")
