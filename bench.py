@@ -138,7 +138,12 @@ def main() -> None:
         "embedding_near_dup",
         "embedding_near_dup_lsh",
         "multimodal_features",
+        "multimodal_jpeg",
         "training_tensors",
+        # round-2 additions
+        "pyramid_tiles",
+        "edt_weight_hist",
+        "watershed_split",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -112,3 +112,56 @@ def test_geojson_emits_interior_rings(spark):
     gj = polygons_to_geojson(raster.polygonize_stage(df)).first()
     feat = json.loads(gj["geojson"])
     assert len(feat["geometry"]["coordinates"]) == 2  # exterior + 1 hole
+
+
+def test_shapefile_roundtrip_pure():
+    """Donut polygon + attrs survive the .shp/.shx/.dbf round trip with
+    ESRI orientation enforced (outer CW, holes CCW)."""
+    import tempfile
+
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions import shapefile as shp
+
+    outer = [[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]]  # CCW as given
+    hole = [[3, 3], [3, 6], [6, 6], [6, 3], [3, 3]]       # CW as given
+    base = tempfile.mktemp()
+    n = shp.write_polygon_shapefile(
+        base,
+        [
+            ([outer, hole], {"id": 1, "value": 2, "Area": 91.0}),
+            ([[[20, 20], [24, 20], [24, 24], [20, 20]]], {"id": 2, "value": 3, "Area": 8.0}),
+        ],
+    )
+    assert n == 2
+    got = list(shp.read_polygon_shapefile(base))
+    assert len(got) == 2
+    rings0, attrs0 = got[0]
+    assert attrs0 == {"id": 1, "value": 2, "Area": 91.0}
+    # outer came back clockwise (negative shoelace), hole counter-clockwise
+    assert shp._signed_area(rings0[0]) < 0 < shp._signed_area(rings0[1])
+    # same vertex sets regardless of orientation flips
+    assert {tuple(p) for p in rings0[0].tolist()} == {tuple(map(float, p)) for p in outer}
+    (rings1, attrs1) = got[1]
+    assert len(rings1) == 1 and attrs1["id"] == 2 and attrs1["Area"] == 8.0
+
+
+def test_shapefile_spark_sink(spark):
+    """pipeline polygons -> shapefile sink -> read back: counts + areas."""
+    import tempfile
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions import shapefile as shp
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import sinks
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.plans import pipeline
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, "/root/testdata/sf0.001", kind="mask", limit=6)
+    polys = pipeline.mask_to_polygons(imgs, separation="cc", tiled=False)
+    base = tempfile.mktemp()
+    n = sinks.write_shapefile(polys, base)
+    rows = polys.select("poly_id", "value", "area_m2").collect()
+    assert n == len(rows) > 0
+    got = list(shp.read_polygon_shapefile(base))
+    assert len(got) == n
+    exp_areas = sorted(round(r["area_m2"], 6) for r in rows)
+    assert sorted(a["Area"] for _, a in got) == exp_areas

@@ -4,12 +4,15 @@ The reference writes shapefiles/CSV per file (copyTileIndexToDisk / ToCSV,
 /root/reference/src/bf_gridding.py:406-444; fiona/ogr writers,
 /root/reference/src/postprocess.py:147-155,333-342).  Spark-side those become
 partitioned parquet tables (+ optional CSV / GeoJSON text for interchange);
-shapefile itself is a non-goal (SURVEY.md §7)."""
+:func:`write_shapefile` additionally emits the reference's literal container
+format (single-writer export sink — parquet remains the scale path)."""
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions import shapefile as shp
 
 
 def write_tile_index(tiles: DataFrame, path: str, mode: str = "overwrite") -> None:
@@ -73,6 +76,33 @@ def polygons_to_geojson(polygons: DataFrame) -> DataFrame:
 def write_polygons(polygons: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S8: vector sink — parquet with ring arrays + attributes."""
     polygons.write.mode(mode).parquet(path)
+
+
+def write_shapefile(polygons: DataFrame, path_base: str) -> int:
+    """S8 literal-format sink: the reference's polygon shapefile with
+    ``{id, value, Area}`` attributes (fiona schema
+    /root/reference/src/postprocess.py:147-155; ogr fields :333-342).
+
+    Shapefile is an inherently single-writer triple (.shp/.shx/.dbf), so
+    rows stream through the driver via ``toLocalIterator`` — partition at a
+    time, never the whole DataFrame — and this sink is for FINAL small
+    vector products (the reference's own use).  The distributed vector sink
+    is :func:`write_polygons` (parquet).  Returns the feature count."""
+    has_holes = "holes" in polygons.columns
+    cols = ["poly_id", "value", "area_m2", "ring"] + (
+        ["holes"] if has_holes else []
+    )
+
+    def records():
+        for r in polygons.select(*cols).toLocalIterator(prefetchPartitions=True):
+            rings = [r["ring"]]
+            if has_holes and r["holes"]:
+                rings += list(r["holes"])
+            yield rings, {
+                "id": r["poly_id"], "value": r["value"], "Area": r["area_m2"]
+            }
+
+    return shp.write_polygon_shapefile(path_base, records())
 
 
 def write_bucketed(
