@@ -296,6 +296,15 @@ def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.lang_stats(T.corpus(spark, sf_dir))
 
 
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID n-gram heuristic (build-brief operator): deterministic
+    integer scoring, exact SQL twin; discrimination on real multilingual
+    snippets is pinned in tests/test_text_ops.py."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    return T.lang_id(T.corpus(spark, sf_dir))
+
+
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
 
@@ -502,6 +511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "fingerprint": q_fingerprint,
     "lang_stats": q_lang_stats,
+    "lang_id": q_lang_id,
     "ann_topk": q_ann_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -596,6 +606,7 @@ FROM images_meta""",
         "text_stats": "WITH " + T.TEXT_STATS_SQL,
         "fingerprint": "WITH " + T.fingerprint_sql(),
         "lang_stats": "WITH " + T.LANG_STATS_SQL,
+        "lang_id": "WITH " + T.lang_id_sql(),
         "ann_topk": """
 WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 16),
 cand AS (

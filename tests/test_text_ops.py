@@ -114,3 +114,25 @@ def test_fingerprint_stable_and_dup_equal(spark, corpus):
     for cid, v in fp.items():
         if 1_000_000_000_000 <= cid < 2_000_000_000_000:
             assert fp[cid - 1_000_000_000_000] == v
+
+
+def test_lang_id_discriminates_real_text(spark):
+    """The n-gram profiles must actually separate real multilingual prose
+    (the synthetic corpus is English-ish token soup, so discrimination is
+    pinned here, on genuine snippets)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    samples = [
+        (1, "the quick brown fox is jumping over the lazy dog and the cat", "en"),
+        (2, "ich gehe morgen mit der schwester und der mutter einkaufen schön", "de"),
+        (3, "nous avons que les enfants mangent est bien dans les jardins", "fr"),
+        (4, "la canción de los niños que cantan ha ganado los premios", "es"),
+        (5, "今天天气很好我们一起去公园散步吧", "zh"),
+        (6, "zzz qqq xxx", "und"),
+    ]
+    df = spark.createDataFrame(
+        [(cid, txt) for cid, txt, _ in samples], "cid long, text string"
+    )
+    got = {r["cid"]: r["lang_pred"] for r in T.lang_id(df).collect()}
+    for cid, _, want in samples:
+        assert got[cid] == want, (cid, got[cid], want)

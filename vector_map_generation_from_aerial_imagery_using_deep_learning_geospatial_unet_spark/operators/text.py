@@ -348,6 +348,97 @@ SELECT cid, min(h) AS fingerprint FROM sh GROUP BY cid"""
     )
 
 
+# language-ID: characteristic character n-grams per language (public common
+# trigram/bigram facts); CJK detected by code-point range.  Weights are small
+# ints so both engines score in exact integer arithmetic.
+LANG_NGRAMS: dict[str, tuple[tuple[str, int], ...]] = {
+    "en": ((" the ", 3), ("ing ", 2), (" and ", 2), ("th", 1), ("he", 1)),
+    "de": ((" der ", 3), (" und ", 3), ("sch", 2), ("ich", 2), ("ein", 1)),
+    "fr": ((" les ", 3), (" est ", 2), ("que ", 2), ("ent ", 1), ("oux", 1)),
+    "es": ((" los ", 3), (" que ", 2), ("ción", 3), ("ado ", 1), ("ñ", 2)),
+}
+CJK_RE = r"[一-鿿]"
+
+
+def _lang_score(text: Column, lang: str) -> Column:
+    """Integer n-gram score: sum over profile n-grams of count * weight.
+    Counts via length delta under replace — pure JVM string ops."""
+    score = F.lit(0)
+    for ng, wt in LANG_NGRAMS[lang]:
+        cnt = (
+            (F.length(text) - F.length(F.replace(text, F.lit(ng), F.lit(""))))
+            / len(ng)
+        ).cast("int")
+        score = score + cnt * F.lit(wt)
+    return score
+
+
+def lang_id(c: DataFrame) -> DataFrame:
+    """Language-ID heuristic (first-class per the build brief): integer
+    character-n-gram scoring against per-language profiles + a CJK
+    code-point check; argmax with deterministic tie-break (higher score,
+    then language code).  Zero UDFs — counts are length-delta string ops
+    inside whole-stage codegen, so the operator streams map-side at any
+    corpus scale.  'und' (undetermined) when nothing scores."""
+    lower = F.lower(F.col("text"))
+    scored = c.withColumn(
+        "cjk_n", F.size(F.split(F.col("text"), CJK_RE)) - 1
+    )
+    entries = [
+        F.struct(
+            _lang_score(lower, lang).alias("score"), F.lit(lang).alias("lang")
+        )
+        for lang in sorted(LANG_NGRAMS)
+    ]
+    # zh: CJK chars are near-decisive — weight 5 per char
+    entries.append(
+        F.struct((F.col("cjk_n") * F.lit(5)).alias("score"), F.lit("zh").alias("lang"))
+    )
+    best = F.array_max(F.array(*entries))
+    return scored.select(
+        "cid",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+        best["score"].alias("lang_score"),
+    )
+
+
+def lang_id_sql() -> str:
+    """DuckDB twin of :func:`lang_id` — same integer scoring, same argmax
+    tie-break (max_by over (score, lang) with lang DESC... matched to
+    array_max struct ordering: score first, then lang lexicographic)."""
+    parts = []
+    for lang in sorted(LANG_NGRAMS) + ["zh"]:
+        if lang == "zh":
+            score = (
+                "5 * CAST(length(text) - "
+                f"length(regexp_replace(text, '{CJK_RE}', '', 'g')) AS INT)"
+            )
+        else:
+            terms = [
+                f"CAST((length(lower(text)) - length(replace(lower(text), '{ng}', ''))) // {len(ng)} AS INT) * {wt}"
+                for ng, wt in LANG_NGRAMS[lang]
+            ]
+            score = " + ".join(terms)
+        parts.append(f"SELECT cid, '{lang}' AS cand, {score} AS score FROM corpus")
+    union = " UNION ALL ".join(parts)
+    return (
+        CORPUS_SQL
+        + f""",
+scores AS ({union}),
+ranked AS (
+  SELECT cid, cand, score,
+    row_number() OVER (PARTITION BY cid ORDER BY score DESC, cand DESC) AS rn
+  FROM scores
+)
+SELECT cid,
+  CASE WHEN score > 0 THEN cand ELSE 'und' END AS lang_pred,
+  CAST(score AS INT) AS lang_score
+FROM ranked WHERE rn = 1"""
+    )
+
+
 def lang_stats(c: DataFrame) -> DataFrame:
     """Per-language corpus profile (relational agg over the lang label)."""
     return c.groupBy("lang").agg(
