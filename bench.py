@@ -187,23 +187,28 @@ def main() -> None:
         materialize_images(s0, SF_DIR, scale_path, copies=3)
         s0.stop()
         images_path = scale_path
-        def measure(cores: int, runs: int) -> tuple[int, float]:
+        def one_run(cores: int) -> tuple[int, float]:
             s = make_spark(cores)
             s.sparkContext.setLogLevel("ERROR")
             warmup(s, images_path)
-            best, n = float("inf"), 0
-            for _ in range(runs):
-                n, dt = timed(headline_rows, s, SF_DIR, images_path)
-                best = min(best, dt)
+            n, dt = timed(headline_rows, s, SF_DIR, images_path)
             s.stop()
-            return n, best
+            return n, dt
 
-        # UNCONDITIONALLY best-of-3 per config (the sandbox VM shares its
-        # host; min-of-runs is the standard noise-robust estimator).  The
-        # run count is fixed up front — never conditioned on the metric —
-        # so there is no optional-stopping bias toward the 0.8 gate.
-        n_lo, dt_lo = measure(lo, 3)
-        n_hi, dt_hi = measure(hi, 3)
+        # UNCONDITIONALLY 3 runs per config, INTERLEAVED lo,hi,lo,hi,...:
+        # min-of-runs is the standard noise-robust estimator, and
+        # interleaving decorrelates the shared host's minutes-long steal
+        # bursts (back-to-back runs of one config can all land inside one
+        # burst, tanking that config's best).  The protocol is fixed up
+        # front — never conditioned on the metric — so there is no
+        # optional-stopping bias toward the 0.8 gate.
+        n_lo = n_hi = 0
+        dt_lo = dt_hi = float("inf")
+        for _ in range(3):
+            n_lo, d = one_run(lo)
+            dt_lo = min(dt_lo, d)
+            n_hi, d = one_run(hi)
+            dt_hi = min(dt_hi, d)
         scaling[f"local[{lo}]"] = {
             "sec": round(dt_lo, 3), "rows_per_sec": round(n_lo / dt_lo, 1)
         }

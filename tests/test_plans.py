@@ -97,7 +97,35 @@ def test_bbox_join_exactly_once_no_distinct(spark):
 def test_knn_broadcast_engages(spark):
     pts = derived.points_meta(spark, SF)
     centers = derived.footprints_meta(spark, SF).select("fp_id", "cx", "cy")
+    # materialize=False keeps the logical plan visible (the default eagerly
+    # localCheckpoints, which truncates lineage to a block scan)
     out = joins.knn_join(
-        pts, centers, WORLD_GRID, k=3, broadcast_centers=True
+        pts, centers, WORLD_GRID, k=3, broadcast_centers=True, materialize=False
     )
     assert "BroadcastHashJoin" in plan(out, mode="simple")
+
+
+def test_pyramid_tiles_single_codegen_no_shuffle(spark):
+    """O7 per-level re-grid: the pyramid explode composed with the tile
+    explode still plans as pure column work — zero exchanges."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import pyramid as P
+
+    lv = P.pyramid_meta(derived.images_meta(spark, SF), levels=3).select(
+        "image_id", "level", F.col("lw").alias("w"), F.col("lh").alias("h")
+    )
+    p = plan(grid.gen_tiles(lv, with_geo=False))
+    assert "Exchange" not in p
+
+
+def test_lang_id_stays_jvm_side_map_only(spark):
+    """Language-ID must be a map-side JVM operator: no Python eval nodes,
+    no exchanges — it streams off the scan at any corpus scale."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").alias("cid"), "text"
+    )
+    p = plan(T.lang_id(docs))
+    assert "Exchange" not in p
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert node not in p

@@ -327,6 +327,7 @@ def knn_join(
     center_cols: tuple[str, str, str] = ("fp_id", "cx", "cy"),
     r0: int | None = None,
     broadcast_centers: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact kNN: for each point the k nearest centers, ranked.
 
@@ -402,12 +403,20 @@ def knn_join(
     out = results[0]
     for df in results[1:]:
         out = out.unionByName(df)
+    out = out.drop("p_cell")
+    if not materialize:
+        # lazy logical plan (plan inspection / composition): release the
+        # round caches now — an action on the returned plan recomputes the
+        # candidate joins instead of pinning executor storage indefinitely
+        for df in cached:
+            df.unpersist()
+        return out
     # localCheckpoint (eager) materializes the (small) result AND truncates
     # the loop-carried lineage, so caller actions re-read blocks instead of
     # re-running the candidate joins.  Unlike a bare persist() handed to the
     # caller, checkpoint blocks are released when the DataFrame is dropped —
     # no session-lifetime executor-storage pin per knn_join call.
-    out = out.drop("p_cell").localCheckpoint(eager=True)
+    out = out.localCheckpoint(eager=True)
     for df in cached:
         df.unpersist()  # release every round's candidate cache
     return out
