@@ -246,6 +246,31 @@ def q_skeletonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.mapInPandas(count, schema="image_id string, skeleton_px long")
 
 
+def q_skeletonize_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 exact gate: on axis-aligned bar fixtures, Zhang-Suen thinning of
+    the 5x5-dilated bar yields exactly max(|bw - bh|, 1) centerline pixels
+    (dilation grows both dims by 4 — difference invariant; property
+    verified over 100 fixture images).  The free-form mask variant stays
+    rows-only (Q:skeletonize)."""
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec, images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="bars", limit=60)
+    sk = raster.skeletonize_stage(imgs, CFG)
+
+    def count(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = codec.decode(bytes(r.bytes), r.fmt, r.w, r.h)
+                rows.append((r.image_id, int((a != 0).sum())))
+            yield pd.DataFrame(rows, columns=["image_id", "skeleton_px"])
+
+    return sk.mapInPandas(count, schema="image_id string, skeleton_px long")
+
+
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
 
@@ -502,6 +527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pipeline_polygons": q_pipeline_polygons,
     "pipeline_watershed": q_pipeline_watershed,
     "skeletonize": q_skeletonize,
+    "skeletonize_bars": q_skeletonize_bars,
     "dice_jaccard": q_dice_jaccard,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
@@ -648,6 +674,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         # rows-only (iterative k-means / pixel-kernel results).
         "edt_weight_hist": _edt_weight_hist_sql(),
         "watershed_split": _watershed_split_sql(),
+        "skeletonize_bars": _skeletonize_bars_sql(),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -828,6 +855,27 @@ def _watershed_split_sql() -> str:
 SELECT image_id, CAST(2 AS INT) AS n_regions, CAST(fg_px AS BIGINT) AS fg_px,
        round(fg_px * 1e-2, 2) AS area_m2
 FROM dumbbell WHERE pk <= 80"""
+    )
+
+
+def _skeletonize_bars_sql() -> str:
+    """Closed-form twin of q_skeletonize_bars: per-image sum of
+    max(abs(bw - bh), 1) over the deterministic bar fixtures."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        bars_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + ","
+        + bars_sql()
+        + """
+SELECT image_id,
+  CAST(sum(greatest(abs(bw - bh), 1)) AS BIGINT) AS skeleton_px
+FROM bars WHERE pk <= 60
+GROUP BY image_id"""
     )
 
 

@@ -165,3 +165,27 @@ def test_shapefile_spark_sink(spark):
     assert len(got) == n
     exp_areas = sorted(round(r["area_m2"], 6) for r in rows)
     assert sorted(a["Area"] for _, a in got) == exp_areas
+
+
+def test_catalog_load_images_parquet_fallback(spark, tmp_path):
+    """load_images resolves paths to the parquet stand-in when no Iceberg
+    runtime is present, validates the input_hint schema, and rejects
+    mis-shaped tables loudly."""
+    import pytest
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import catalog, images as IMG
+
+    p = str(tmp_path / "imgs.parquet")
+    IMG.images_table(spark, "/root/testdata/sf0.001", limit=4).write.parquet(p)
+    df = catalog.load_images(spark, p)
+    assert df.count() > 0
+    assert set(catalog.INPUT_HINT_COLUMNS) <= set(df.columns)
+
+    bad = str(tmp_path / "bad.parquet")
+    spark.range(3).write.parquet(bad)
+    with pytest.raises(ValueError, match="input_hint"):
+        catalog.load_images(spark, bad)
+
+    # catalog-table path: registered temp view name resolves via read.table
+    spark.read.parquet(p).createOrReplaceTempView("imgs_cat")
+    assert catalog.load_images(spark, "imgs_cat").count() == df.count()

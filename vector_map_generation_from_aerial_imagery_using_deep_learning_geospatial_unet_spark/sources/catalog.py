@@ -1,0 +1,82 @@
+"""Input-table catalog (BASELINE.json input_hint: an Iceberg table of
+image + caption pairs).
+
+This container ships no Iceberg runtime jars, so parquet directories are
+the stand-in everywhere in tests and benchmarks; this module is the single
+seam where a real deployment points the engine at its Iceberg catalog
+instead.  ``load_images`` resolves, in order:
+
+1. ``catalog.db.table`` names -> ``spark.read.table`` (works for Iceberg,
+   Hive, or any configured catalog — Iceberg's Spark integration registers
+   plain table names, so the engine needs no Iceberg-specific API);
+2. paths -> ``spark.read.format(fmt)`` with ``fmt='iceberg'`` honored when
+   the runtime has the jars, else the documented parquet fallback.
+
+Schema is validated against the input_hint contract on load: silently
+accepting a mis-shaped table would surface as a confusing UDF error three
+stages later.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+INPUT_HINT_COLUMNS = {
+    "image_id": "string",
+    "bytes": "binary",
+    "w": "int",
+    "h": "int",
+    "fmt": "string",
+    "caption": "string",
+    "phash": "bigint",
+}
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def validate_images_schema(df: DataFrame, required: dict | None = None) -> DataFrame:
+    req = required or INPUT_HINT_COLUMNS
+    have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    missing = [c for c in req if c not in have]
+    if missing:
+        raise ValueError(
+            f"images table missing input_hint columns {missing}; have {sorted(have)}"
+        )
+    wrong = {
+        c: (have[c], t)
+        for c, t in req.items()
+        if have[c] != t and not (t == "int" and have[c] in ("int", "integer"))
+    }
+    if wrong:
+        raise ValueError(f"images table column types differ from input_hint: {wrong}")
+    return df
+
+
+def load_images(
+    spark: SparkSession,
+    source: str,
+    fmt: str | None = None,
+    validate: bool = True,
+) -> DataFrame:
+    """Load the images input table from a catalog table name or a path.
+
+    ``fmt=None`` auto-selects: table names go through the session catalog
+    (Iceberg/Hive transparent); paths use iceberg when the runtime has it,
+    else parquet."""
+    if not os.path.sep in source and not source.startswith("file:"):
+        df = spark.read.table(source)
+    else:
+        chosen = fmt or ("iceberg" if iceberg_available(spark) else "parquet")
+        df = spark.read.format(chosen).load(source)
+    return validate_images_schema(df) if validate else df

@@ -140,6 +140,47 @@ dumbbell AS (
 )"""
 
 
+def bar_params(pk: int) -> list[tuple[int, int, int, int]]:
+    """Deterministic horizontal bars (x0, y0, bw, bh) for the skeletonize
+    oracle: Zhang-Suen thinning of an axis-aligned bar yields a centerline
+    of exactly max(|bw - bh|, 1) pixels, and the 5x5 pre-dilation (P2,
+    /root/reference/src/postprocess.py:193-217) grows both dims by 4 —
+    difference invariant.  Bars are >=14 px apart vertically (>=10 after
+    dilation) so components never merge, and >=6 px from every border."""
+    k = 1 + pk % 3
+    out = []
+    for j in range(k):
+        bh = 3 + (pk * 5 + j * 3) % 8            # 3..10
+        bw = bh + 4 + (pk * 7 + j * 11) % 40     # diff 4..43
+        x0 = 8 + (pk + j) % 9
+        y0 = 8 + j * 24
+        out.append((x0, y0, bw, bh))
+    return out
+
+
+def render_bars(pk: int, w: int, h: int) -> np.ndarray:
+    m = np.zeros((h, w), dtype=np.uint8)
+    for x0, y0, bw, bh in bar_params(pk):
+        m[y0 : y0 + bh, x0 : x0 + bw] = 255
+    return m
+
+
+def bars_sql() -> str:
+    """DuckDB CTE ``bars(image_id, pk, j, bw, bh)`` mirroring
+    :func:`bar_params`."""
+    return """
+bar_j AS (
+  SELECT image_id, pk, unnest(generate_series(0, CAST(pk % 3 AS INT))) AS j
+  FROM images_meta_pk
+),
+bars AS (
+  SELECT image_id, pk, j,
+    (3 + (pk * 5 + j * 3) % 8) + 4 + (pk * 7 + j * 11) % 40 AS bw,
+    3 + (pk * 5 + j * 3) % 8 AS bh
+  FROM bar_j
+)"""
+
+
 def render_rgb(pk: int, w: int, h: int) -> np.ndarray:
     """uint8 (h, w, 3) pseudo-ortho: deterministic gradient background +
     bright blobs (alpha-free; the reference drops alpha with arr[:,:,:3],
@@ -211,6 +252,8 @@ def images_table(
                     arr = render_mask(pk, w, h)
                 elif kind == "dumbbell":
                     arr = render_dumbbell(pk, w, h)
+                elif kind == "bars":
+                    arr = render_bars(pk, w, h)
                 else:
                     arr = render_rgb(pk, w, h)
                 rows.append(
