@@ -447,25 +447,38 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
-    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec, images as IMG
 
     imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="rgb", limit=8)
-    tiles = raster.slice_tiles(imgs, CFG).filter(F.col("tix") == F.col("tiy"))
+    t, step = CFG.tile_size, CFG.tile_size - CFG.overlap_px
+
+    import numpy as np
 
     def transcode(batches):
+        # fused decode -> diagonal tile windows -> jpeg encode: one image
+        # decode per row, and only the sampled tiles are ever encoded
+        # (slice_tiles would png-encode the FULL grid first)
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                arr = codec.decode(bytes(r.bytes), r.fmt, int(r.tw), int(r.th))
-                rows.append(
-                    (r.tile_id, codec.encode(arr, "jpeg"), int(r.tw), int(r.th), "jpeg")
-                )
+                arr = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                nx = 1 + max(int(r.w) - t + step - 1, 0) // step
+                ny = 1 + max(int(r.h) - t + step - 1, 0) // step
+                for i in range(min(nx, ny)):
+                    ox, oy = i * step, i * step
+                    tile = arr[oy : oy + t, ox : ox + t]
+                    rows.append(
+                        (
+                            f"{r.image_id}_{i + 1}_{i + 1}",
+                            codec.encode(np.ascontiguousarray(tile), "jpeg"),
+                            tile.shape[1], tile.shape[0], "jpeg",
+                        )
+                    )
             yield pd.DataFrame(
                 rows, columns=["image_id", "bytes", "w", "h", "fmt"]
             )
 
-    jpeg_tiles = tiles.mapInPandas(
+    jpeg_tiles = imgs.mapInPandas(
         transcode, schema="image_id string, bytes binary, w int, h int, fmt string"
     )
     return MM.decode_features(jpeg_tiles, resize_to=64)
