@@ -44,6 +44,7 @@ def parse_args(argv):
 
 
 def load_images(spark, spec: str):
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import catalog
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
 
     if spec.startswith("synth:"):
@@ -51,7 +52,10 @@ def load_images(spark, spec: str):
         limit = int(parts[2]) if len(parts) > 2 else None
         return IMG.images_table(spark, parts[1], fmt="png", kind="mask",
                                 limit=limit)
-    return spark.read.parquet(spec)
+    # catalog table name or path; Iceberg when the runtime has the jars,
+    # parquet stand-in otherwise; input_hint core columns validated on load
+    # (georeference sidecars ulx/uly/crs may ride along — subset check)
+    return catalog.load_images(spark, spec)
 
 
 def main(argv=None) -> int:

@@ -202,27 +202,30 @@ def _ray_cast_grouped(
 
 def _auto_salt(pts_with_cell: DataFrame, cap: int = 64) -> int:
     """Derive the salt factor from the probe side's cell histogram instead
-    of operator tuning: salt ~ hottest-cell count / (8 x mean cell count),
-    rounded up to a power of two, clamped to [1, cap].
+    of operator tuning: the join key serializes when ONE cell exceeds a
+    task-sized share of the probe rows, so
+    ``salt = ceil(max_cell / target)`` with
+    ``target = max(total / (2 x parallelism), 1000)``, clamped to [1, cap].
 
-    One bounded pre-pass (groupBy(cell).count -> 2-value agg) whose partial
-    aggregation is map-side — at any scale it streams the scan once and
-    reduces to one row.  Uniform data yields 1 (no salting); a cell 8x the
-    mean is left to AQE skew splitting; beyond that the replicated-build
-    salting kicks in proportionally."""
+    Capacity-based, not mean-relative: a mean-relative rule ("hottest cell
+    / 8x mean") reads a SINGLE nonempty cell holding every row as perfectly
+    uniform — exactly the densely-built-up worst case the north_rule calls
+    out.  The 1000-row floor keeps tiny datasets from salting (one task
+    handles them regardless).  One bounded pre-pass (groupBy(cell).count ->
+    2-value agg) whose partial aggregation is map-side — at any scale it
+    streams the scan once and reduces to one row."""
     row = (
         pts_with_cell.groupBy("cell_id")
         .count()
-        .agg(F.max("count").alias("mx"), F.avg("count").alias("avg"))
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("total"))
         .collect()[0]
     )
-    if not row["mx"] or not row["avg"]:
+    if not row["mx"]:
         return 1
-    hot = float(row["mx"]) / max(float(row["avg"]), 1.0)
-    salt = 1
-    while salt < hot / 8.0 and salt < cap:
-        salt *= 2
-    return salt
+    par = pts_with_cell.sparkSession.sparkContext.defaultParallelism
+    target = max(float(row["total"]) / (2.0 * par), 1000.0)
+    salt = int(-(-float(row["mx"]) // target))  # ceil
+    return min(max(salt, 1), cap)
 
 
 def pip_join(
