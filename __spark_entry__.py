@@ -484,6 +484,18 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(jpeg_tiles, resize_to=64)
 
 
+def q_multimodal_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decode gate: per-image int64 channel sums over the rgb
+    corpus — every decoded byte enters the oracle, so codec framing /
+    unfilter / channel-order bugs cannot hide (closed-form twin from the
+    separable gradient + rect overwrites of render_rgb)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="rgb", limit=80)
+    return MM.pixel_sums(imgs)
+
+
 def q_training_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M5 tensor prep (rows-only): image+label join -> resize/remap/EDT
     weight plane; returns per-row tensor stats to keep the result compact."""
@@ -561,6 +573,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multires_meta": q_multires_meta,
     "multimodal_features": q_multimodal_features,
     "multimodal_jpeg": q_multimodal_jpeg,
+    "multimodal_pixel_sums": q_multimodal_pixel_sums,
     "training_tensors": q_training_tensors,
     "edt_weight_hist": q_edt_weight_hist,
     "watershed_split": q_watershed_split,
@@ -688,6 +701,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "edt_weight_hist": _edt_weight_hist_sql(),
         "watershed_split": _watershed_split_sql(),
         "skeletonize_bars": _skeletonize_bars_sql(),
+        "multimodal_pixel_sums": _multimodal_pixel_sums_sql(),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -868,6 +882,83 @@ def _watershed_split_sql() -> str:
 SELECT image_id, CAST(2 AS INT) AS n_regions, CAST(fg_px AS BIGINT) AS fg_px,
        round(fg_px * 1e-2, 2) AS area_m2
 FROM dumbbell WHERE pk <= 80"""
+    )
+
+
+def _multimodal_pixel_sums_sql() -> str:
+    """Closed-form twin of q_multimodal_pixel_sums.
+
+    render_rgb is base[y][x] = 40 + (y*7+pk)%97 + (x*13+pk)%89 per channel
+    (+17 g, +31 b; no uint8 wrap — max 255), with blob rects overwritten to
+    (220, 210, 200).  Channel sums are separable:
+      sum_r = 40wh + w*Syy + h*Sxx + 180A - B
+      sum_g = 57wh + w*Syy + h*Sxx + 153A - B
+      sum_b = 71wh + w*Syy + h*Sxx + 129A - B
+    with Syy/Sxx the axis mod-sequence sums, A = blob px, B = the blobs'
+    base-gradient sum minus its 40A constant."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        rects_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + ","
+        + rects_sql()
+        + """,
+imgs AS (SELECT image_id, pk, w, h FROM images_meta_pk WHERE pk <= 80),
+ys AS (
+  SELECT image_id, pk, unnest(generate_series(0, h - 1)) AS y FROM imgs
+),
+rowsums AS (
+  SELECT image_id, CAST(sum((y * 7 + pk) % 97) AS BIGINT) AS syy
+  FROM ys GROUP BY image_id
+),
+xs AS (
+  SELECT image_id, pk, unnest(generate_series(0, w - 1)) AS x FROM imgs
+),
+colsums AS (
+  SELECT image_id, CAST(sum((x * 13 + pk) % 89) AS BIGINT) AS sxx
+  FROM xs GROUP BY image_id
+),
+rect_ys AS (
+  SELECT image_id, pk, j, rw,
+    unnest(generate_series(y0, y0 + rh - 1)) AS y
+  FROM rects WHERE pk <= 80
+),
+rect_rowsums AS (
+  SELECT image_id, j, CAST(sum(rw * ((y * 7 + pk) % 97)) AS BIGINT) AS b_y
+  FROM rect_ys GROUP BY image_id, j
+),
+rect_xs AS (
+  SELECT image_id, pk, j, rh,
+    unnest(generate_series(x0, x0 + rw - 1)) AS x
+  FROM rects WHERE pk <= 80
+),
+rect_colsums AS (
+  SELECT image_id, j, CAST(sum(rh * ((x * 13 + pk) % 89)) AS BIGINT) AS b_x
+  FROM rect_xs GROUP BY image_id, j
+),
+blob AS (
+  SELECT r.image_id,
+    CAST(sum(r.rw * r.rh) AS BIGINT) AS a,
+    CAST(sum(ry.b_y + rx.b_x) AS BIGINT) AS b
+  FROM rects r
+  JOIN rect_rowsums ry ON ry.image_id = r.image_id AND ry.j = r.j
+  JOIN rect_colsums rx ON rx.image_id = r.image_id AND rx.j = r.j
+  WHERE r.pk <= 80
+  GROUP BY r.image_id
+)
+SELECT i.image_id,
+  CAST(i.w * i.h AS BIGINT) AS n_px,
+  40 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 180 * bl.a - bl.b AS sum_r,
+  57 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 153 * bl.a - bl.b AS sum_g,
+  71 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 129 * bl.a - bl.b AS sum_b
+FROM imgs i
+JOIN rowsums rs USING (image_id)
+JOIN colsums cs USING (image_id)
+JOIN blob bl USING (image_id)"""
     )
 
 

@@ -86,6 +86,41 @@ def decode_features(
     return images.mapInPandas(run, schema=schema)
 
 
+def pixel_sums(images: DataFrame) -> DataFrame:
+    """Exact-decode gate: per-image integer channel sums.
+
+    Every pixel of the decoded payload enters an int64 sum per channel, so
+    a single flipped byte anywhere in decode (codec framing, scanline
+    unfilter, channel order, blob overwrite) breaks the oracle — and the
+    synthetic render_rgb content is closed-form, so the DuckDB twin
+    computes the same sums from pure arithmetic (separable gradient +
+    rect overwrites)."""
+    schema = (
+        "image_id string, n_px long, sum_r long, sum_g long, sum_b long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                if arr.ndim == 2:
+                    arr = np.stack([arr] * 3, axis=-1)
+                s = arr.reshape(-1, arr.shape[2]).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (
+                        r.image_id,
+                        int(arr.shape[0] * arr.shape[1]),
+                        int(s[0]), int(s[1]), int(s[2]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "n_px", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return images.mapInPandas(run, schema=schema)
+
+
 def frame_sample(
     videos: DataFrame, every_n: int = 10, stub_ok: bool = True
 ) -> DataFrame:
