@@ -484,6 +484,20 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(jpeg_tiles, resize_to=64)
 
 
+def q_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed cross-tile connected components (the unbounded-mosaic
+    scale path, operators/cc_global.py): per-tile labels -> seam
+    equivalence join -> iterative min-id propagation -> exact per-region
+    pixel counts, never materializing an image.  Oracle: each synthetic
+    blob is one region of exactly rw*rh pixels."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import cc_global, raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=120)
+    tiles = raster.slice_tiles(imgs, CFG)
+    return cc_global.distributed_cc_areas(tiles, CFG)
+
+
 def q_multimodal_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact decode gate: per-image int64 channel sums over the rgb
     corpus — every decoded byte enters the oracle, so codec framing /
@@ -574,6 +588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_pixel_sums": q_multimodal_pixel_sums,
+    "cc_distributed": q_cc_distributed,
     "training_tensors": q_training_tensors,
     "edt_weight_hist": q_edt_weight_hist,
     "watershed_split": q_watershed_split,
@@ -702,6 +717,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "watershed_split": _watershed_split_sql(),
         "skeletonize_bars": _skeletonize_bars_sql(),
         "multimodal_pixel_sums": _multimodal_pixel_sums_sql(),
+        "cc_distributed": _cc_distributed_sql(),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -882,6 +898,25 @@ def _watershed_split_sql() -> str:
 SELECT image_id, CAST(2 AS INT) AS n_regions, CAST(fg_px AS BIGINT) AS fg_px,
        round(fg_px * 1e-2, 2) AS area_m2
 FROM dumbbell WHERE pk <= 80"""
+    )
+
+
+def _cc_distributed_sql() -> str:
+    """Closed-form twin of q_cc_distributed: every synthetic blob is one
+    4-connected region of exactly rw*rh pixels (blobs are >=2 px apart)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        rects_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + ","
+        + rects_sql()
+        + """
+SELECT image_id, CAST(rw * rh AS BIGINT) AS region_px
+FROM rects WHERE pk <= 120"""
     )
 
 

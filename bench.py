@@ -144,6 +144,10 @@ def main() -> None:
         "pyramid_tiles",
         "edt_weight_hist",
         "watershed_split",
+        "cc_distributed",
+        "multimodal_pixel_sums",
+        "lang_id",
+        "skeletonize_bars",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}
