@@ -166,7 +166,11 @@ def main() -> None:
     images_path = os.path.join(tempfile.gettempdir(), "bench_images.parquet")
     materialize_images(spark, SF_DIR, images_path)
     warmup(spark, images_path)
+    # best-of-2 like every other timed figure: a single-shot headline once
+    # recorded a host-steal burst as a 3x outlier
     total_rows, t_head = timed(headline_rows, spark, SF_DIR, images_path)
+    _, t2 = timed(headline_rows, spark, SF_DIR, images_path)
+    t_head = min(t_head, t2)
     throughput = total_rows / t_head
     spark.stop()
 
