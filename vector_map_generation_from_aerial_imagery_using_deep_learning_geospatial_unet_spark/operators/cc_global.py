@@ -139,7 +139,9 @@ def distributed_cc_areas(
         .persist()
     )
 
-    comp = counts.select("nid").distinct().withColumn("comp", F.col("nid"))
+    # counts holds exactly one row per (tile, label) by construction (the
+    # per-tile np.unique) -> nid is already distinct; no dedup shuffle
+    comp = counts.select("nid").withColumn("comp", F.col("nid"))
     comp = comp.persist()
     comp.count()
     for _ in range(max_rounds):
