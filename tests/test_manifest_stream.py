@@ -211,3 +211,45 @@ def test_orphan_output_rows_are_invisible_and_reconverge(spark, tmp):
     assert result.count() == exp  # orphans not double-counted
     raw = spark.read.parquet(out_path)
     assert raw.count() == 2 * exp  # both copies are physically there
+
+
+def test_clear_stage_crash_ordering_never_loses_data(spark, tmp):
+    """clear_stage drops manifest rows BEFORE the output dir.  A crash
+    between the two leaves output-with-no-manifest: the units read as
+    pending and re-run — never 'done' rows pointing at deleted data."""
+    import shutil as _sh
+
+    imgs = images_meta(spark, SF).filter(F.col("w") % 7 == 0).limit(6)
+
+    def stage(pending):
+        return gen_tiles(pending, with_geo=False).select(
+            "image_id", "tile_id", "tiy", "tix"
+        )
+
+    n_full = M.run_resumable(imgs, stage, "s", tmp).count()
+    assert n_full > 0
+
+    # simulate the crash window: manifest partition deleted, output intact
+    _sh.rmtree(f"{M.manifest_path(tmp)}/stage=s", ignore_errors=True)
+    done = M.completed_units(spark, tmp, "s")
+    assert done.count() == 0  # everything pending again
+
+    # re-run: all units recompute, and the stale output rows stay invisible
+    out = M.run_resumable(imgs, stage, "s", tmp)
+    assert out.count() == n_full
+
+
+def test_clear_stage_then_fresh_run(spark, tmp):
+    """Full clear (manifest rows + output) then a fresh run reconverges."""
+    imgs = images_meta(spark, SF).filter(F.col("w") % 7 == 0).limit(6)
+
+    def stage(pending):
+        return gen_tiles(pending, with_geo=False).select(
+            "image_id", "tile_id", "tiy", "tix"
+        )
+
+    n1 = M.run_resumable(imgs, stage, "s", tmp).count()
+    M.clear_stage(spark, tmp, "s")
+    assert M.completed_units(spark, tmp, "s").count() == 0
+    n2 = M.run_resumable(imgs, stage, "s", tmp).count()
+    assert n2 == n1
