@@ -484,6 +484,40 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(jpeg_tiles, resize_to=64)
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio path: deterministic sawtooth PCM WAVs (synthesized
+    per-pk, encoded through the real RIFF codec) -> integer features with
+    a closed-form SQL twin.  s[i] = ((i*a + b) % 65536) - 32768."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav
+
+    meta = derived.images_meta(spark, sf_dir).select(
+        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
+    ).filter(F.col("pk") <= 60)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                a, b = 3 + pk % 7, (pk * 97) % 65536
+                n = 4000 + (pk % 50) * 137
+                i = np.arange(n, dtype=np.int64)
+                s0 = (((i * a + b) % 65536) - 32768).astype(np.int16)
+                ch = 1 + pk % 2
+                s = np.stack([s0] * ch, axis=1)
+                rows.append((r.image_id, codec_wav.encode_wav(s, 16000), "wav"))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    audio = meta.mapInPandas(
+        synth, schema="audio_id string, bytes binary, fmt string"
+    )
+    return MM.audio_features(audio)
+
+
 def q_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed cross-tile connected components (the unbounded-mosaic
     scale path, operators/cc_global.py): per-tile labels -> seam
@@ -589,6 +623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_pixel_sums": q_multimodal_pixel_sums,
     "cc_distributed": q_cc_distributed,
+    "audio_features": q_audio_features,
     "training_tensors": q_training_tensors,
     "edt_weight_hist": q_edt_weight_hist,
     "watershed_split": q_watershed_split,
@@ -718,6 +753,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "skeletonize_bars": _skeletonize_bars_sql(),
         "multimodal_pixel_sums": _multimodal_pixel_sums_sql(),
         "cc_distributed": _cc_distributed_sql(),
+        "audio_features": _audio_features_sql(),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -899,6 +935,44 @@ SELECT image_id, CAST(2 AS INT) AS n_regions, CAST(fg_px AS BIGINT) AS fg_px,
        round(fg_px * 1e-2, 2) AS area_m2
 FROM dumbbell WHERE pk <= 80"""
     )
+
+
+def _audio_features_sql() -> str:
+    """Closed-form twin of q_audio_features: re-derive every sawtooth
+    sample with generate_series and aggregate the same exact integers."""
+    return """
+WITH meta AS (
+  SELECT concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS audio_id,
+         p_partkey AS pk
+  FROM part WHERE p_partkey <= 60
+),
+params AS (
+  SELECT audio_id, pk,
+    3 + pk % 7 AS a, (pk * 97) % 65536 AS b,
+    4000 + (pk % 50) * 137 AS n,
+    CAST(1 + pk % 2 AS INT) AS ch
+  FROM meta
+),
+samples AS (
+  SELECT audio_id, a, b, n, ch, unnest(generate_series(0, n - 1)) AS i
+  FROM params
+),
+vals AS (
+  SELECT audio_id, n, ch, i,
+    ((i * a + b) % 65536) - 32768 AS s,
+    CASE WHEN i = 0 THEN NULL
+         ELSE (((i - 1) * a + b) % 65536) - 32768 END AS prev_s
+  FROM samples
+)
+SELECT audio_id,
+  CAST(n AS BIGINT) AS n_samples,
+  ch AS n_channels,
+  CAST(16000 AS INT) AS sample_rate,
+  CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+  CAST(ch * sum(abs(s)) AS BIGINT) AS sum_abs,
+  CAST(count(*) FILTER (WHERE prev_s * s < 0) AS BIGINT) AS zero_crossings
+FROM vals
+GROUP BY audio_id, n, ch"""
 
 
 def _cc_distributed_sql() -> str:

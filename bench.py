@@ -148,6 +148,7 @@ def main() -> None:
         "multimodal_pixel_sums",
         "lang_id",
         "skeletonize_bars",
+        "audio_features",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -26,7 +26,9 @@ from ..functions.kernels_resample import resize_bilinear
 from ..sources import codec
 
 REAL_FORMATS = {"png", "raw", "jpeg", "jpg"}  # jpeg: sources/codec_jpeg.py
-STUB_FORMATS = {"webp", "wav", "mp3", "mp4", "webm"}
+# wav (PCM) decodes for real via sources/codec_wav.py (audio_features);
+# the remaining stubs are genuinely codec-library-bound
+STUB_FORMATS = {"webp", "mp3", "mp4", "webm"}
 
 
 def _decode_payload(data: bytes, fmt: str, w: int, h: int, stub_ok: bool) -> np.ndarray:
@@ -119,6 +121,43 @@ def pixel_sums(images: DataFrame) -> DataFrame:
             )
 
     return images.mapInPandas(run, schema=schema)
+
+
+def audio_features(audio: DataFrame) -> DataFrame:
+    """Real audio path (PCM WAV, sources/codec_wav.py): per-row integer
+    features — sample/channel counts, duration, sum|s|, strict
+    zero-crossings of channel 0 — all exact ints so deterministic synth
+    audio gets an exact SQL oracle."""
+    from ..sources import codec_wav
+
+    schema = (
+        "audio_id string, n_samples long, n_channels int, sample_rate int, "
+        "duration_ms long, sum_abs long, zero_crossings long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                s, rate = codec_wav.decode_wav(bytes(r.bytes))
+                c0 = s[:, 0].astype(np.int64)
+                zc = int(((c0[:-1] * c0[1:]) < 0).sum())
+                rows.append(
+                    (
+                        r.audio_id, int(s.shape[0]), int(s.shape[1]), int(rate),
+                        int(s.shape[0]) * 1000 // int(rate),
+                        int(np.abs(s.astype(np.int64)).sum()), zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "audio_id", "n_samples", "n_channels", "sample_rate",
+                    "duration_ms", "sum_abs", "zero_crossings",
+                ],
+            )
+
+    return audio.mapInPandas(run, schema=schema)
 
 
 def frame_sample(
