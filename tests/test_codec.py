@@ -73,3 +73,69 @@ def test_decode_validates_dims():
     arr = np.zeros((4, 4, 3), dtype=np.uint8)
     with pytest.raises(ValueError):
         codec.decode(codec.encode_png(arr), "png", 5, 4)
+
+
+def _build_palette_png(w, h, depth, palette, idx, trns=None):
+    """Hand-assemble a palette PNG (the encoder never emits type 3)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.codec import _PNG_SIG, _chunk
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
+    stride = (w * depth + 7) // 8
+    lines = []
+    for y in range(h):
+        if depth == 8:
+            packed = bytes(idx[y])
+        else:
+            bits = []
+            for v in idx[y]:
+                bits.extend(int(b) for b in format(v, f"0{depth}b"))
+            bits += [0] * (stride * 8 - len(bits))
+            packed = np.packbits(np.array(bits, dtype=np.uint8)).tobytes()
+        lines.append(b"\x00" + packed)
+    out = _PNG_SIG + _chunk(b"IHDR", ihdr)
+    out += _chunk(b"PLTE", bytes(np.array(palette, dtype=np.uint8).ravel()))
+    if trns is not None:
+        out += _chunk(b"tRNS", bytes(trns))
+    out += _chunk(b"IDAT", zlib.compress(b"".join(lines)))
+    out += _chunk(b"IEND", b"")
+    return out
+
+
+def test_decode_palette_png_depths():
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
+
+    palette = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+    idx = np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 2], [1, 1, 3, 2, 0]], dtype=np.uint8)
+    for depth in (2, 4, 8):
+        png = _build_palette_png(5, 3, depth, palette, idx)
+        got = codec.decode_png(png)
+        assert got.shape == (3, 5, 3)
+        exp = np.array(palette, dtype=np.uint8)[idx]
+        np.testing.assert_array_equal(got, exp)
+    # depth 1 with a 2-entry palette
+    idx1 = np.array([[0, 1, 1, 0, 1]], dtype=np.uint8)
+    got1 = codec.decode_png(_build_palette_png(5, 1, 1, palette[:2], idx1))
+    np.testing.assert_array_equal(
+        got1, np.array(palette[:2], dtype=np.uint8)[idx1]
+    )
+
+
+def test_decode_palette_png_trns_alpha():
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
+
+    palette = [(10, 20, 30), (40, 50, 60)]
+    idx = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    png = _build_palette_png(2, 2, 8, palette, idx, trns=[128])  # idx 0 half-alpha
+    got = codec.decode_png(png)
+    assert got.shape == (2, 2, 4)
+    assert got[0, 0, 3] == 128 and got[0, 1, 3] == 255
+    np.testing.assert_array_equal(got[0, 0, :3], [10, 20, 30])

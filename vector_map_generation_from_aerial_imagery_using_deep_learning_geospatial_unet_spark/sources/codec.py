@@ -95,9 +95,13 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
+    """Decode 8-bit gray/GA/RGB/RGBA plus palette (type 3) PNGs; palettes
+    support depths 1/2/4/8 and tRNS transparency — the common web-PNG
+    variants.  16-bit and interlaced streams are rejected loudly."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat, w = 8, [], None
+    plte = trns = None
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -105,9 +109,20 @@ def decode_png(data: bytes) -> np.ndarray:
         pos += 12 + length
         if tag == b"IHDR":
             w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or interlace != 0 or ctype not in _CHANNELS:
+            if interlace != 0 or (ctype in _CHANNELS and depth != 8):
                 raise ValueError("unsupported PNG variant")
-            c = _CHANNELS[ctype]
+            if ctype == 3:
+                if depth not in (1, 2, 4, 8):
+                    raise ValueError(f"bad palette depth {depth}")
+                c = 1
+            elif ctype in _CHANNELS:
+                c = _CHANNELS[ctype]
+            else:
+                raise ValueError(f"unsupported PNG color type {ctype}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, dtype=np.uint8)
         elif tag == b"IDAT":
             idat.append(payload)
         elif tag == b"IEND":
@@ -115,6 +130,24 @@ def decode_png(data: bytes) -> np.ndarray:
     if w is None:
         raise ValueError("PNG missing IHDR")
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        stride = (w * depth + 7) // 8
+        packed = _unfilter(raw, h, stride, 1)
+        if depth == 8:
+            idx = packed[:, :w]
+        else:
+            bits = np.unpackbits(packed, axis=1)[:, : w * depth]
+            idx = bits.reshape(h, w, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            idx = (idx * weights).sum(axis=2).astype(np.uint8)
+        rgb = plte[idx]  # (h, w, 3)
+        if trns is not None:
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[: len(trns)] = trns
+            return np.dstack([rgb, alpha[idx]])
+        return rgb
     out = _unfilter(raw, h, w * c, c)
     arr = out.reshape(h, w, c)
     return arr[:, :, 0] if c == 1 else arr
