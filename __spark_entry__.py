@@ -518,6 +518,72 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(audio)
 
 
+def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real animation path: deterministic animated GIFs (encoded through
+    the real LZW codec), frame-sampled every 2nd frame, per-frame exact
+    channel sums.  idx[y][x] = (y + 3x + pk + 7*frame) % 16 over a 16-color
+    arithmetic palette — the SQL twin re-derives every pixel."""
+    import numpy as np
+    import pandas as pd
+    import zlib as _z
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_gif
+
+    meta = derived.images_meta(spark, sf_dir).select(
+        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
+    ).filter(F.col("pk") <= 60)
+
+    pal = np.stack(
+        [
+            (np.arange(16) * 17) % 256,
+            (np.arange(16) * 29) % 256,
+            (np.arange(16) * 41) % 256,
+        ],
+        axis=1,
+    ).astype(np.uint8)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                h, w = 40 + pk % 7, 50 + pk % 11
+                n = 6 + pk % 5
+                y, x = np.mgrid[0:h, 0:w]
+                frames = [
+                    ((y + 3 * x + pk + 7 * k) % 16).astype(np.uint8)
+                    for k in range(n)
+                ]
+                rows.append((r.image_id, codec_gif.encode_gif(frames, pal), "gif"))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+
+    gifs = meta.mapInPandas(
+        synth, schema="video_id string, bytes binary, fmt string"
+    )
+    sampled = MM.frame_sample(gifs, every_n=2)
+
+    def sums(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                fr = np.frombuffer(
+                    _z.decompress(bytes(r.frame_bytes)), dtype=np.uint8
+                ).reshape(int(r.h), int(r.w), 3)
+                s = fr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                rows.append(
+                    (r.video_id, int(r.frame_idx), int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "sum_r", "sum_g", "sum_b"]
+            )
+
+    return sampled.mapInPandas(
+        sums,
+        schema="video_id string, frame_idx int, sum_r long, sum_g long, sum_b long",
+    )
+
+
 def q_cc_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed cross-tile connected components (the unbounded-mosaic
     scale path, operators/cc_global.py): per-tile labels -> seam
@@ -624,6 +690,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_pixel_sums": q_multimodal_pixel_sums,
     "cc_distributed": q_cc_distributed,
     "audio_features": q_audio_features,
+    "gif_frames": q_gif_frames,
     "training_tensors": q_training_tensors,
     "edt_weight_hist": q_edt_weight_hist,
     "watershed_split": q_watershed_split,
@@ -754,6 +821,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "multimodal_pixel_sums": _multimodal_pixel_sums_sql(),
         "cc_distributed": _cc_distributed_sql(),
         "audio_features": _audio_features_sql(),
+        "gif_frames": _gif_frames_sql(),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -973,6 +1041,36 @@ SELECT audio_id,
   CAST(count(*) FILTER (WHERE prev_s * s < 0) AS BIGINT) AS zero_crossings
 FROM vals
 GROUP BY audio_id, n, ch"""
+
+
+def _gif_frames_sql() -> str:
+    """Closed-form twin of q_gif_frames: re-derive every sampled frame's
+    pixels (idx = (y + 3x + pk + 7k) % 16) and sum the arithmetic palette
+    channels."""
+    return """
+WITH meta AS (
+  SELECT concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS video_id,
+         p_partkey AS pk
+  FROM part WHERE p_partkey <= 60
+),
+params AS (
+  SELECT video_id, pk,
+    40 + pk % 7 AS h, 50 + pk % 11 AS w, 6 + pk % 5 AS n
+  FROM meta
+),
+ks AS (
+  SELECT *, unnest(generate_series(0, n - 1, 2)) AS k FROM params
+),
+ys AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM ks),
+px AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM ys),
+vals AS (
+  SELECT video_id, k, (y + 3 * x + pk + 7 * k) % 16 AS idx FROM px
+)
+SELECT video_id, CAST(k AS INT) AS frame_idx,
+  CAST(sum((idx * 17) % 256) AS BIGINT) AS sum_r,
+  CAST(sum((idx * 29) % 256) AS BIGINT) AS sum_g,
+  CAST(sum((idx * 41) % 256) AS BIGINT) AS sum_b
+FROM vals GROUP BY video_id, k"""
 
 
 def _cc_distributed_sql() -> str:

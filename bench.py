@@ -149,6 +149,7 @@ def main() -> None:
         "lang_id",
         "skeletonize_bars",
         "audio_features",
+        "gif_frames",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -170,3 +170,57 @@ def test_audio_features_over_real_wav(spark):
     assert r["sum_abs"] == 220
     # strict sign products: (100,-50) (-50,30) (30,-30) (-30,0) (0,10) -> 3
     assert r["zero_crossings"] == 3
+
+
+# ---------------------------------------------------------------------- #
+# GIF codec (sources/codec_gif.py)
+# ---------------------------------------------------------------------- #
+
+def test_gif_roundtrip_variants():
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_gif as G
+
+    rng = np.random.RandomState(0)
+    pal16 = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    f0 = rng.randint(0, 16, size=(90, 130), dtype=np.uint8)
+    frames, _ = G.decode_gif(G.encode_gif([f0], pal16))
+    np.testing.assert_array_equal(frames[0][:, :, :3], pal16[f0])
+
+    # animation with delays
+    f1 = (f0 + 1) % 16
+    fr, de = G.decode_gif(G.encode_gif([f0, f1, f0], pal16, delays=[5, 10, 15]))
+    assert len(fr) == 3 and de == [5, 10, 15]
+    np.testing.assert_array_equal(fr[1][:, :, :3], pal16[f1])
+
+    # 256-color random frame: exercises width growth to 12 bits
+    pal256 = rng.randint(0, 256, size=(256, 3), dtype=np.uint8)
+    big = rng.randint(0, 256, size=(200, 200), dtype=np.uint8)
+    fb, _ = G.decode_gif(G.encode_gif([big], pal256))
+    np.testing.assert_array_equal(fb[0][:, :, :3], pal256[big])
+
+    # gradient: exercises the 4096-entry dictionary reset
+    grad = (np.add.outer(np.arange(300), np.arange(300)) % 256).astype(np.uint8)
+    fg, _ = G.decode_gif(G.encode_gif([grad], pal256))
+    np.testing.assert_array_equal(fg[0][:, :, :3], pal256[grad])
+
+    with pytest.raises(ValueError):
+        G.decode_gif(b"NOPE")
+
+
+def test_frame_sample_real_gif_path(spark):
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_gif as G
+    import zlib
+
+    pal = np.stack([np.arange(8) * 30] * 3, axis=1).astype(np.uint8)
+    frames = [np.full((6, 9), k, dtype=np.uint8) for k in range(5)]
+    gif = G.encode_gif(frames, pal)
+    df = spark.createDataFrame(
+        [("v1", gif, "gif")], "video_id string, bytes binary, fmt string"
+    )
+    out = {r["frame_idx"]: r for r in MM.frame_sample(df, every_n=2).collect()}
+    assert set(out) == {0, 2, 4}
+    for fi, r in out.items():
+        fr = np.frombuffer(
+            zlib.decompress(bytes(r["frame_bytes"])), dtype=np.uint8
+        ).reshape(6, 9, 3)
+        assert (fr == fi * 30).all()

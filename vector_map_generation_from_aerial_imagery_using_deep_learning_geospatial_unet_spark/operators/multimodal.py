@@ -25,13 +25,18 @@ from pyspark.sql import DataFrame
 from ..functions.kernels_resample import resize_bilinear
 from ..sources import codec
 
-REAL_FORMATS = {"png", "raw", "jpeg", "jpg"}  # jpeg: sources/codec_jpeg.py
+REAL_FORMATS = {"png", "raw", "jpeg", "jpg", "gif"}  # codec_jpeg/codec_gif
 # wav (PCM) decodes for real via sources/codec_wav.py (audio_features);
 # the remaining stubs are genuinely codec-library-bound
 STUB_FORMATS = {"webp", "mp3", "mp4", "webm"}
 
 
 def _decode_payload(data: bytes, fmt: str, w: int, h: int, stub_ok: bool) -> np.ndarray:
+    if fmt == "gif":  # still image = first frame (sources/codec_gif.py)
+        from ..sources import codec_gif
+
+        frames, _ = codec_gif.decode_gif(bytes(data))
+        return frames[0][:, :, :3]
     if fmt in REAL_FORMATS:
         return codec.decode(bytes(data), fmt, w, h)
     if fmt in STUB_FORMATS:
@@ -163,15 +168,35 @@ def audio_features(audio: DataFrame) -> DataFrame:
 def frame_sample(
     videos: DataFrame, every_n: int = 10, stub_ok: bool = True
 ) -> DataFrame:
-    """Video rows -> one row per sampled frame.  Decode is stubbed (no video
-    lib): frames are deterministic fakes keyed by (payload, frame_idx); the
-    explode/partition/schema path is the real thing."""
+    """Video/animation rows -> one row per sampled frame.
+
+    ``fmt='gif'`` decodes for REAL (sources/codec_gif.py: full LZW +
+    disposal compositing); mp4/webm stay stubbed (no codec libs) with
+    deterministic fakes keyed by (payload, frame_idx) — the
+    explode/partition/schema path is identical either way.  A ``fmt``
+    column is optional; absent means stub (round-1 schema)."""
     schema = "video_id string, frame_idx int, frame_bytes binary, w int, h int"
+    has_fmt = "fmt" in videos.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources import codec_gif
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                fmt = getattr(r, "fmt", "") if has_fmt else ""
+                if fmt == "gif":
+                    frames, _ = codec_gif.decode_gif(bytes(r.bytes))
+                    for fi in range(0, len(frames), every_n):
+                        fr = frames[fi][:, :, :3]
+                        rows.append(
+                            (
+                                r.video_id, fi,
+                                zlib.compress(np.ascontiguousarray(fr).tobytes(), 1),
+                                fr.shape[1], fr.shape[0],
+                            )
+                        )
+                    continue
                 n_frames = int(r.n_frames)
                 for fi in range(0, n_frames, every_n):
                     seed = int.from_bytes(
