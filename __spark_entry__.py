@@ -222,15 +222,10 @@ def q_dice_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text / dedup / similarity / pyramid suite
 # ---------------------------------------------------------------------- #
 
-def q_skeletonize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P2 skeletonize (linearFeature branch) — per-image medial-line pixel
-    count.  Thinning has no SQL twin: rows-only; numpy oracles in pytest."""
-    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
-    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
-
-    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=60)
-    sk = raster.skeletonize_stage(imgs, CFG)
-
+def _skeleton_px_counts(sk: DataFrame) -> DataFrame:
+    """Shared tail of both skeletonize gates: per-image nonzero-pixel
+    count of the thinned plane (one helper so the rows-only and the
+    oracle-gated query can never drift apart)."""
     import pandas as pd
 
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
@@ -246,29 +241,27 @@ def q_skeletonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.mapInPandas(count, schema="image_id string, skeleton_px long")
 
 
+def q_skeletonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 skeletonize (linearFeature branch) — per-image medial-line pixel
+    count.  Thinning has no SQL twin: rows-only; numpy oracles in pytest."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=60)
+    return _skeleton_px_counts(raster.skeletonize_stage(imgs, CFG))
+
+
 def q_skeletonize_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 exact gate: on axis-aligned bar fixtures, Zhang-Suen thinning of
     the 5x5-dilated bar yields exactly max(|bw - bh|, 1) centerline pixels
     (dilation grows both dims by 4 — difference invariant; property
     verified over 100 fixture images).  The free-form mask variant stays
     rows-only (Q:skeletonize)."""
-    import pandas as pd
-
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
-    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec, images as IMG
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
 
     imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="bars", limit=60)
-    sk = raster.skeletonize_stage(imgs, CFG)
-
-    def count(batches):
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                a = codec.decode(bytes(r.bytes), r.fmt, r.w, r.h)
-                rows.append((r.image_id, int((a != 0).sum())))
-            yield pd.DataFrame(rows, columns=["image_id", "skeleton_px"])
-
-    return sk.mapInPandas(count, schema="image_id string, skeleton_px long")
+    return _skeleton_px_counts(raster.skeletonize_stage(imgs, CFG))
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

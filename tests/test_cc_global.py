@@ -102,3 +102,12 @@ def test_distributed_cc_convergence_guard(spark):
     tiles = _tiles_from_arrays(spark, [a])
     with pytest.raises(RuntimeError, match="converge"):
         cc_global.distributed_cc_areas(tiles, CFG, max_rounds=0)
+
+
+def test_pack_nid_bounds_raise_loudly():
+    """The packed node id must fail loudly instead of silently colliding."""
+    assert cc_global._pack_nid(3, 5, 100) == (3 << 37) | (5 << 16)
+    with pytest.raises(ValueError, match="bounds"):
+        cc_global._pack_nid(1, 1, 1 << 16)
+    with pytest.raises(ValueError, match="bounds"):
+        cc_global._pack_nid(1, 1 << 21, 10)

@@ -224,3 +224,21 @@ def test_frame_sample_real_gif_path(spark):
             zlib.decompress(bytes(r["frame_bytes"])), dtype=np.uint8
         ).reshape(6, 9, 3)
         assert (fr == fi * 30).all()
+
+
+def test_wav_8bit_pcm_is_unsigned_biased():
+    """8-bit PCM is unsigned with a 128 bias (WAV spec): decode must
+    return signed values so zero-crossings/abs features are meaningful."""
+    import struct
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav as W
+
+    # hand-build an 8-bit mono wav: samples 0, 128, 255 -> -128, 0, 127
+    data = bytes([0, 128, 255])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav = b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+    wav += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    wav += b"data" + struct.pack("<I", len(data)) + data + b"\x00"  # pad
+    s, rate = W.decode_wav(wav)
+    assert rate == 8000
+    assert s[:, 0].tolist() == [-128, 0, 127]

@@ -253,3 +253,32 @@ def test_clear_stage_then_fresh_run(spark, tmp):
     assert M.completed_units(spark, tmp, "s").count() == 0
     n2 = M.run_resumable(imgs, stage, "s", tmp).count()
     assert n2 == n1
+
+
+def test_clear_stage_migrates_legacy_unpartitioned_manifest(spark, tmp):
+    """A round-1 manifest (stage as a DATA column, files at the root) must
+    not be silently no-opped: clear_stage migrates it to the partitioned
+    layout and actually forgets the stage."""
+    legacy_rows = [
+        ("a", "img_1", 5, 1, 0, "r1", "done", 1.0),
+        ("a", "img_2", 3, 2, 0, "r1", "done", 1.0),
+        ("b", "img_1", 7, 3, 0, "r1", "done", 1.0),
+    ]
+    df = spark.createDataFrame(
+        legacy_rows,
+        "stage string, image_id string, rows long, checksum long, "
+        "partition_id int, run_id string, status string, wall_sec double",
+    ).withColumn("ts", F.current_timestamp())
+    # legacy layout: UNPARTITIONED write -> parquet files at manifest root
+    df.write.parquet(M.manifest_path(tmp))
+
+    M.clear_stage(spark, tmp, "a")
+    m = spark.read.parquet(M.manifest_path(tmp))
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert stages == {"b"}
+    assert M.completed_units(spark, tmp, "a").count() == 0
+    assert M.completed_units(spark, tmp, "b").count() == 1
+    # migrated to the partitioned layout: stage=b subdir exists
+    import os
+
+    assert os.path.isdir(f"{M.manifest_path(tmp)}/stage=b")

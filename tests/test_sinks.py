@@ -189,3 +189,28 @@ def test_catalog_load_images_parquet_fallback(spark, tmp_path):
     # catalog-table path: registered temp view name resolves via read.table
     spark.read.parquet(p).createOrReplaceTempView("imgs_cat")
     assert catalog.load_images(spark, "imgs_cat").count() == df.count()
+
+
+def test_shapefile_dbf_overflow_raises():
+    import tempfile
+
+    import pytest
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions import shapefile as shp
+
+    ring = [[0, 0], [1, 0], [1, 1], [0, 0]]
+    with pytest.raises(ValueError, match="width"):
+        shp.write_polygon_shapefile(
+            tempfile.mktemp(),
+            [([ring], {"id": 1, "value": 1, "Area": 1e18})],  # 25 chars > 19
+        )
+
+
+def test_catalog_path_vs_table_heuristic():
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import catalog
+
+    assert catalog._looks_like_path("imgs.parquet")       # data-file ext
+    assert catalog._looks_like_path("/data/imgs")         # separator
+    assert catalog._looks_like_path("s3://bucket/imgs")   # URI scheme
+    assert not catalog._looks_like_path("db.images")      # catalog name
+    assert not catalog._looks_like_path("images_v2")      # bare table

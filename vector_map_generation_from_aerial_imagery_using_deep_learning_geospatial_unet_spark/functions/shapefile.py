@@ -90,7 +90,13 @@ def _dbf_record(attrs: dict) -> bytes:
     for name, ln, dec in DBF_FIELDS:
         v = attrs.get(name, 0)
         s = f"{float(v):.{dec}f}" if dec else f"{int(v):d}"
-        out += s.rjust(ln).encode("ascii")[:ln]
+        if len(s) > ln:
+            # never truncate most-significant digits silently — a chopped
+            # number would round-trip as a DIFFERENT value
+            raise ValueError(
+                f"dBASE field {name!r} width {ln} cannot hold {s!r}"
+            )
+        out += s.rjust(ln).encode("ascii")
     return out
 
 

@@ -41,35 +41,62 @@ from ..functions import kernels_morph as km
 from ..sources import codec
 
 
+# collision-free per-image node id: nid = tiy << 37 | tix << 16 | label.
+# NOT a hash — a hash key silently merges unrelated regions on collision,
+# which at the module's target scale is certain; the packed id is exact and
+# the bounds below are checked loudly.  image_id stays a separate key
+# column everywhere (nids repeat across images by design).
+_LABEL_BITS, _TIX_BITS = 16, 21
+
+
+def _pack_nid(tiy: int, tix: int, label_max: int) -> int:
+    if label_max >= (1 << _LABEL_BITS) or tix >= (1 << _TIX_BITS) or tiy >= (
+        1 << (63 - _LABEL_BITS - _TIX_BITS)
+    ):
+        raise ValueError(
+            f"nid packing bounds exceeded (tiy={tiy}, tix={tix}, "
+            f"labels={label_max}) — widen the packing"
+        )
+    return (tiy << (_LABEL_BITS + _TIX_BITS)) | (tix << _LABEL_BITS)
+
+
 def _tile_parts(tiles: DataFrame, cfg: EngineConfig) -> DataFrame:
     """One pass over tile rows -> tall table of per-label owned-pixel
-    counts (kind='c') and shared-anchor foreground pixels (kind='b')."""
+    counts (kind='c') and shared-anchor foreground pixels (kind='b');
+    ``nid`` is the packed exact node id."""
     t, ov = cfg.tile_size, cfg.overlap_px
     step = t - ov
-    schema = (
-        "image_id string, tkey long, label int, kind string, "
-        "gy long, gx long, npx long"
-    )
+    schema = "image_id string, nid long, kind string, gy long, gx long, npx long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            frames = []
             for r in pdf.itertuples(index=False):
                 arr = codec.decode(bytes(r.bytes), r.fmt, int(r.tw), int(r.th))
                 if arr.ndim == 3:
                     arr = arr[:, :, 0]
                 fg = (arr >= 128).astype(np.uint8)
                 lab = km.label(fg, connectivity=1)
-                tkey = int(r.tiy) * 1_000_000 + int(r.tix)
+                base = _pack_nid(int(r.tiy), int(r.tix), int(lab.max()))
                 oy, ox = int(r.off_y), int(r.off_x)
                 # owned region: drop the left/top overlap strip unless this
-                # tile is the first in that axis (later-tile-wins ownership)
+                # tile is the first in that axis (disjoint exact cover)
                 y0 = ov if r.tiy > 1 else 0
                 x0 = ov if r.tix > 1 else 0
                 owned = lab[y0:, x0:]
                 vals, counts = np.unique(owned[owned > 0], return_counts=True)
-                for v, c in zip(vals, counts):
-                    rows.append((r.image_id, tkey, int(v), "c", 0, 0, int(c)))
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "image_id": r.image_id,
+                            "nid": base + vals.astype(np.int64),
+                            "kind": "c",
+                            "gy": np.int64(0),
+                            "gx": np.int64(0),
+                            "npx": counts.astype(np.int64),
+                        }
+                    )
+                )
                 # shared-strip emission: the FULL ov-wide overlap band of
                 # every adjacent pair exists in both tiles, and a region
                 # split across the ownership cut — or living entirely
@@ -91,17 +118,22 @@ def _tile_parts(tiles: DataFrame, cfg: EngineConfig) -> DataFrame:
                 for sy, sx in strips:
                     sub = lab[sy, sx]
                     ys, xs = np.nonzero(sub)
-                    labs = sub[ys, xs]
-                    gys = ys + oy + sy.start
-                    gxs = xs + ox + sx.start
-                    for y, x, lv in zip(gys, gxs, labs):
-                        rows.append(
-                            (r.image_id, tkey, int(lv), "b", int(y), int(x), 0)
+                    if len(ys) == 0:
+                        continue
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "image_id": r.image_id,
+                                "nid": base + sub[ys, xs].astype(np.int64),
+                                "kind": "b",
+                                "gy": (ys + oy + sy.start).astype(np.int64),
+                                "gx": (xs + ox + sx.start).astype(np.int64),
+                                "npx": np.int64(0),
+                            }
                         )
-            yield pd.DataFrame(
-                rows,
-                columns=["image_id", "tkey", "label", "kind", "gy", "gx", "npx"],
-            )
+                    )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
 
     return tiles.mapInPandas(run, schema=schema)
 
@@ -122,42 +154,47 @@ def distributed_cc_areas(
     would undercount regions."""
     parts = _tile_parts(tiles, cfg).persist()
 
-    nid = F.xxhash64("image_id", "tkey", "label")
-    counts = (
-        parts.filter(F.col("kind") == "c")
-        .select("image_id", nid.alias("nid"), "npx")
-    )
+    counts = parts.filter(F.col("kind") == "c").select("image_id", "nid", "npx")
     border = parts.filter(F.col("kind") == "b").select(
-        "image_id", "gy", "gx", nid.alias("nid")
+        "image_id", "gy", "gx", "nid"
     )
     a, b = [border.alias(s) for s in ("a", "b")]
     edges = (
         a.join(b, ["image_id", "gy", "gx"])
         .filter(F.col("a.nid") != F.col("b.nid"))
-        .select(F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
+        .select("image_id", F.col("a.nid").alias("src"), F.col("b.nid").alias("dst"))
         .distinct()
         .persist()
     )
 
     # counts holds exactly one row per (tile, label) by construction (the
-    # per-tile np.unique) -> nid is already distinct; no dedup shuffle
-    comp = counts.select("nid").withColumn("comp", F.col("nid"))
+    # per-tile np.unique) -> (image_id, nid) is already distinct
+    comp = counts.select("image_id", "nid").withColumn("comp", F.col("nid"))
     comp = comp.persist()
     comp.count()
     for _ in range(max_rounds):
         neigh = (
-            edges.join(comp, edges.src == comp.nid)
-            .select(F.col("dst").alias("nid"), "comp")
+            edges.alias("e")
+            .join(
+                comp.alias("c"),
+                (F.col("e.image_id") == F.col("c.image_id"))
+                & (F.col("e.src") == F.col("c.nid")),
+            )
+            .select(
+                F.col("e.image_id").alias("image_id"),
+                F.col("e.dst").alias("nid"),
+                "comp",
+            )
         )
         new_comp = (
             comp.unionByName(neigh)
-            .groupBy("nid")
+            .groupBy("image_id", "nid")
             .agg(F.min("comp").alias("comp"))
             .persist()
         )
         changed = (
             new_comp.alias("n")
-            .join(comp.alias("o"), "nid")
+            .join(comp.alias("o"), ["image_id", "nid"])
             .filter(F.col("n.comp") != F.col("o.comp"))
             .limit(1)
             .count()
@@ -172,7 +209,7 @@ def distributed_cc_areas(
         )
 
     out = (
-        counts.join(comp, "nid")
+        counts.join(comp, ["image_id", "nid"])
         .groupBy("image_id", "comp")
         .agg(F.sum("npx").alias("region_px"))
         .select("image_id", "region_px")

@@ -408,11 +408,12 @@ def knn_join(
         out = out.unionByName(df)
     out = out.drop("p_cell")
     if not materialize:
-        # lazy logical plan (plan inspection / composition): release the
-        # round caches now — an action on the returned plan recomputes the
-        # candidate joins instead of pinning executor storage indefinitely
-        for df in cached:
-            df.unpersist()
+        # PLAN-INSPECTION path: the round caches stay registered (they have
+        # never been computed, so nothing is pinned until an action runs).
+        # Executing this plan is NOT the intended use — the loop-carried
+        # lineage references each round's topk along multiple branches, so
+        # an uncached execution re-runs candidate joins up to exponentially
+        # in the round count.  Callers who execute it own the caches.
         return out
     # localCheckpoint (eager) materializes the (small) result AND truncates
     # the loop-carried lineage, so caller actions re-read blocks instead of

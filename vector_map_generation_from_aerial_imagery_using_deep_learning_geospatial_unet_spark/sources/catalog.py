@@ -9,8 +9,9 @@ instead.  ``load_images`` resolves, in order:
 1. ``catalog.db.table`` names -> ``spark.read.table`` (works for Iceberg,
    Hive, or any configured catalog — Iceberg's Spark integration registers
    plain table names, so the engine needs no Iceberg-specific API);
-2. paths -> ``spark.read.format(fmt)`` with ``fmt='iceberg'`` honored when
-   the runtime has the jars, else the documented parquet fallback.
+2. paths -> ``spark.read.format(fmt or 'parquet')``; ``fmt='iceberg'``
+   must be explicit for path-addressed Iceberg locations (a plain parquet
+   directory is not iceberg-readable even with the jars present).
 
 Schema is validated against the input_hint contract on load: silently
 accepting a mis-shaped table would surface as a confusing UDF error three
@@ -63,6 +64,19 @@ def validate_images_schema(df: DataFrame, required: dict | None = None) -> DataF
     return df
 
 
+def _looks_like_path(source: str) -> bool:
+    """A filesystem path vs a catalog table name.  Table names never carry
+    path separators, URI schemes, or data-file extensions, and a string
+    that exists on the local filesystem is a path regardless of shape —
+    so ``imgs.parquet`` in the CWD loads as data, not as database ``imgs``
+    table ``parquet``."""
+    if os.path.sep in source or "://" in source or source.startswith("file:"):
+        return True
+    if source.rsplit(".", 1)[-1].lower() in ("parquet", "orc", "csv", "json"):
+        return True
+    return os.path.exists(source)
+
+
 def load_images(
     spark: SparkSession,
     source: str,
@@ -71,12 +85,14 @@ def load_images(
 ) -> DataFrame:
     """Load the images input table from a catalog table name or a path.
 
-    ``fmt=None`` auto-selects: table names go through the session catalog
-    (Iceberg/Hive transparent); paths use iceberg when the runtime has it,
-    else parquet."""
-    if not os.path.sep in source and not source.startswith("file:"):
+    Table names resolve through the session catalog (Iceberg/Hive
+    transparent — Iceberg's Spark integration registers plain table names,
+    so no Iceberg-specific API is needed).  Paths default to parquet (the
+    documented stand-in; a parquet directory is NOT readable as iceberg
+    even when the jars are present) — pass ``fmt='iceberg'`` explicitly
+    for a path-addressed Iceberg table location."""
+    if fmt is None and not _looks_like_path(source):
         df = spark.read.table(source)
     else:
-        chosen = fmt or ("iceberg" if iceberg_available(spark) else "parquet")
-        df = spark.read.format(chosen).load(source)
+        df = spark.read.format(fmt or "parquet").load(source)
     return validate_images_schema(df) if validate else df

@@ -57,5 +57,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if bits not in _DTYPES:
         raise NotImplementedError(f"{bits}-bit PCM unsupported")
     samples = np.frombuffer(raw, dtype=_DTYPES[bits])
+    if bits == 8:
+        # 8-bit PCM is UNSIGNED, biased at 128 (WAV spec) — convert to
+        # signed so zero-crossing/abs features mean what they say
+        samples = samples.astype(np.int16) - 128
     samples = samples[: (len(samples) // ch) * ch].reshape(-1, ch)
     return samples, rate

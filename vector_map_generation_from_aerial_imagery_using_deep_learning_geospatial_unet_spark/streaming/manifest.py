@@ -184,7 +184,11 @@ def clear_stage(spark: SparkSession, root: str, stage: str) -> None:
     Scale + crash safety: the manifest is partitioned by ``stage``, so the
     rows are forgotten by deleting the single ``manifest/stage=<name>/``
     subdirectory — a metadata-only filesystem op, no manifest row ever
-    reaches the driver.  Order matters: manifest first, output second.  A
+    reaches the driver.  A pre-partitioning (legacy) manifest — parquet
+    files at the manifest root with ``stage`` as a data column — is
+    migrated to the partitioned layout by a distributed rewrite first
+    (never appended to in place: a mixed layout would break partition
+    discovery loudly on the next read).  Order matters: manifest first, output second.  A
     crash between the two leaves output rows with NO manifest entry — the
     units read as pending and are simply re-run (their stale rows stay
     invisible because :func:`stage_output` only shows rows whose
@@ -192,11 +196,37 @@ def clear_stage(spark: SparkSession, root: str, stage: str) -> None:
     manifest rows pointing at deleted data: permanently missing output."""
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    mp = jvm.org.apache.hadoop.fs.Path(
-        manifest_path(root) + f"/stage={stage}"
-    )
-    mp.getFileSystem(hconf).delete(mp, True)
-    p = jvm.org.apache.hadoop.fs.Path(f"{root.rstrip('/')}/{stage}")
+
+    def _path(s):
+        return jvm.org.apache.hadoop.fs.Path(s)
+
+    mroot = _path(manifest_path(root))
+    fs = mroot.getFileSystem(hconf)
+    # legacy layout (pre-stage-partitioning): parquet data files sit at the
+    # manifest ROOT with stage as a data column.  Deleting stage=<name>/
+    # alone would silently no-op there, leaving 'done' rows pointing at the
+    # output we are about to delete.  Migrate: distributed rewrite of the
+    # kept rows to a temp dir (partitioned), then swap — write-tmp /
+    # delete-old / rename order keeps every crash window safe (worst case:
+    # missing manifest -> everything pending -> recompute, never data loss).
+    legacy = False
+    if fs.exists(mroot):
+        for st in fs.listStatus(mroot):
+            name = st.getPath().getName()
+            if st.isFile() and name.endswith(".parquet"):
+                legacy = True
+                break
+    if legacy:
+        m = _read_manifest(spark, root)
+        kept = m.filter(F.col("stage") != stage)
+        tmp = manifest_path(root) + ".migrating"
+        kept.write.mode("overwrite").partitionBy("stage").parquet(tmp)
+        fs.delete(mroot, True)
+        fs.rename(_path(tmp), mroot)
+    else:
+        mp = _path(manifest_path(root) + f"/stage={stage}")
+        mp.getFileSystem(hconf).delete(mp, True)
+    p = _path(f"{root.rstrip('/')}/{stage}")
     p.getFileSystem(hconf).delete(p, True)
 
 
