@@ -111,3 +111,15 @@ def test_pack_nid_bounds_raise_loudly():
         cc_global._pack_nid(1, 1, 1 << 16)
     with pytest.raises(ValueError, match="bounds"):
         cc_global._pack_nid(1, 1 << 21, 10)
+
+
+def test_distributed_cc_rejects_zero_overlap(spark):
+    """ADVICE r2: overlap_px=0 emits no seam-anchor rows, so cross-tile
+    components would silently stay split — must raise instead."""
+    import dataclasses
+
+    a = np.zeros((150, 180), dtype=np.uint8)
+    a[10:20, 10:30] = 255
+    cfg0 = dataclasses.replace(CFG, overlap_px=0)
+    with pytest.raises(ValueError, match="overlap_px"):
+        cc_global.distributed_cc_areas(_tiles_from_arrays(spark, [a]), cfg0)

@@ -10,10 +10,12 @@ CC labeling WITHOUT ever materializing the image —
    (a) its foreground pixels on the SHARED anchor lines — the first
        overlap column/row of every adjacent pair exists in both tiles, and
        any 4- or 8-connected path crossing the seam must step on it — and
-   (b) per-label pixel counts over the pixels the tile OWNS (the
-       later-tile-wins stitch rule: a tile owns its left/top overlap strip
-       only when it is the later tile), so every global pixel is counted
-       exactly once;
+   (b) per-label pixel counts over the pixels the tile OWNS — an
+       earlier-tile-wins disjoint cover: each non-first tile drops its
+       left/top overlap strip, so the EARLIER tile keeps the shared band
+       and every global pixel is counted exactly once.  (This deliberately
+       differs from the later-tile-wins seam rule used by
+       ``stitch_tiles``; any disjoint exact cover gives the same counts.)
 2. seam equivalences = an equi-join of the anchor pixels on
    (image_id, gy, gx) across tile keys — two local labels sharing a
    foreground pixel are the same region;
@@ -79,8 +81,9 @@ def _tile_parts(tiles: DataFrame, cfg: EngineConfig) -> DataFrame:
                 lab = km.label(fg, connectivity=1)
                 base = _pack_nid(int(r.tiy), int(r.tix), int(lab.max()))
                 oy, ox = int(r.off_y), int(r.off_x)
-                # owned region: drop the left/top overlap strip unless this
-                # tile is the first in that axis (disjoint exact cover)
+                # owned region (earlier-tile-wins): every non-first tile
+                # drops its left/top overlap strip, so the earlier tile
+                # keeps the shared band — a disjoint exact cover
                 y0 = ov if r.tiy > 1 else 0
                 x0 = ov if r.tix > 1 else 0
                 owned = lab[y0:, x0:]
@@ -152,6 +155,13 @@ def distributed_cc_areas(
     Raises if not converged by then (a real deployment resumes with a
     higher bound, or switches to pointer-doubling) — silent truncation
     would undercount regions."""
+    if cfg.overlap_px < 1:
+        raise ValueError(
+            "distributed_cc_areas requires overlap_px >= 1: the seam-anchor "
+            "scheme joins tiles on shared overlap pixels, and with no "
+            "overlap no seam rows are emitted — cross-tile components "
+            f"would silently stay split (got overlap_px={cfg.overlap_px})"
+        )
     parts = _tile_parts(tiles, cfg).persist()
 
     counts = parts.filter(F.col("kind") == "c").select("image_id", "nid", "npx")
@@ -192,10 +202,13 @@ def distributed_cc_areas(
             .agg(F.min("comp").alias("comp"))
             .persist()
         )
+        # a row counts as changed when its exact (nid, comp) pair is NOT in
+        # the previous state — this also catches nids appearing for the
+        # first time this round (labels with zero owned pixels, reachable
+        # only via seam strips), which an inner join on nid would miss and
+        # could end the loop one propagation hop early
         changed = (
-            new_comp.alias("n")
-            .join(comp.alias("o"), ["image_id", "nid"])
-            .filter(F.col("n.comp") != F.col("o.comp"))
+            new_comp.join(comp, ["image_id", "nid", "comp"], "left_anti")
             .limit(1)
             .count()
         )
