@@ -187,14 +187,22 @@ def q_pipeline_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pipeline_watershed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P3 watershed-separation variant (EDT + peaks + priority flood) —
-    non-SQL-expressible: rows-only driver check; numpy oracles in pytest."""
+    """P3 watershed pipeline, exact-gated (round-3): the ``mask_sparse``
+    fixture keeps every rect >= 76 px (Chebyshev) from its neighbors —
+    strictly beyond the (2*75+1) peak max-filter window — so each rect's
+    EDT ridge plateau survives as exactly one 4-connected marker and
+    watershed labels each rect as one region of rw*rh px.  The full chain
+    (tile slice -> stitch -> threshold -> open -> EDT -> peaks -> priority
+    flood -> polygonize -> shoelace) then has a closed-form area oracle.
+    Free-form masks (where inter-blob peak suppression makes the marker set
+    non-analytic) stay covered by the numpy oracles in pytest and the
+    dumbbell split gate (``watershed_split``)."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.plans import pipeline
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
 
-    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=100)
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="mask_sparse", limit=100)
     polys = pipeline.mask_to_polygons(imgs, CFG, separation="watershed", tiled=True)
-    return polys.select("image_id", "poly_id", "value", "area_m2")
+    return polys.select("image_id", "area_m2")
 
 
 def q_dice_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,13 +612,21 @@ def q_multimodal_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_training_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M1-M5 tensor prep (rows-only): image+label join -> resize/remap/EDT
-    weight plane; returns per-row tensor stats to keep the result compact."""
+    """M1-M5 tensor prep, exact-gated (round-3): the rgb x-side resizes
+    from native dims through the real bilinear kernel (M3); the label
+    y-side is rendered tile-sized (200x200) so its resize is the identity
+    and the tensor sum closes analytically — label plane = sum(rw*rh)
+    (255->1 remap, M4) and the EDT weight plane (M5) is the same integer
+    onion-ring arithmetic as ``edt_weight_hist``, with every weight
+    float32-rounded exactly as the kernel emits it."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import datagen as DG
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
 
     imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="rgb", limit=50)
-    labels = IMG.images_table(spark, sf_dir, fmt="png", kind="mask", limit=50)
+    labels = IMG.images_table(
+        spark, sf_dir, fmt="png", kind="mask",
+        limit=50, size=(CFG.tile_size, CFG.tile_size),
+    )
     paired = DG.pair_image_label(imgs, labels)
     t = DG.training_tensors(paired, CFG)
     return t.select(
@@ -757,9 +773,9 @@ FROM images_meta""",
         "pip_join": _PIP_SQL,
         "pip_join_arrow": _PIP_SQL,
         "pipeline_polygons": _pipeline_polygons_sql(),
+        "pipeline_watershed": _pipeline_watershed_sql(),
         "dice_jaccard": _dice_jaccard_sql(),
-        # pipeline_watershed: intentionally no oracle (EDT/watershed are not
-        # SQL-expressible) -> driver records the rows-only check.
+        "training_tensors": _training_tensors_sql(),
         "exact_dedup": "WITH " + T.EXACT_DEDUP_SQL,
         "minhash_signature": "WITH " + T.minhash_signature_sql(),
         "lsh_pairs": "WITH " + T.lsh_candidate_pairs_sql(),
@@ -975,6 +991,81 @@ SELECT image_id,
   uly + y0 * (-1e-1)              AS maxy
 FROM rects
 WHERE pk <= {PIPE_CAP}"""
+    )
+
+
+def _pipeline_watershed_sql() -> str:
+    """Closed-form twin of q_pipeline_watershed: on the mask_sparse fixture
+    every rect is one watershed region of exactly rw*rh px (>= 76 px
+    Chebyshev separation guarantees one surviving ridge-plateau marker per
+    rect; see sparse_params)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        sparse_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + ","
+        + sparse_sql()
+        + """
+SELECT image_id, round(rw * rh * 1e-2, 2) AS area_m2
+FROM sparse WHERE pk <= 100"""
+    )
+
+
+def _training_tensors_sql() -> str:
+    """Closed-form twin of q_training_tensors: 200x200 labels make the
+    resize the identity, so y_sum = sum(label plane) + sum(weight plane) =
+    sum(rw*rh) + onion-ring weights (float32-rounded 10/d + 1, bg d=-99)
+    — the same integer EDT arithmetic _edt_weight_hist_sql pins per-ring."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        rects_sql,
+    )
+
+    t = CFG.tile_size
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + f""",
+meta_t AS (
+  SELECT image_id, pk, {t} AS w, {t} AS h, ulx, uly
+  FROM images_meta_pk WHERE pk <= 50
+),"""
+        + rects_sql(src="meta_t")
+        + f""",
+label AS (
+  SELECT image_id, CAST(sum(rw * rh) AS BIGINT) AS label_px
+  FROM rects GROUP BY image_id
+),
+rings AS (
+  SELECT image_id, rw, rh,
+    unnest(generate_series(1, (least(rw, rh) + 1) // 2)) AS d
+  FROM rects
+),
+fg AS (
+  SELECT image_id, CAST(d AS INT) AS d,
+    CAST(sum(
+      greatest(rw - 2*(d-1), 0) * greatest(rh - 2*(d-1), 0)
+      - greatest(rw - 2*d, 0) * greatest(rh - 2*d, 0)
+    ) AS BIGINT) AS n_px
+  FROM rings GROUP BY image_id, d
+),
+wsum AS (
+  SELECT image_id,
+    sum(n_px * CAST(CAST(10.0 / d + 1.0 AS REAL) AS DOUBLE)) AS w_fg
+  FROM fg GROUP BY image_id
+)
+SELECT l.image_id,
+  CAST({t * t * 3} AS INT) AS x_len,
+  CAST({t * t * 2} AS INT) AS y_len,
+  round(l.label_px + w.w_fg
+        + ({t * t} - l.label_px)
+          * CAST(CAST(10.0 / -99.0 + 1.0 AS REAL) AS DOUBLE),
+        2) AS y_sum
+FROM label l JOIN wsum w USING (image_id)"""
     )
 
 

@@ -100,10 +100,28 @@ def warmup(spark, images_path: str) -> None:
     E.q_point_tile_assign(spark, small).count()
 
 
+def _cpu_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from the aggregate /proc/stat cpu line —
+    host-steal telemetry so a noisy artifact is self-diagnosing (a shared
+    host's steal bursts have twice stained the artifact of record)."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except OSError:  # non-Linux: no telemetry, never fail the bench
+        return 0, 0
+
+
 def timed(fn, *args):
+    """Run fn, returning (result, wall_sec, steal_frac): steal_frac is the
+    fraction of all CPU jiffies stolen by the hypervisor during the window —
+    ~0 on a quiet host; >0.05 marks a figure polluted by co-tenants."""
+    s0, j0 = _cpu_jiffies()
     t0 = time.time()
     out = fn(*args)
-    return out, time.time() - t0
+    dt = time.time() - t0
+    s1, j1 = _cpu_jiffies()
+    return out, dt, round((s1 - s0) / max(j1 - j0, 1), 4)
 
 
 def main() -> None:
@@ -153,13 +171,23 @@ def main() -> None:
     ]
     qs = E.queries()
     rows: dict[str, int] = {}
+    steal: dict[str, float] = {}
+    # TWO FULL SWEEPS, min per query.  Back-to-back best-of-2 (round 2) both
+    # land inside the same minutes-long host-steal burst; a full second sweep
+    # separates the two samples of each query by the whole suite's runtime,
+    # so one burst can stain at most one sample.  Sweep 1 additionally pays
+    # plan/codegen compile + Python worker spawn, so sweep 2 is the steady
+    # state.  Per-sample steal fraction is recorded for the kept sample.
+    sweep: dict[str, list[tuple[float, float]]] = {q: [] for q in bench_queries}
+    for _ in range(2):
+        for name in bench_queries:
+            n, dt, st = timed(lambda: qs[name](spark, SF_DIR).count())
+            sweep[name].append((dt, st))
+            rows[name] = n
     for name in bench_queries:
-        # best-of-2: first execution pays plan/codegen compile and Python
-        # worker spawn; the second is the engine's steady state
-        n, dt = timed(lambda: qs[name](spark, SF_DIR).count())
-        _, dt2 = timed(lambda: qs[name](spark, SF_DIR).count())
-        results[name] = round(min(dt, dt2), 3)
-        rows[name] = n
+        dt, st = min(sweep[name])
+        results[name] = round(dt, 3)
+        steal[name] = st
 
     # headline throughput at full parallelism (images table materialized
     # outside the timed region — input IO is the deployment's problem)
@@ -170,9 +198,10 @@ def main() -> None:
     warmup(spark, images_path)
     # best-of-2 like every other timed figure: a single-shot headline once
     # recorded a host-steal burst as a 3x outlier
-    total_rows, t_head = timed(headline_rows, spark, SF_DIR, images_path)
-    _, t2 = timed(headline_rows, spark, SF_DIR, images_path)
-    t_head = min(t_head, t2)
+    total_rows, t_head, st_head = timed(headline_rows, spark, SF_DIR, images_path)
+    _, t2, st2 = timed(headline_rows, spark, SF_DIR, images_path)
+    if t2 < t_head:
+        t_head, st_head = t2, st2
     throughput = total_rows / t_head
     spark.stop()
 
@@ -197,13 +226,13 @@ def main() -> None:
         materialize_images(s0, SF_DIR, scale_path, copies=3)
         s0.stop()
         images_path = scale_path
-        def one_run(cores: int) -> tuple[int, float]:
+        def one_run(cores: int) -> tuple[int, float, float]:
             s = make_spark(cores)
             s.sparkContext.setLogLevel("ERROR")
             warmup(s, images_path)
-            n, dt = timed(headline_rows, s, SF_DIR, images_path)
+            n, dt, st = timed(headline_rows, s, SF_DIR, images_path)
             s.stop()
-            return n, dt
+            return n, dt, st
 
         # UNCONDITIONALLY 3 runs per config, INTERLEAVED lo,hi,lo,hi,...:
         # min-of-runs is the standard noise-robust estimator, and
@@ -214,16 +243,21 @@ def main() -> None:
         # optional-stopping bias toward the 0.8 gate.
         n_lo = n_hi = 0
         dt_lo = dt_hi = float("inf")
+        st_lo = st_hi = 0.0
         for _ in range(3):
-            n_lo, d = one_run(lo)
-            dt_lo = min(dt_lo, d)
-            n_hi, d = one_run(hi)
-            dt_hi = min(dt_hi, d)
+            n_lo, d, st = one_run(lo)
+            if d < dt_lo:
+                dt_lo, st_lo = d, st
+            n_hi, d, st = one_run(hi)
+            if d < dt_hi:
+                dt_hi, st_hi = d, st
         scaling[f"local[{lo}]"] = {
-            "sec": round(dt_lo, 3), "rows_per_sec": round(n_lo / dt_lo, 1)
+            "sec": round(dt_lo, 3), "rows_per_sec": round(n_lo / dt_lo, 1),
+            "steal_frac": st_lo,
         }
         scaling[f"local[{hi}]"] = {
-            "sec": round(dt_hi, 3), "rows_per_sec": round(n_hi / dt_hi, 1)
+            "sec": round(dt_hi, 3), "rows_per_sec": round(n_hi / dt_hi, 1),
+            "steal_frac": st_hi,
         }
         scaling["efficiency_n_to_4n"] = round(
             ((n_hi / dt_hi) / (n_lo / dt_lo)) / (hi / lo), 3
@@ -238,6 +272,8 @@ def main() -> None:
         "unit": "sec",
         "queries": results,
         "rows": rows,
+        "steal_frac": steal,
+        "headline_steal_frac": st_head,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "headline_rows": total_rows,
         "rows_per_sec": round(throughput, 1),

@@ -50,15 +50,15 @@ def rect_params(pk: int, w: int, h: int) -> list[tuple[int, int, int, int]]:
     return out
 
 
-def rects_sql() -> str:
+def rects_sql(src: str = "images_meta_pk") -> str:
     """DuckDB CTE ``rects(image_id, pk, w, h, ulx, uly, j, x0, y0, rw, rh)``
     — the exact integer arithmetic of :func:`rect_params`, unrolled over
-    ``j = 0..k-1`` via generate_series.  Requires ``images_meta`` +
-    a ``pk`` column; see IMAGES_META_PK_SQL."""
+    ``j = 0..k-1`` via generate_series.  ``src`` must provide
+    ``(image_id, pk, w, h, ulx, uly)``; see IMAGES_META_PK_SQL."""
     return f"""
 rect_j AS (
   SELECT *, unnest(generate_series(0, CAST(pk % 4 AS INT))) AS j
-  FROM images_meta_pk
+  FROM {src}
 ),
 rects AS (
   SELECT image_id, pk, w, h, ulx, uly, j,
@@ -93,6 +93,61 @@ def render_mask(pk: int, w: int, h: int) -> np.ndarray:
     for x0, y0, rw, rh in rect_params(pk, w, h):
         m[y0 : y0 + rh, x0 : x0 + rw] = 255
     return m
+
+
+def sparse_params(pk: int, w: int, h: int) -> list[tuple[int, int, int, int]]:
+    """Rectangles for the watershed-gated ``mask_sparse`` fixture: one rect
+    per 200x200 slot, confined to the slot's central [38, 162) band, so any
+    two rects are >= 76 px apart (Chebyshev) — strictly beyond the engine's
+    (2*75+1) peak max-filter window at 0.1 m cells.  Each isolated rect's
+    EDT ridge plateau is then one 4-connected marker (no cross-rect peak
+    suppression), watershed labels each rect as exactly one region of
+    rw*rh px, and the whole P3 pipeline output is closed-form.
+
+    All int arithmetic — mirrored 1:1 by :func:`sparse_sql`.
+    """
+    nx, ny = w // 200, h // 200
+    k = min(1 + pk % 4, nx * ny)
+    out = []
+    for j in range(k):
+        sx, sy = (j % nx) * 200, (j // nx) * 200
+        rw = 4 + (pk * 7 + j * 13) % 113
+        rh = 4 + (pk * 11 + j * 17) % 113
+        x0 = sx + 38 + (pk * 19 + j * 23) % (125 - rw)
+        y0 = sy + 38 + (pk * 29 + j * 31) % (125 - rh)
+        out.append((x0, y0, rw, rh))
+    return out
+
+
+def render_mask_sparse(pk: int, w: int, h: int) -> np.ndarray:
+    m = np.zeros((h, w), dtype=np.uint8)
+    for x0, y0, rw, rh in sparse_params(pk, w, h):
+        m[y0 : y0 + rh, x0 : x0 + rw] = 255
+    return m
+
+
+def sparse_sql(src: str = "images_meta_pk") -> str:
+    """DuckDB CTE ``sparse(image_id, pk, w, h, ulx, uly, j, x0, y0, rw, rh)``
+    mirroring :func:`sparse_params` exactly."""
+    return f"""
+sparse_j AS (
+  SELECT *,
+    least(CAST(1 + pk % 4 AS INT), CAST((w // 200) * (h // 200) AS INT)) AS kk
+  FROM {src}
+),
+sparse_j2 AS (
+  SELECT *, unnest(generate_series(0, kk - 1)) AS j FROM sparse_j
+),
+sparse AS (
+  SELECT image_id, pk, w, h, ulx, uly, j,
+    (j % (w // 200)) * 200 + 38
+      + (pk * 19 + j * 23) % (125 - (4 + (pk * 7 + j * 13) % 113))  AS x0,
+    (j // (w // 200)) * 200 + 38
+      + (pk * 29 + j * 31) % (125 - (4 + (pk * 11 + j * 17) % 113)) AS y0,
+    4 + (pk * 7 + j * 13) % 113  AS rw,
+    4 + (pk * 11 + j * 17) % 113 AS rh
+  FROM sparse_j2
+)"""
 
 
 def dumbbell_params(pk: int) -> tuple[int, int, int, int, int]:
@@ -219,9 +274,14 @@ def images_table(
     fmt: str = "png",
     kind: str = "mask",
     limit: int | None = None,
+    size: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Materialize the input_hint table.  ``kind='mask'`` renders the binary
-    label plane (1 channel); ``kind='rgb'`` the 3-channel pseudo-ortho.
+    label plane (1 channel); ``kind='rgb'`` the 3-channel pseudo-ortho;
+    ``kind='mask_sparse'`` the watershed-gated sparse-rect plane.
+    ``size=(w, h)`` overrides the per-pk dims (e.g. tile-sized 200x200
+    labels, for which the training resize is the identity and the tensor
+    oracle closes analytically).
 
     Pixel synthesis runs distributed in ``mapInPandas`` (Arrow batches) —
     the driver never holds pixels.
@@ -231,6 +291,10 @@ def images_table(
     )
     if limit is not None:
         meta = meta.filter(F.col("pk") <= limit)
+    if size is not None:
+        meta = meta.withColumn("w", F.lit(int(size[0]))).withColumn(
+            "h", F.lit(int(size[1]))
+        )
     # the tiny parquet arrives as ONE split; pixel synthesis is CPU-bound, so
     # spread images across the cluster before entering Python (at real scale
     # the scan has many splits and this is a cheap metadata-only shuffle)
@@ -250,6 +314,8 @@ def images_table(
                 pk, w, h = int(r.pk), int(r.w), int(r.h)
                 if kind == "mask":
                     arr = render_mask(pk, w, h)
+                elif kind == "mask_sparse":
+                    arr = render_mask_sparse(pk, w, h)
                 elif kind == "dumbbell":
                     arr = render_dumbbell(pk, w, h)
                 elif kind == "bars":
