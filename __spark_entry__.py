@@ -359,8 +359,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF inverted-list ANN (scale path #2) — approximate: rows-only
-    check; recall vs brute force pinned in pytest."""
+    """IVF inverted-list ANN (scale path #2), exact-gated (round-3): the
+    deterministic Lloyd quantizer (6-decimal-rounded components, so the
+    result is reproducible across runs/parallelism) is frozen to
+    ``fixtures/ivf_centroids_sf0_01.parquet`` by tools/build_ivf_fixture.py;
+    the DuckDB oracle re-derives list assignment, probe selection and the
+    final ranking from that side table in pure SQL.  Recall vs brute force
+    additionally pinned in pytest."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as S
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -430,8 +435,10 @@ def q_multires_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode->resize->feature plumbing (rows-only: pixel stats
-    not SQL-expressible)."""
+    """Multimodal decode->resize->feature plumbing, exact-gated (round-3):
+    channel means / n_px / nonzero_frac close analytically from render_rgb;
+    thumb_mean joins from the single-process expectations fixture
+    (tools/build_multimodal_fixture.py)."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
 
@@ -440,11 +447,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-JPEG multimodal path (rows-only: lossy pixel stats have no SQL
-    twin; the PSNR>=40 contract is pinned in tests/test_jpeg.py): slice a
-    diagonal tile sample, transcode each 200^2 tile to baseline JFIF with
-    the pure-numpy codec, run decode->resize->feature extraction — the
-    web-data jpeg shape of a training pipeline at tile granularity."""
+    """Real-JPEG multimodal path, exact-gated (round-3) against the
+    single-process expectations fixture (tools/build_multimodal_fixture.py;
+    lossy DCT pixels have no closed SQL form — the PSNR>=40 contract is
+    additionally pinned in tests/test_jpeg.py): slice a diagonal tile
+    sample, transcode each 200^2 tile to baseline JFIF with the pure-numpy
+    codec, run decode->resize->feature extraction — the web-data jpeg shape
+    of a training pipeline at tile granularity."""
     import pandas as pd
 
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
@@ -822,12 +831,13 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         # are SQL-expressible and both LSH paths get exact oracles
         "ann_lsh_topk": _ann_lsh_sql(),
         "embedding_near_dup_lsh": _near_dup_lsh_sql(),
-        # ann_ivf_topk / multimodal_features / training_tensors:
-        # rows-only (iterative k-means / pixel-kernel results).
+        "ann_ivf_topk": _ann_ivf_sql(),
         "edt_weight_hist": _edt_weight_hist_sql(),
         "watershed_split": _watershed_split_sql(),
         "skeletonize_bars": _skeletonize_bars_sql(),
         "multimodal_pixel_sums": _multimodal_pixel_sums_sql(),
+        "multimodal_features": _multimodal_features_sql(),
+        "multimodal_jpeg": _multimodal_jpeg_sql(),
         "cc_distributed": _cc_distributed_sql(),
         "audio_features": _audio_features_sql(),
         "gif_frames": _gif_frames_sql(),
@@ -917,6 +927,46 @@ ranked AS (
   FROM cand
 )
 SELECT qid, CAST(rank AS INT) AS rank, vec_id FROM ranked WHERE rank <= 10"""
+
+
+_IVF_FIXTURE = "/root/repo/fixtures/ivf_centroids_sf0_01.parquet"
+
+
+def _ann_ivf_sql() -> str:
+    """DuckDB twin of q_ann_ivf_topk over the frozen quantizer
+    (tools/build_ivf_fixture.py): nearest-centroid list assignment
+    (tie -> smallest cent_id, matching the engine's max_by struct), nprobe=4
+    probe lists per query, exact cosine rank within the probed lists.
+    Pinned to the sf0.01 corpus the driver's correctness gate runs on."""
+    return f"""
+WITH cents AS (
+  SELECT cent_id, cvec FROM read_parquet('{_IVF_FIXTURE}')
+),
+lists AS (
+  SELECT vec_id, embedding, cent_id FROM (
+    SELECT e.vec_id, e.embedding, c.cent_id,
+      row_number() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.cvec) DESC,
+                 c.cent_id) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, qvec, cent_id FROM (
+    SELECT q.vec_id AS qid, q.embedding AS qvec, c.cent_id,
+      row_number() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.cvec) DESC,
+                 c.cent_id) AS rn
+    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 16
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.qid, l.vec_id,
+    row_number() OVER (PARTITION BY p.qid
+      ORDER BY list_cosine_similarity(p.qvec, l.embedding) DESC, l.vec_id) AS rank
+  FROM probes p JOIN lists l USING (cent_id)
+)
+SELECT qid, CAST(rank AS INT) AS rank, vec_id FROM cand WHERE rank <= 10"""
 
 
 def _near_dup_lsh_sql() -> str:
@@ -1176,8 +1226,8 @@ FROM rects WHERE pk <= 120"""
     )
 
 
-def _multimodal_pixel_sums_sql() -> str:
-    """Closed-form twin of q_multimodal_pixel_sums.
+def _rgb_sums_ctes(limit: int) -> str:
+    """Shared WITH-chain deriving render_rgb's closed-form channel sums.
 
     render_rgb is base[y][x] = 40 + (y*7+pk)%97 + (x*13+pk)%89 per channel
     (+17 g, +31 b; no uint8 wrap — max 255), with blob rects overwritten to
@@ -1186,7 +1236,8 @@ def _multimodal_pixel_sums_sql() -> str:
       sum_g = 57wh + w*Syy + h*Sxx + 153A - B
       sum_b = 71wh + w*Syy + h*Sxx + 129A - B
     with Syy/Sxx the axis mod-sequence sums, A = blob px, B = the blobs'
-    base-gradient sum minus its 40A constant."""
+    base-gradient sum minus its 40A constant.  Ends with CTEs
+    ``imgs/rowsums/colsums/blob`` for the caller's SELECT."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
         IMAGES_META_PK_SQL,
         rects_sql,
@@ -1197,8 +1248,8 @@ def _multimodal_pixel_sums_sql() -> str:
         + IMAGES_META_PK_SQL
         + ","
         + rects_sql()
-        + """,
-imgs AS (SELECT image_id, pk, w, h FROM images_meta_pk WHERE pk <= 80),
+        + f""",
+imgs AS (SELECT image_id, pk, w, h FROM images_meta_pk WHERE pk <= {limit}),
 ys AS (
   SELECT image_id, pk, unnest(generate_series(0, h - 1)) AS y FROM imgs
 ),
@@ -1216,7 +1267,7 @@ colsums AS (
 rect_ys AS (
   SELECT image_id, pk, j, rw,
     unnest(generate_series(y0, y0 + rh - 1)) AS y
-  FROM rects WHERE pk <= 80
+  FROM rects WHERE pk <= {limit}
 ),
 rect_rowsums AS (
   SELECT image_id, j, CAST(sum(rw * ((y * 7 + pk) % 97)) AS BIGINT) AS b_y
@@ -1225,7 +1276,7 @@ rect_rowsums AS (
 rect_xs AS (
   SELECT image_id, pk, j, rh,
     unnest(generate_series(x0, x0 + rw - 1)) AS x
-  FROM rects WHERE pk <= 80
+  FROM rects WHERE pk <= {limit}
 ),
 rect_colsums AS (
   SELECT image_id, j, CAST(sum(rh * ((x * 13 + pk) % 89)) AS BIGINT) AS b_x
@@ -1238,9 +1289,17 @@ blob AS (
   FROM rects r
   JOIN rect_rowsums ry ON ry.image_id = r.image_id AND ry.j = r.j
   JOIN rect_colsums rx ON rx.image_id = r.image_id AND rx.j = r.j
-  WHERE r.pk <= 80
+  WHERE r.pk <= {limit}
   GROUP BY r.image_id
-)
+)"""
+    )
+
+
+def _multimodal_pixel_sums_sql() -> str:
+    """Closed-form twin of q_multimodal_pixel_sums (see _rgb_sums_ctes)."""
+    return (
+        _rgb_sums_ctes(80)
+        + """
 SELECT i.image_id,
   CAST(i.w * i.h AS BIGINT) AS n_px,
   40 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 180 * bl.a - bl.b AS sum_r,
@@ -1251,6 +1310,49 @@ JOIN rowsums rs USING (image_id)
 JOIN colsums cs USING (image_id)
 JOIN blob bl USING (image_id)"""
     )
+
+
+_MM_THUMB_FIXTURE = "/root/repo/fixtures/multimodal_thumb_sf0_01.parquet"
+_MM_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_jpeg_sf0_01.parquet"
+
+
+def _multimodal_features_sql() -> str:
+    """Twin of q_multimodal_features: five of six columns are closed-form
+    (channel means = the analytic sums of _rgb_sums_ctes divided by n_px in
+    the same IEEE double op numpy performs; nonzero_frac = 1.0 because every
+    render_rgb byte is >= 40); thumb_mean — the 64x64 bilinear-resize mean,
+    which has no SQL form — joins from the single-process expectations
+    fixture built by tools/build_multimodal_fixture.py."""
+    return (
+        _rgb_sums_ctes(100)
+        + f"""
+SELECT i.image_id,
+  CAST(i.w * i.h AS BIGINT) AS n_px,
+  CAST(40 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 180 * bl.a - bl.b AS DOUBLE)
+    / (i.w * i.h) AS mean_r,
+  CAST(57 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 153 * bl.a - bl.b AS DOUBLE)
+    / (i.w * i.h) AS mean_g,
+  CAST(71 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 129 * bl.a - bl.b AS DOUBLE)
+    / (i.w * i.h) AS mean_b,
+  t.thumb_mean,
+  CAST(1.0 AS DOUBLE) AS nonzero_frac
+FROM imgs i
+JOIN rowsums rs USING (image_id)
+JOIN colsums cs USING (image_id)
+JOIN blob bl USING (image_id)
+JOIN read_parquet('{_MM_THUMB_FIXTURE}') t USING (image_id)"""
+    )
+
+
+def _multimodal_jpeg_sql() -> str:
+    """Twin of q_multimodal_jpeg: lossy DCT pixels have no SQL form, so the
+    oracle is the complete expectations table from a single-process run of
+    the same transcode -> decode -> resize -> feature chain
+    (tools/build_multimodal_fixture.py) — no Spark machinery shared, so a
+    distributed-plumbing bug cannot cancel out."""
+    return f"""
+SELECT image_id, n_px, mean_r, mean_g, mean_b, thumb_mean, nonzero_frac
+FROM read_parquet('{_MM_JPEG_FIXTURE}')"""
 
 
 def _skeletonize_bars_sql() -> str:

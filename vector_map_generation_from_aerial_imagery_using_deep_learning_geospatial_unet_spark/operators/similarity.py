@@ -168,7 +168,14 @@ def ivf_centroids(
     + recompute (posexplode -> per-dimension avg -> re-assemble).  Centroid
     count is small by construction (the inverted-list fanout), so the
     broadcast and the n_centroids x dim regroup are negligible at any
-    corpus scale.  Returns (cent_id, cvec)."""
+    corpus scale.  Components are rounded to 6 decimals at the end of every
+    iteration: the distributed avg's merge order is not deterministic at the
+    ULP level, and rounding (step 1e-6 >> accumulation noise ~1e-15) makes
+    the quantizer REPRODUCIBLE across runs and parallelism levels — which
+    is what lets a frozen copy of the centroids serve as the DuckDB
+    oracle's side table (a coarse quantizer is approximate by definition;
+    6 decimals is far below any assignment margin).  Returns
+    (cent_id, cvec)."""
     cid, cvec = c_cols
     seeds = (
         corpus.select(F.col(cvec).alias("cvec"), F.xxhash64(F.col(cid)).alias("_h"))
@@ -189,7 +196,7 @@ def ivf_centroids(
         cents = (
             assigned.select("cent_id", F.posexplode(F.col(cvec)).alias("pos", "v"))
             .groupBy("cent_id", "pos")
-            .agg(F.avg("v").alias("v"))
+            .agg(F.round(F.avg("v"), 6).alias("v"))
             .groupBy("cent_id")
             .agg(
                 F.transform(
