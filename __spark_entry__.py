@@ -219,7 +219,7 @@ def q_dice_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per row, no join, no persist (a persist here would pin the byte
     # column in executor storage for the rest of the session)
     kernel = lambda a: _KM.erosion_clean(
-        np.where(a >= 128, 255, 0).astype(np.uint8),
+        (a >= 128).astype(np.uint8) * 255,
         CFG.erosion_filter,
         CFG.min_object_area_px,
     )
@@ -353,8 +353,11 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = emb.filter(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
+    # 16 probe-exploded queries: broadcast them so the corpus is scored
+    # straight off its scan (the bucket equi-join stays the scale default)
     return S.ann_lsh_topk(
-        queries_df, emb.select("vec_id", "embedding"), k=10, dim=64
+        queries_df, emb.select("vec_id", "embedding"), k=10, dim=64,
+        broadcast_queries=True,
     ).select("qid", "rank", "vec_id")
 
 

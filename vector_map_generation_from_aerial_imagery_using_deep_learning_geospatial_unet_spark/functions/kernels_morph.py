@@ -331,6 +331,10 @@ def erosion_clean(arr: np.ndarray, filt: int = 3, min_area_px: int = 9) -> np.nd
     """P1 pipeline stage (src/postprocess.py:159-189): NxN open, then
     remove_small_objects on the *int* array (value-as-label semantics)."""
     opened = binary_open(arr, filt)
+    if np.issubdtype(opened.dtype, np.unsignedinteger):
+        # already the value-as-label shape remove_small_objects expects —
+        # the int32+abs copy would quadruple the plane for nothing
+        return remove_small_objects(opened, min_size=min_area_px, connectivity=2)
     as_int = np.absolute(opened.astype(np.int32))
     return remove_small_objects(as_int, min_size=min_area_px, connectivity=2)
 

@@ -125,11 +125,21 @@ def ann_lsh_topk(
     q_cols: tuple[str, str] = ("qid", "qvec"),
     c_cols: tuple[str, str] = ("vec_id", "embedding"),
     multiprobe: int = 1,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's bucket or any bucket
     at Hamming distance <= multiprobe sign-bit flips — the scale path: the
     corpus side is bucket-partitioned, so each query scores only its
-    candidate buckets instead of the full corpus."""
+    candidate buckets instead of the full corpus.
+
+    ``broadcast_queries=True`` ships the (probe-exploded) query side to
+    every executor so the corpus is scored straight off its scan with no
+    bucket shuffle — right whenever the query batch is small (the
+    interactive / per-batch lookup shape); the default bucket equi-join is
+    the both-sides-large scale path.  Probe-duplicate removal and the
+    top-k rank share ONE exchange: after an explicit repartition on qid,
+    both window specs (dedup over (qid, cid), rank over qid) are satisfied
+    by the same clustering, where dropDuplicates + window needed two."""
     qid, qvec = q_cols
     cid, cvec = c_cols
     cb = corpus.withColumn("bucket", lsh_bucket(F.col(cvec), dim)).withColumn(
@@ -142,13 +152,20 @@ def ann_lsh_topk(
         F.col("bucket0").bitwiseXOR(F.lit(m)) for m in _probe_masks(multiprobe)
     ]
     qb = qb.withColumn("bucket", F.explode(F.array(*probes)))
-    scored = qb.join(cb, "bucket").withColumn(
-        "cos", _dot(F.col(qvec), F.col(cvec)) / (F.col("_qnorm") * F.col("_cnorm"))
+    joined = (
+        cb.join(F.broadcast(qb), "bucket") if broadcast_queries
+        else qb.join(cb, "bucket")
     )
-    w = Window.partitionBy(qid).orderBy(F.desc("cos"), F.col(cid))
+    scored = joined.withColumn(
+        "cos", _dot(F.col(qvec), F.col(cvec)) / (F.col("_qnorm") * F.col("_cnorm"))
+    ).select(qid, cid, "cos")
+    wd = Window.partitionBy(qid, cid).orderBy(cid)
+    wr = Window.partitionBy(qid).orderBy(F.desc("cos"), F.col(cid))
     return (
-        scored.dropDuplicates([qid, cid])
-        .withColumn("rank", F.row_number().over(w))
+        scored.repartition(F.col(qid))
+        .withColumn("_dup", F.row_number().over(wd))
+        .filter(F.col("_dup") == 1)
+        .withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= k)
         .select(qid, "rank", cid, "cos")
     )
