@@ -623,6 +623,19 @@ def q_multimodal_pixel_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.pixel_sums(imgs)
 
 
+def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP-lossless decode gate: the same exact per-image channel-sum
+    oracle as ``multimodal_pixel_sums``, but the payloads are VP8L streams
+    from the from-scratch codec (sources/codec_webp.py) — lossless, so the
+    closed-form sums hold bit-exactly through RIFF framing, prefix-code
+    decode, and the literal fast path."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="webp", kind="rgb", limit=60)
+    return MM.pixel_sums(imgs)
+
+
 def q_training_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M5 tensor prep, exact-gated (round-3): the rgb x-side resizes
     from native dims through the real bilinear kernel (M3); the label
@@ -709,6 +722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_pixel_sums": q_multimodal_pixel_sums,
+    "multimodal_webp": q_multimodal_webp,
     "cc_distributed": q_cc_distributed,
     "audio_features": q_audio_features,
     "gif_frames": q_gif_frames,
@@ -839,6 +853,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "watershed_split": _watershed_split_sql(),
         "skeletonize_bars": _skeletonize_bars_sql(),
         "multimodal_pixel_sums": _multimodal_pixel_sums_sql(),
+        "multimodal_webp": _multimodal_webp_sql(),
         "multimodal_features": _multimodal_features_sql(),
         "multimodal_jpeg": _multimodal_jpeg_sql(),
         "cc_distributed": _cc_distributed_sql(),
@@ -1295,6 +1310,24 @@ blob AS (
   WHERE r.pk <= {limit}
   GROUP BY r.image_id
 )"""
+    )
+
+
+def _multimodal_webp_sql() -> str:
+    """Closed-form twin of q_multimodal_webp — identical arithmetic to
+    _multimodal_pixel_sums_sql (lossless codec => same sums), limit 60."""
+    return (
+        _rgb_sums_ctes(60)
+        + """
+SELECT i.image_id,
+  CAST(i.w * i.h AS BIGINT) AS n_px,
+  40 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 180 * bl.a - bl.b AS sum_r,
+  57 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 153 * bl.a - bl.b AS sum_g,
+  71 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 129 * bl.a - bl.b AS sum_b
+FROM imgs i
+JOIN rowsums rs USING (image_id)
+JOIN colsums cs USING (image_id)
+JOIN blob bl USING (image_id)"""
     )
 
 

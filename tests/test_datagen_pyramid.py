@@ -111,9 +111,9 @@ def test_multires_ladder_dims(spark):
 def test_multimodal_stub_gate(spark):
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
 
-    # webp remains a stub format (jpeg decode is REAL now — codec_jpeg.py)
+    # mp4 remains a stub format (jpeg/webp decode is REAL now — codec_*.py)
     df = spark.createDataFrame(
-        [("v1", b"\x00\x01", 4, 3, "webp")],
+        [("v1", b"\x00\x01", 4, 3, "mp4")],
         "image_id string, bytes binary, w int, h int, fmt string",
     )
     with pytest.raises(Exception, match="NotImplementedError|decode"):

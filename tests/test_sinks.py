@@ -191,6 +191,29 @@ def test_catalog_load_images_parquet_fallback(spark, tmp_path):
     assert catalog.load_images(spark, "imgs_cat").count() == df.count()
 
 
+def test_catalog_iceberg_real_roundtrip(spark, tmp_path):
+    """Exercises the REAL Iceberg write/read path when the runtime jars are
+    on the classpath (skipped in this container, green on any deployment
+    that ships them): register a hadoop catalog, `writeTo(...).create()`
+    the input_hint table, and resolve it back through the same
+    `load_images` table-name seam production uses."""
+    import pytest
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import catalog, images as IMG
+
+    if not catalog.iceberg_available(spark):
+        pytest.skip("Iceberg Spark runtime jars not on the classpath")
+
+    spark.conf.set("spark.sql.catalog.it_test", "org.apache.iceberg.spark.SparkCatalog")
+    spark.conf.set("spark.sql.catalog.it_test.type", "hadoop")
+    spark.conf.set("spark.sql.catalog.it_test.warehouse", str(tmp_path / "wh"))
+    imgs = IMG.images_table(spark, "/root/testdata/sf0.001", limit=4)
+    imgs.writeTo("it_test.db.images").create()
+    back = catalog.load_images(spark, "it_test.db.images")
+    assert back.count() == imgs.count()
+    assert set(catalog.INPUT_HINT_COLUMNS) <= set(back.columns)
+
+
 def test_shapefile_dbf_overflow_raises():
     import tempfile
 

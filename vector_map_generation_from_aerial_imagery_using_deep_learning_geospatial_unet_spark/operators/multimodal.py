@@ -3,9 +3,10 @@ build brief): image/audio/video payloads as opaque ``binary`` columns with
 typed metadata; decode / feature-extract / resize / frame-sample as Arrow
 UDFs over ``mapInPandas``.
 
-The container has no image/audio libs, so: png/raw/jpeg decode is REAL (our
-codecs — baseline JFIF in ``sources/codec_jpeg.py``, pure numpy);
-webp/audio/video decode is a clearly-marked stub that raises
+The container has no image/audio libs, so: png/raw/jpeg/gif/webp decode is
+REAL (our codecs — baseline JFIF in ``sources/codec_jpeg.py``, GIF LZW in
+``codec_gif.py``, WebP-lossless VP8L in ``codec_webp.py``, pure numpy);
+mp3/mp4/webm decode is a clearly-marked stub that raises
 ``NotImplementedError`` unless ``stub_ok=True``, in which case a
 deterministic fake (seeded by payload hash) stands in — the Spark-side
 plumbing (schema, partitioning, UDF signature, Arrow batch shape) is real
@@ -25,10 +26,11 @@ from pyspark.sql import DataFrame
 from ..functions.kernels_resample import resize_bilinear
 from ..sources import codec
 
-REAL_FORMATS = {"png", "raw", "jpeg", "jpg", "gif"}  # codec_jpeg/codec_gif
+REAL_FORMATS = {"png", "raw", "jpeg", "jpg", "gif", "webp"}  # sources/codec_*.py
 # wav (PCM) decodes for real via sources/codec_wav.py (audio_features);
-# the remaining stubs are genuinely codec-library-bound
-STUB_FORMATS = {"webp", "mp3", "mp4", "webm"}
+# webp-lossless (VP8L) via sources/codec_webp.py; the remaining stubs are
+# genuinely codec-library-bound (DCT/entropy video+audio codecs)
+STUB_FORMATS = {"mp3", "mp4", "webm"}
 
 
 def _decode_payload(data: bytes, fmt: str, w: int, h: int, stub_ok: bool) -> np.ndarray:
