@@ -168,6 +168,8 @@ def main() -> None:
         "skeletonize_bars",
         "audio_features",
         "gif_frames",
+        # round-3 additions
+        "multimodal_webp",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

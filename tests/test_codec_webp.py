@@ -446,6 +446,43 @@ def test_meta_prefix_codes_single_group():
     assert (out == img).all()
 
 
+def test_fast_path_with_whole_pending_bytes():
+    """The reader can enter the literal fast path holding >= 8 pending bits
+    (a table decode refills up to max_len+7); those whole bytes are raw
+    payload and must be drained first, not crammed into uint8 shifts."""
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(4, 3), dtype=np.uint8)  # r, g, b rows
+    # trees: g/r/b fixed-8, alpha + distance single-symbol
+    tw = W._BitWriter()
+    W._write_fixed8_code(tw, 256 + 24)
+    W._write_fixed8_code(tw, 256)
+    W._write_fixed8_code(tw, 256)
+    _emit_single(tw, 255)
+    _emit_single(tw, 0)
+    tb = W._BitReader(tw.bytes())
+    group = (
+        W._read_prefix_code(tb, 256 + 24),
+        W._read_prefix_code(tb, 256),
+        W._read_prefix_code(tb, 256),
+        W._read_prefix_code(tb, 256),
+        W._read_prefix_code(tb, 40),
+    )
+    payload = bytes(
+        int(W._REV8[v]) for r, g, b in px for v in (g, r, b)
+    )
+    for npend in (1, 2):  # 8 and 16 pending bits
+        br = W._BitReader(payload[npend:])
+        br.acc = int.from_bytes(payload[:npend], "little")
+        br.nbits = 8 * npend
+        out = W._literal_fast_path(br, 4, group)
+        assert out is not None
+        got = np.stack(
+            [(out >> np.uint32(16)) & 0xFF, (out >> np.uint32(8)) & 0xFF, out & 0xFF],
+            axis=-1,
+        ).astype(np.uint8)
+        assert (got == px).all(), npend
+
+
 def test_fast_path_matches_general_loop():
     # the vectorized literal fast path and the scalar loop must agree; force
     # the scalar loop by appending an unused cache (cache disables the fast

@@ -368,22 +368,36 @@ def _literal_fast_path(br: _BitReader, n: int, group) -> np.ndarray | None:
     bytes_pp = 1 + sum(1 for k in kinds if k == 8)
     total = n * bytes_pp
     data = br.data
+    # after table decodes the reader may hold >= 8 pending bits; whole
+    # pending bytes ARE the next raw bytes (LSB-first), drain them first so
+    # the vectorized shift-merge below runs with a sub-byte offset
+    pre = []
+    while br.nbits >= 8 and len(pre) < total:
+        pre.append(br.acc & 0xFF)
+        br.acc >>= 8
+        br.nbits -= 8
+    rest = total - len(pre)
     k = br.nbits
-    if len(data) - br.pos < total:
+    if len(data) - br.pos < rest:
         raise ValueError("truncated VP8L literal stream")
-    if k == 0:
-        raw = np.frombuffer(data, np.uint8, total, br.pos).copy()
+    if rest == 0:
+        raw = np.array(pre, dtype=np.uint8)
+    elif k == 0:
+        raw = np.frombuffer(data, np.uint8, rest, br.pos).copy()
     else:
-        chunk = np.frombuffer(data, np.uint8, total, br.pos)
-        lo = np.empty(total, dtype=np.uint8)
+        chunk = np.frombuffer(data, np.uint8, rest, br.pos)
+        lo = np.empty(rest, dtype=np.uint8)
         lo[0] = br.acc
-        lo[1:] = chunk[: total - 1] >> np.uint8(8 - k)
+        lo[1:] = chunk[: rest - 1] >> np.uint8(8 - k)
         raw = lo | ((chunk << np.uint8(k)) & np.uint8(0xFF))
-    # advance the reader past 8*total consumed bits
-    consumed = br.pos * 8 - br.nbits + total * 8
-    br.pos = (consumed + 7) // 8
-    br.nbits = br.pos * 8 - consumed
-    br.acc = (data[br.pos - 1] >> (8 - br.nbits)) if br.nbits else 0
+    if pre and rest:
+        raw = np.concatenate([np.array(pre, dtype=np.uint8), raw])
+    if rest:
+        # advance the reader past the 8*rest consumed bits
+        consumed = br.pos * 8 - br.nbits + rest * 8
+        br.pos = (consumed + 7) // 8
+        br.nbits = br.pos * 8 - consumed
+        br.acc = (data[br.pos - 1] >> (8 - br.nbits)) if br.nbits else 0
 
     syms = _REV8[raw].reshape(n, bytes_pp).astype(np.uint32)
     cols = iter(range(1, bytes_pp))
