@@ -686,6 +686,120 @@ def q_edt_weight_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DG.edt_weight_hist(labels)
 
 
+def _synth_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mp4 (even pk) / webm (odd pk) corpus through the REAL
+    from-scratch container writers: n = 5+pk%6 samples, w = 160+pk%32,
+    h = 120+pk%16, sample k is 50+(pk*13+7k)%100 bytes with byte j =
+    (pk+11k+j)%256, timestamps 40 ms apart — every field closed-form for
+    the SQL twin."""
+    import pandas as pd
+
+    meta = derived.images_meta(spark, sf_dir).select(
+        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
+    ).filter(F.col("pk") <= 60)
+
+    def synth(batches):
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import container_mp4, container_webm
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                n, w, h = 5 + pk % 6, 160 + pk % 32, 120 + pk % 16
+                samples = [
+                    bytes(
+                        (pk + 11 * k + j) % 256
+                        for j in range(50 + (pk * 13 + 7 * k) % 100)
+                    )
+                    for k in range(n)
+                ]
+                if pk % 2 == 0:
+                    data = container_mp4.build_mp4(
+                        samples, w, h, codec="avc1", timescale=1000, sample_delta=40
+                    )
+                else:
+                    data = container_webm.build_webm(
+                        [(40 * k, s) for k, s in enumerate(samples)],
+                        w, h, codec="V_VP9",
+                    )
+                rows.append((r.image_id, data, "mp4" if pk % 2 == 0 else "webm"))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+
+    return meta.mapInPandas(synth, schema="video_id string, bytes binary, fmt string")
+
+
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container probing (mixed mp4 + webm corpus): ISO BMFF
+    box walk / EBML element walk -> exact per-file stream metadata
+    (codec fourcc, dimensions, sample count, encoded byte total, duration)
+    — the metadata pass an ingest pipeline runs on every blob before any
+    codec decode.  Every output field is closed-form in pk."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    return MM.container_meta(_synth_videos(spark, sf_dir), id_col="video_id")
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container-level frame extraction: every 2nd encoded sample is
+    sliced out of the mp4 (stsz/stsc/stco offset math) or webm
+    (SimpleBlock walk) payload; the gate sums the extracted bytes, so a
+    single wrong offset anywhere in the sample tables breaks it."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    sampled = MM.frame_sample(_synth_videos(spark, sf_dir), every_n=2)
+
+    def sums(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                buf = np.frombuffer(bytes(r.frame_bytes), dtype=np.uint8)
+                rows.append(
+                    (r.video_id, int(r.frame_idx), int(buf.size),
+                     int(buf.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["video_id", "frame_idx", "frame_sz", "payload_sum"]
+            )
+
+    return sampled.mapInPandas(
+        sums,
+        schema="video_id string, frame_idx int, frame_sz int, payload_sum long",
+    )
+
+
+def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-audio frame walk (sources/codec_mp3.py): deterministic
+    CBR streams (n = 8+pk%9 frames, bitrate index 1+pk%14, sample-rate
+    index pk%3) -> exact frame count, byte total, duration, bitrate via
+    sync-walk + the spec's frame-length arithmetic."""
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    meta = derived.images_meta(spark, sf_dir).select(
+        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
+    ).filter(F.col("pk") <= 60)
+
+    def synth(batches):
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_mp3
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                data = codec_mp3.build_mp3(
+                    8 + pk % 9, 1 + pk % 14, pk % 3, fill_seed=pk
+                )
+                rows.append((r.image_id, data, "mp3"))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    audio = meta.mapInPandas(synth, schema="audio_id string, bytes binary, fmt string")
+    return MM.container_meta(audio, id_col="audio_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -729,6 +843,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "training_tensors": q_training_tensors,
     "edt_weight_hist": q_edt_weight_hist,
     "watershed_split": q_watershed_split,
+    "video_meta": q_video_meta,
+    "video_frames": q_video_frames,
+    "mp3_meta": q_mp3_meta,
 }
 
 
@@ -859,6 +976,9 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "cc_distributed": _cc_distributed_sql(),
         "audio_features": _audio_features_sql(),
         "gif_frames": _gif_frames_sql(),
+        "video_meta": _video_meta_sql(),
+        "video_frames": _video_frames_sql(),
+        "mp3_meta": _mp3_meta_sql(),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -1155,6 +1275,101 @@ SELECT image_id, CAST(2 AS INT) AS n_regions, CAST(fg_px AS BIGINT) AS fg_px,
        round(fg_px * 1e-2, 2) AS area_m2
 FROM dumbbell WHERE pk <= 80"""
     )
+
+
+def _video_meta_sql() -> str:
+    """Closed-form twin of q_video_meta: every container field re-derived
+    from the pk arithmetic of _synth_videos (the Spark side must recover
+    them by PARSING the mp4/webm bytes it built)."""
+    return """
+WITH meta AS (
+  SELECT concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS video_id,
+         p_partkey AS pk
+  FROM part WHERE p_partkey <= 60
+),
+params AS (
+  SELECT video_id, pk, 5 + pk % 6 AS n, 160 + pk % 32 AS w, 120 + pk % 16 AS h
+  FROM meta
+),
+sizes AS (
+  SELECT video_id, pk, n, w, h, unnest(generate_series(0, n - 1)) AS k
+  FROM params
+)
+SELECT video_id,
+  CASE WHEN pk % 2 = 0 THEN 'mp4' ELSE 'webm' END AS container,
+  CASE WHEN pk % 2 = 0 THEN 'avc1' ELSE 'V_VP9' END AS codec,
+  CAST(1 AS INT) AS n_streams,
+  CAST(w AS INT) AS w,
+  CAST(h AS INT) AS h,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(sum(50 + (pk * 13 + 7 * k) % 100) AS BIGINT) AS sum_sample_bytes,
+  CAST(40 * n AS BIGINT) AS duration_ms,
+  CAST(0 AS INT) AS sample_rate
+FROM sizes
+GROUP BY video_id, pk, n, w, h"""
+
+
+def _video_frames_sql() -> str:
+    """Closed-form twin of q_video_frames: re-derive every sampled encoded
+    frame's size and byte-sum ((pk + 11k + j) % 256 filler) — the Spark
+    side must slice the identical bytes back out of the container."""
+    return """
+WITH meta AS (
+  SELECT concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS video_id,
+         p_partkey AS pk
+  FROM part WHERE p_partkey <= 60
+),
+params AS (
+  SELECT video_id, pk, 5 + pk % 6 AS n FROM meta
+),
+frames AS (
+  SELECT video_id, pk, unnest(generate_series(0, n - 1, 2)) AS k
+  FROM params
+),
+fb AS (
+  SELECT video_id, pk, k, 50 + (pk * 13 + 7 * k) % 100 AS sz FROM frames
+),
+bytes AS (
+  SELECT video_id, pk, k, sz, unnest(generate_series(0, sz - 1)) AS j FROM fb
+)
+SELECT video_id,
+  CAST(k AS INT) AS frame_idx,
+  CAST(sz AS INT) AS frame_sz,
+  CAST(sum((pk + 11 * k + j) % 256) AS BIGINT) AS payload_sum
+FROM bytes
+GROUP BY video_id, k, sz"""
+
+
+def _mp3_meta_sql() -> str:
+    """Closed-form twin of q_mp3_meta: MPEG1 Layer III bitrate/sample-rate
+    tables (ISO/IEC 11172-3) + the exact frame-length arithmetic
+    144 * bitrate / rate, padding 0."""
+    return """
+WITH meta AS (
+  SELECT concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS audio_id,
+         p_partkey AS pk
+  FROM part WHERE p_partkey <= 60
+),
+params AS (
+  SELECT audio_id,
+    8 + pk % 9 AS n,
+    list_extract(
+      [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+      CAST(1 + pk % 14 AS INT)) AS br,
+    list_extract([44100, 48000, 32000], CAST(1 + pk % 3 AS INT)) AS sr
+  FROM meta
+)
+SELECT audio_id,
+  'mp3' AS container,
+  'mp3' AS codec,
+  CAST(1 AS INT) AS n_streams,
+  CAST(0 AS INT) AS w,
+  CAST(0 AS INT) AS h,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(n * (144 * br * 1000 // sr) AS BIGINT) AS sum_sample_bytes,
+  CAST(n * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+  CAST(sr AS INT) AS sample_rate
+FROM params"""
 
 
 def _audio_features_sql() -> str:

@@ -170,6 +170,9 @@ def main() -> None:
         "gif_frames",
         # round-3 additions
         "multimodal_webp",
+        "video_meta",
+        "video_frames",
+        "mp3_meta",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -1,0 +1,172 @@
+"""Container-layer codecs: ISO BMFF (mp4), EBML/Matroska (webm), MPEG
+audio frame walk (mp3) — round-trips through our from-scratch writers,
+plus the Spark-side container_meta / frame_sample real paths."""
+
+import struct
+
+import pytest
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import (
+    codec_mp3,
+    container_mp4,
+    container_webm,
+)
+
+
+def _samples(pk: int, n: int) -> list[bytes]:
+    return [
+        bytes((pk + 11 * k + j) % 256 for j in range(50 + (pk * 13 + 7 * k) % 100))
+        for k in range(n)
+    ]
+
+
+# ------------------------------------------------------------------ mp4
+
+def test_mp4_roundtrip_exact():
+    samples = _samples(5, 8)
+    data = container_mp4.build_mp4(samples, 160, 120, codec="avc1")
+    info = container_mp4.probe_mp4(data)
+    assert info.brand == "isom"
+    (t,) = info.tracks
+    assert (t.handler, t.codec, t.width, t.height) == ("vide", "avc1", 160, 120)
+    assert t.sample_sizes == [len(s) for s in samples]
+    assert container_mp4.extract_samples(data, t) == samples
+    assert t.sample_deltas == [40] * 8
+    assert info.duration_ms == t.duration_ms == 8 * 40
+
+
+@pytest.mark.parametrize("n,per_chunk", [(1, 3), (2, 10), (9, 3), (6, 3), (7, 1)])
+def test_mp4_chunking_edge_cases(n, per_chunk):
+    """stsc run compression (full chunks + short tail) must reproduce the
+    exact per-sample offsets for every tail shape."""
+    samples = _samples(n, n)
+    data = container_mp4.build_mp4(samples, 64, 48, samples_per_chunk=per_chunk)
+    t = container_mp4.probe_mp4(data).tracks[0]
+    assert container_mp4.extract_samples(data, t) == samples
+
+
+def test_mp4_rejects_garbage():
+    with pytest.raises(ValueError):
+        container_mp4.probe_mp4(b"\x00" * 64)
+
+
+def test_mp4_largesize_box():
+    """size==1 + 64-bit largesize header must walk identically."""
+    payload = b"abcdef"
+    box = struct.pack(">I", 1) + b"test" + struct.pack(">Q", 16 + len(payload)) + payload
+    got = list(container_mp4.walk_boxes(box))
+    assert got == [(b"test", 16, 16 + len(payload))]
+
+
+# ----------------------------------------------------------------- webm
+
+def test_webm_roundtrip_exact():
+    blocks = [(k * 40, s) for k, s in enumerate(_samples(3, 9))]
+    data = container_webm.build_webm(blocks, 320, 180, codec="V_VP9")
+    info = container_webm.probe_webm(data)
+    assert info.doctype == "webm"
+    assert info.timestamp_scale == 1_000_000
+    (t,) = info.tracks
+    assert (t.number, t.track_type, t.codec, t.width, t.height) == (1, 1, "V_VP9", 320, 180)
+    assert [b.timestamp_ms for b in info.blocks] == [b[0] for b in blocks]
+    assert [b.payload for b in info.blocks] == [b[1] for b in blocks]
+    assert info.duration_ms == blocks[-1][0] + 40
+
+
+def test_webm_cluster_relative_timestamps():
+    """Blocks crossing cluster boundaries carry the cluster base + s16
+    relative split; absolute timestamps must survive it."""
+    blocks = [(k * 37, bytes([k])) for k in range(11)]
+    data = container_webm.build_webm(blocks, 16, 16, blocks_per_cluster=4)
+    info = container_webm.probe_webm(data)
+    assert [b.timestamp_ms for b in info.blocks] == [k * 37 for k in range(11)]
+
+
+def test_webm_vint_widths():
+    """Multi-byte EBML varints: value and width must both be exact."""
+    for val in (0, 1, 126, 127, 128, 16382, 16383, 16384, 2**21 - 2, 2**28 - 2):
+        enc = container_webm._vint_size(val)
+        got, pos = container_webm.read_vint(enc, 0, keep_marker=False)
+        assert (got, pos) == (val, len(enc)), val
+
+
+def test_webm_rejects_garbage():
+    with pytest.raises(ValueError):
+        container_webm.probe_webm(b"\xff" + b"\x00" * 32)
+
+
+# ------------------------------------------------------------------ mp3
+
+@pytest.mark.parametrize("bi,si,n", [(1, 0, 1), (9, 0, 20), (14, 2, 7), (5, 1, 12)])
+def test_mp3_walk_exact(bi, si, n):
+    data = codec_mp3.build_mp3(n, bi, si, fill_seed=3)
+    info = codec_mp3.probe_mp3(data)
+    br = codec_mp3._BITRATES_V1[3][bi]
+    sr = codec_mp3._SAMPLE_RATES[3][si]
+    assert info.n_frames == n
+    assert info.bitrate_kbps == br and info.sample_rate == sr
+    assert info.total_bytes == n * (144 * br * 1000 // sr) == len(data)
+    assert info.duration_ms == n * 1152 * 1000 // sr
+    assert info.is_cbr
+
+
+def test_mp3_resync_over_garbage():
+    data = b"ID3junk\xff\x00garbage" + codec_mp3.build_mp3(4, 9, 0)
+    assert codec_mp3.probe_mp3(data).n_frames == 4
+
+
+def test_mp3_truncated_tail_frame_dropped():
+    data = codec_mp3.build_mp3(3, 9, 0)
+    assert codec_mp3.probe_mp3(data[:-10]).n_frames == 2
+
+
+def test_mp3_no_frames_raises():
+    with pytest.raises(ValueError):
+        codec_mp3.probe_mp3(b"\x00" * 100)
+
+
+# -------------------------------------------------------- spark plumbing
+
+def test_container_meta_mixed_formats(spark):
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    mp4 = container_mp4.build_mp4(_samples(2, 4), 100, 80, codec="avc1")
+    webm = container_webm.build_webm(
+        [(k * 40, s) for k, s in enumerate(_samples(3, 5))], 60, 40, codec="V_VP9"
+    )
+    mp3 = codec_mp3.build_mp3(6, 9, 0)
+    df = spark.createDataFrame(
+        [("a", mp4, "mp4"), ("b", webm, "webm"), ("c", mp3, "mp3")],
+        "media_id string, bytes binary, fmt string",
+    )
+    out = {r["media_id"]: r for r in MM.container_meta(df).collect()}
+    assert out["a"]["codec"] == "avc1" and out["a"]["n_samples"] == 4
+    assert out["a"]["w"] == 100 and out["a"]["duration_ms"] == 160
+    assert out["b"]["codec"] == "V_VP9" and out["b"]["n_samples"] == 5
+    assert out["b"]["duration_ms"] == 200
+    assert out["c"]["container"] == "mp3" and out["c"]["n_samples"] == 6
+    assert out["c"]["sample_rate"] == 44100
+
+
+def test_frame_sample_real_mp4_webm_payloads(spark):
+    """frame_sample must return the REAL encoded sample bytes from the
+    container (not fakes) when fmt is mp4/webm."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    s_mp4 = _samples(7, 6)
+    s_webm = _samples(4, 5)
+    df = spark.createDataFrame(
+        [
+            ("v4", container_mp4.build_mp4(s_mp4, 32, 24), "mp4"),
+            ("vw", container_webm.build_webm(
+                [(k * 40, s) for k, s in enumerate(s_webm)], 32, 24
+            ), "webm"),
+        ],
+        "video_id string, bytes binary, fmt string",
+    )
+    out = MM.frame_sample(df, every_n=2).collect()
+    got = {(r["video_id"], r["frame_idx"]): bytes(r["frame_bytes"]) for r in out}
+    assert got[("v4", 0)] == s_mp4[0] and got[("v4", 2)] == s_mp4[2]
+    assert got[("v4", 4)] == s_mp4[4]
+    assert got[("vw", 0)] == s_webm[0] and got[("vw", 4)] == s_webm[4]
+    assert all(r["w"] == 32 and r["h"] == 24 for r in out)

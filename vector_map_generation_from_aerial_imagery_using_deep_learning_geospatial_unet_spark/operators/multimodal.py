@@ -28,8 +28,12 @@ from ..sources import codec
 
 REAL_FORMATS = {"png", "raw", "jpeg", "jpg", "gif", "webp"}  # sources/codec_*.py
 # wav (PCM) decodes for real via sources/codec_wav.py (audio_features);
-# webp-lossless (VP8L) via sources/codec_webp.py; the remaining stubs are
-# genuinely codec-library-bound (DCT/entropy video+audio codecs)
+# webp-lossless (VP8L) via sources/codec_webp.py.  mp3/mp4/webm PIXEL/PCM
+# decode stays stubbed (genuinely codec-library-bound DCT/entropy codecs),
+# but their CONTAINER layer is REAL: sources/container_mp4.py (ISO BMFF),
+# container_webm.py (EBML/Matroska), codec_mp3.py (MPEG frame walker) give
+# exact metadata probing and encoded-sample extraction — see
+# :func:`container_meta` and the mp4/webm branch of :func:`frame_sample`.
 STUB_FORMATS = {"mp3", "mp4", "webm"}
 
 
@@ -167,21 +171,104 @@ def audio_features(audio: DataFrame) -> DataFrame:
     return audio.mapInPandas(run, schema=schema)
 
 
+def container_meta(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """REAL container-level metadata for mp3/mp4/webm payloads — the probe
+    an ingest pipeline runs on every media blob before any decode: exact
+    stream/sample counts, encoded byte totals, duration, dimensions or
+    sample rate — all from our from-scratch parsers (ISO BMFF box walk,
+    EBML element walk, MPEG frame walk).  One unified row per input:
+
+        (id, container, codec, n_streams, w, h, n_samples,
+         sum_sample_bytes, duration_ms, sample_rate)
+
+    mp4: first video track supplies codec/w/h/samples; duration from mvhd.
+    webm: video TrackEntry + SimpleBlock walk.  mp3: frame walk (samples =
+    frames, bytes = exact frame lengths).  Unknown fmt raises — silent
+    skips would undercount a corpus audit."""
+    schema = (
+        f"{id_col} string, container string, codec string, n_streams int, "
+        "w int, h int, n_samples long, sum_sample_bytes long, "
+        "duration_ms long, sample_rate int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources import codec_mp3, container_mp4, container_webm
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data, fmt = bytes(r.bytes), r.fmt
+                mid = getattr(r, id_col)
+                if fmt == "mp4":
+                    info = container_mp4.probe_mp4(data)
+                    vid = next(
+                        (t for t in info.tracks if t.handler == "vide"),
+                        info.tracks[0],
+                    )
+                    rows.append(
+                        (
+                            mid, "mp4", vid.codec, len(info.tracks),
+                            vid.width, vid.height, vid.n_samples,
+                            sum(vid.sample_sizes), info.duration_ms,
+                            vid.sample_rate,
+                        )
+                    )
+                elif fmt == "webm":
+                    info = container_webm.probe_webm(data)
+                    vid = next(
+                        (t for t in info.tracks if t.track_type == 1),
+                        info.tracks[0],
+                    )
+                    blocks = [b for b in info.blocks if b.track == vid.number]
+                    rows.append(
+                        (
+                            mid, "webm", vid.codec, len(info.tracks),
+                            vid.width, vid.height, len(blocks),
+                            sum(len(b.payload) for b in blocks),
+                            info.duration_ms, vid.sample_rate,
+                        )
+                    )
+                elif fmt == "mp3":
+                    info = codec_mp3.probe_mp3(data)
+                    rows.append(
+                        (
+                            mid, "mp3", "mp3", 1, 0, 0, info.n_frames,
+                            info.total_bytes, info.duration_ms,
+                            info.sample_rate,
+                        )
+                    )
+                else:
+                    raise ValueError(f"container_meta: unsupported fmt {fmt!r}")
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "container", "codec", "n_streams", "w", "h",
+                    "n_samples", "sum_sample_bytes", "duration_ms",
+                    "sample_rate",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=schema)
+
+
 def frame_sample(
     videos: DataFrame, every_n: int = 10, stub_ok: bool = True
 ) -> DataFrame:
     """Video/animation rows -> one row per sampled frame.
 
     ``fmt='gif'`` decodes for REAL (sources/codec_gif.py: full LZW +
-    disposal compositing); mp4/webm stay stubbed (no codec libs) with
-    deterministic fakes keyed by (payload, frame_idx) — the
-    explode/partition/schema path is identical either way.  A ``fmt``
-    column is optional; absent means stub (round-1 schema)."""
+    disposal compositing; frame_bytes = zlib'd decoded pixels).
+    ``fmt='mp4'/'webm'`` extract the REAL encoded sample payloads at the
+    container level (sources/container_mp4.py stsz/stsc/stco math,
+    container_webm.py SimpleBlock walk; frame_bytes = the encoded codec
+    payload, NOT pixels — pixel decode stays codec-library-bound).  A
+    ``fmt`` column is optional; absent means the deterministic stub
+    (round-1 schema, keyed by payload+frame_idx)."""
     schema = "video_id string, frame_idx int, frame_bytes binary, w int, h int"
     has_fmt = "fmt" in videos.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..sources import codec_gif
+        from ..sources import codec_gif, container_mp4, container_webm
 
         for pdf in batches:
             rows = []
@@ -196,6 +283,33 @@ def frame_sample(
                                 r.video_id, fi,
                                 zlib.compress(np.ascontiguousarray(fr).tobytes(), 1),
                                 fr.shape[1], fr.shape[0],
+                            )
+                        )
+                    continue
+                if fmt == "mp4":
+                    info = container_mp4.probe_mp4(bytes(r.bytes))
+                    vid = next(
+                        (t for t in info.tracks if t.handler == "vide"),
+                        info.tracks[0],
+                    )
+                    samples = container_mp4.extract_samples(bytes(r.bytes), vid)
+                    for fi in range(0, len(samples), every_n):
+                        rows.append(
+                            (r.video_id, fi, samples[fi], vid.width, vid.height)
+                        )
+                    continue
+                if fmt == "webm":
+                    info = container_webm.probe_webm(bytes(r.bytes))
+                    vid = next(
+                        (t for t in info.tracks if t.track_type == 1),
+                        info.tracks[0],
+                    )
+                    blocks = [b for b in info.blocks if b.track == vid.number]
+                    for fi in range(0, len(blocks), every_n):
+                        rows.append(
+                            (
+                                r.video_id, fi, blocks[fi].payload,
+                                vid.width, vid.height,
                             )
                         )
                     continue
