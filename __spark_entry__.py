@@ -510,6 +510,9 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = derived.images_meta(spark, sf_dir).select(
         "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
     ).filter(F.col("pk") <= 60)
+    # the filtered meta arrives as ONE split; per-row codec work is
+    # CPU-bound, so spread before entering Python (cheap metadata shuffle)
+    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
 
     def synth(batches):
         for pdf in batches:
@@ -546,6 +549,9 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = derived.images_meta(spark, sf_dir).select(
         "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
     ).filter(F.col("pk") <= 60)
+    # the filtered meta arrives as ONE split; per-row codec work is
+    # CPU-bound, so spread before entering Python (cheap metadata shuffle)
+    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
 
     pal = np.stack(
         [
@@ -697,6 +703,9 @@ def _synth_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = derived.images_meta(spark, sf_dir).select(
         "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
     ).filter(F.col("pk") <= 60)
+    # the filtered meta arrives as ONE split; per-row codec work is
+    # CPU-bound, so spread before entering Python (cheap metadata shuffle)
+    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
 
     def synth(batches):
         from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import container_mp4, container_webm
@@ -782,6 +791,9 @@ def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = derived.images_meta(spark, sf_dir).select(
         "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
     ).filter(F.col("pk") <= 60)
+    # the filtered meta arrives as ONE split; per-row codec work is
+    # CPU-bound, so spread before entering Python (cheap metadata shuffle)
+    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
 
     def synth(batches):
         from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_mp3
