@@ -170,3 +170,42 @@ def test_frame_sample_real_mp4_webm_payloads(spark):
     assert got[("v4", 4)] == s_mp4[4]
     assert got[("vw", 0)] == s_webm[0] and got[("vw", 4)] == s_webm[4]
     assert all(r["w"] == 32 and r["h"] == 24 for r in out)
+
+
+def test_mp4_audio_track_roundtrip():
+    """AudioSampleEntry path: handler 'soun', 16.16 samplerate decode, and
+    the same exact sample extraction."""
+    samples = _samples(9, 7)
+    data = container_mp4.build_mp4(
+        samples, 0, 0, codec="mp4a", handler="soun",
+        sample_rate=44100, timescale=44100, sample_delta=1024,
+    )
+    (t,) = container_mp4.probe_mp4(data).tracks
+    assert (t.handler, t.codec, t.sample_rate) == ("soun", "mp4a", 44100)
+    assert container_mp4.extract_samples(data, t) == samples
+    assert t.duration_ms == 7 * 1024 * 1000 // 44100
+
+
+def test_mp4_two_tracks_audio_first(spark):
+    """Real-muxer shape: audio trak written before the video trak.  Both
+    tracks' sample tables must extract exactly, and container_meta must
+    prefer the VIDEO track for codec/dims while counting both streams."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    vid_s, aud_s = _samples(1, 5), _samples(8, 4)
+    data = container_mp4.build_mp4(
+        vid_s, 80, 60, audio_samples=aud_s, audio_rate=44100
+    )
+    info = container_mp4.probe_mp4(data)
+    assert [t.handler for t in info.tracks] == ["soun", "vide"]
+    aud, vid = info.tracks
+    assert container_mp4.extract_samples(data, vid) == vid_s
+    assert container_mp4.extract_samples(data, aud) == aud_s
+    assert (aud.codec, aud.sample_rate, aud.track_id) == ("mp4a", 44100, 2)
+
+    df = spark.createDataFrame(
+        [("m", data, "mp4")], "media_id string, bytes binary, fmt string"
+    )
+    (row,) = MM.container_meta(df).collect()
+    assert row["codec"] == "avc1" and row["w"] == 80 and row["h"] == 60
+    assert row["n_streams"] == 2 and row["n_samples"] == 5

@@ -272,37 +272,21 @@ def _full(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
     return _box(fourcc, struct.pack(">I", (version << 24) | flags) + payload)
 
 
-def build_mp4(
-    samples: list[bytes],
-    width: int,
-    height: int,
-    codec: str = "avc1",
-    timescale: int = 1000,
-    sample_delta: int = 40,
-    samples_per_chunk: int = 3,
-) -> bytes:
-    """Minimal valid single-video-track MP4 (ftyp + mdat + moov) for
-    fixtures and round-trip tests.  Samples are grouped
-    ``samples_per_chunk`` per chunk so stsc/stco interleaving is exercised
-    for real, not just the trivial one-chunk case."""
-    n = len(samples)
-    duration = n * sample_delta
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
-    mdat_payload = b"".join(samples)
-    mdat = _box(b"mdat", mdat_payload)
-    base = len(ftyp) + 8  # absolute offset of first sample in file
-
-    # chunk offsets: every samples_per_chunk samples start a new chunk
+def _chunk_map(
+    samples: list[bytes], base: int, samples_per_chunk: int
+) -> tuple[list[int], list[tuple[int, int]]]:
+    """(absolute chunk offsets, stsc (first_chunk, samples_per_chunk) runs)
+    for samples laid out contiguously from ``base``, grouped
+    ``samples_per_chunk`` per chunk with run compression for the tail."""
     chunk_offsets = []
     off = base
     for i, s in enumerate(samples):
         if i % samples_per_chunk == 0:
             chunk_offsets.append(off)
         off += len(s)
-    n_chunks = len(chunk_offsets)
-    # stsc runs: all chunks have samples_per_chunk except a short tail
+    n, n_chunks = len(samples), len(chunk_offsets)
     tail = n - (n_chunks - 1) * samples_per_chunk if n_chunks else 0
-    stsc_rows = []
+    stsc_rows: list[tuple[int, int]] = []
     if n_chunks:
         if n_chunks > 1:
             stsc_rows.append((1, samples_per_chunk))
@@ -310,19 +294,47 @@ def build_mp4(
                 stsc_rows.append((n_chunks, tail))
         else:
             stsc_rows.append((1, tail))
+    return chunk_offsets, stsc_rows
 
-    # VisualSampleEntry body per §12.1.3 (box framing added by _box)
-    entry_body = (
-        b"\x00" * 6
-        + struct.pack(">H", 1)
-        + b"\x00" * 16
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)
-        + struct.pack(">I", 0)
-        + struct.pack(">H", 1)
-        + b"\x00" * 32
-        + struct.pack(">Hh", 24, -1)
-    )
+
+def _trak(
+    samples: list[bytes],
+    chunk_offsets: list[int],
+    stsc_rows: list[tuple[int, int]],
+    handler: str,
+    codec: str,
+    width: int,
+    height: int,
+    timescale: int,
+    sample_delta: int,
+    track_id: int,
+    sample_rate: int,
+) -> bytes:
+    n = len(samples)
+    duration = n * sample_delta
+    if handler == "soun":
+        # AudioSampleEntry body per §12.2.3: channelcount/samplesize +
+        # 16.16 fixed-point samplerate
+        entry_body = (
+            b"\x00" * 6
+            + struct.pack(">H", 1)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 2, 16, 0, 0)
+            + struct.pack(">I", sample_rate << 16)
+        )
+    else:
+        # VisualSampleEntry body per §12.1.3 (box framing added by _box)
+        entry_body = (
+            b"\x00" * 6
+            + struct.pack(">H", 1)
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x00480000, 0x00480000)
+            + struct.pack(">I", 0)
+            + struct.pack(">H", 1)
+            + b"\x00" * 32
+            + struct.pack(">Hh", 24, -1)
+        )
     entry = _box(codec.encode("latin-1"), entry_body)
     stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
     stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta))
@@ -343,16 +355,24 @@ def build_mp4(
         b"stco",
         0,
         0,
-        struct.pack(">I", n_chunks)
+        struct.pack(">I", len(chunk_offsets))
         + b"".join(struct.pack(">I", o) for o in chunk_offsets),
     )
     stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
     url = _full(b"url ", 0, 1, b"")
     dref = _full(b"dref", 0, 0, struct.pack(">I", 1) + url)
     dinf = _box(b"dinf", dref)
-    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
-    minf = _box(b"minf", vmhd + dinf + stbl)
-    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+    if handler == "soun":
+        mhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+    else:
+        mhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    minf = _box(b"minf", mhd + dinf + stbl)
+    hdlr = _full(
+        b"hdlr",
+        0,
+        0,
+        struct.pack(">I", 0) + handler.encode("latin-1") + b"\x00" * 12 + b"\x00",
+    )
     mdhd = _full(
         b"mdhd",
         0,
@@ -364,13 +384,62 @@ def build_mp4(
         b"tkhd",
         0,
         7,
-        struct.pack(">IIIII", 0, 0, 1, 0, duration)
+        struct.pack(">IIIII", 0, 0, track_id, 0, duration)
         + b"\x00" * 8
         + struct.pack(">HHHH", 0, 0, 0, 0)
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", width << 16, height << 16),
     )
-    trak = _box(b"trak", tkhd + mdia)
+    return _box(b"trak", tkhd + mdia)
+
+
+def build_mp4(
+    samples: list[bytes],
+    width: int,
+    height: int,
+    codec: str = "avc1",
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    samples_per_chunk: int = 3,
+    handler: str = "vide",
+    sample_rate: int = 48000,
+    audio_samples: list[bytes] | None = None,
+    audio_codec: str = "mp4a",
+    audio_rate: int = 48000,
+    audio_delta: int = 1024,
+) -> bytes:
+    """Minimal valid MP4 (ftyp + mdat + moov) for fixtures and round-trip
+    tests.  Samples are grouped ``samples_per_chunk`` per chunk so
+    stsc/stco interleaving is exercised for real, not just the trivial
+    one-chunk case.  ``handler='soun'`` makes the main track audio
+    (AudioSampleEntry + smhd).  ``audio_samples`` adds a SECOND track — an
+    mp4a audio track written BEFORE the video trak in moov, as real
+    muxers often do, so multi-track walking and video-track preference are
+    exercised; its payload follows the main track's in mdat."""
+    n = len(samples)
+    duration = n * sample_delta
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isommp42")
+    payload = b"".join(samples)
+    audio_payload = b"".join(audio_samples) if audio_samples else b""
+    mdat = _box(b"mdat", payload + audio_payload)
+    base = len(ftyp) + 8  # absolute offset of first sample in file
+
+    chunk_offsets, stsc_rows = _chunk_map(samples, base, samples_per_chunk)
+    traks = _trak(
+        samples, chunk_offsets, stsc_rows, handler, codec, width, height,
+        timescale, sample_delta, 1, sample_rate,
+    )
+    if audio_samples is not None:
+        a_off, a_rows = _chunk_map(
+            audio_samples, base + len(payload), samples_per_chunk
+        )
+        traks = (
+            _trak(
+                audio_samples, a_off, a_rows, "soun", audio_codec, 0, 0,
+                audio_rate, audio_delta, 2, audio_rate,
+            )
+            + traks
+        )
     mvhd = _full(
         b"mvhd",
         0,
@@ -380,7 +449,7 @@ def build_mp4(
         + b"\x00" * 10
         + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
         + b"\x00" * 24
-        + struct.pack(">I", 2),
+        + struct.pack(">I", 3),
     )
-    moov = _box(b"moov", mvhd + trak)
+    moov = _box(b"moov", mvhd + traks)
     return ftyp + mdat + moov
