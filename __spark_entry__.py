@@ -812,6 +812,127 @@ def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.container_meta(audio, id_col="audio_id")
 
 
+def _synth_mjpeg_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Motion-JPEG corpus through the REAL writers: even pk
+    -> mp4 with an ISO 'jpeg' video sample entry, odd pk -> webm with a
+    Matroska 'V_MJPEG' track; every sample is a complete baseline-JFIF
+    image from our own encoder (quality 50, so DC quantization genuinely
+    bites).  Frames are grayscale planes of two 8px-aligned constant
+    vertical bands (cols [0,80) = va, [80,w) = vb) — per-block-constant
+    planes survive the lossy DCT as exactly one deterministic value per
+    band (DC-only blocks), which is what lets the oracle stay closed-form
+    through a REAL lossy codec.  w = 160+8*(pk%5), h = 120+8*(pk%3),
+    n = 4+pk%5, va = (pk*7+11*fi)%256, vb = (pk*13+17*fi+128)%256."""
+    import numpy as np
+    import pandas as pd
+
+    meta = derived.images_meta(spark, sf_dir).select(
+        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
+    ).filter(F.col("pk") <= 60)
+    # the filtered meta arrives as ONE split; per-row codec work is
+    # CPU-bound, so spread before entering Python (cheap metadata shuffle)
+    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
+
+    def synth(batches):
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import (
+            codec_jpeg, container_mp4, container_webm,
+        )
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                w, h = 160 + 8 * (pk % 5), 120 + 8 * (pk % 3)
+                n = 4 + pk % 5
+                samples = []
+                for fi in range(n):
+                    frame = np.full(
+                        (h, w), (pk * 7 + 11 * fi) % 256, dtype=np.uint8
+                    )
+                    frame[:, 80:] = (pk * 13 + 17 * fi + 128) % 256
+                    samples.append(codec_jpeg.encode_jpeg(frame, quality=50))
+                if pk % 2 == 0:
+                    data = container_mp4.build_mp4(
+                        samples, w, h, codec="jpeg", timescale=1000,
+                        sample_delta=40,
+                    )
+                else:
+                    data = container_webm.build_webm(
+                        [(40 * k, s) for k, s in enumerate(samples)],
+                        w, h, codec="V_MJPEG",
+                    )
+                rows.append(
+                    (r.image_id, data, "mp4" if pk % 2 == 0 else "webm")
+                )
+            yield pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+
+    return meta.mapInPandas(
+        synth, schema="video_id string, bytes binary, fmt string"
+    )
+
+
+def q_video_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video PIXEL decode (mixed mp4 + webm Motion-JPEG corpus):
+    container probe -> encoded-sample extraction -> per-frame baseline-JFIF
+    decode -> exact per-frame pixel sums, all in one Arrow hop.  The gate
+    is exact THROUGH a lossy codec: per-8px-band-constant frames decode to
+    one deterministic value per band (DC-only quantization), tabulated by
+    the oracle from single-process 8x8 roundtrips."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    return MM.video_decode_frames(
+        _synth_mjpeg_videos(spark, sf_dir), every_n=2, id_col="video_id"
+    )
+
+
+def q_video_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio-track decode out of multi-trak MP4s: files carry a
+    video track plus a 'sowt' (16-bit LE PCM) audio track written FIRST in
+    moov (as real muxers do); the engine must pick the soun trak, walk its
+    own stsz/stsc/stco tables, and decode the PCM — every output an exact
+    integer with a pure-arithmetic SQL twin.  chunk k sample i:
+    s = ((pk*31 + k*7 + i*3) % 65536) - 32768."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    meta = derived.images_meta(spark, sf_dir).select(
+        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
+    ).filter(F.col("pk") <= 60)
+    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
+
+    def synth(batches):
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import container_mp4
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                vid_samples = [
+                    bytes((pk + 3 * k + j) % 256 for j in range(40))
+                    for k in range(2)
+                ]
+                n_chunks = 3 + pk % 4
+                i = np.arange(256, dtype=np.int64)
+                chunks = []
+                for k in range(n_chunks):
+                    s = ((pk * 31 + k * 7 + i * 3) % 65536) - 32768
+                    chunks.append(s.astype("<i2").tobytes())
+                data = container_mp4.build_mp4(
+                    vid_samples, 64, 48, codec="avc1",
+                    audio_samples=chunks, audio_codec="sowt",
+                    audio_rate=8000 + (pk % 5) * 2000,
+                )
+                rows.append((r.image_id, data, "mp4"))
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "fmt"])
+
+    media = meta.mapInPandas(
+        synth, schema="media_id string, bytes binary, fmt string"
+    )
+    return MM.audio_track_pcm(media, id_col="media_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -858,6 +979,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_meta": q_video_meta,
     "video_frames": q_video_frames,
     "mp3_meta": q_mp3_meta,
+    "video_pixels": q_video_pixels,
+    "video_audio": q_video_audio,
 }
 
 
@@ -991,6 +1114,8 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "video_meta": _video_meta_sql(),
         "video_frames": _video_frames_sql(),
         "mp3_meta": _mp3_meta_sql(),
+        "video_pixels": _video_pixels_sql(),
+        "video_audio": _video_audio_sql(),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -1382,6 +1507,97 @@ SELECT audio_id,
   CAST(n * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
   CAST(sr AS INT) AS sample_rate
 FROM params"""
+
+
+def _video_pixels_sql() -> str:
+    """Twin of q_video_pixels — exact through a REAL lossy codec.  Frames
+    are per-8px-band-constant, so every 8x8 block is constant and only its
+    DC coefficient survives quantization: the decoded plane is one
+    deterministic value per band, a pure function f(v) of the band value.
+    f is tabulated here by 256 single-process 8x8 encode/decode roundtrips
+    (no Spark machinery shared — a distributed-plumbing bug cannot cancel
+    out); geometry and band values are closed-form in pk."""
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.codec_jpeg import (
+        decode_jpeg, encode_jpeg,
+    )
+
+    vals = ",".join(
+        "({}, {})".format(
+            v,
+            int(
+                decode_jpeg(
+                    encode_jpeg(np.full((8, 8), v, np.uint8), quality=50)
+                )[0, 0]
+            ),
+        )
+        for v in range(256)
+    )
+    return f"""
+WITH meta AS (
+  SELECT concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS video_id,
+         p_partkey AS pk
+  FROM part WHERE p_partkey <= 60
+),
+params AS (
+  SELECT video_id, pk, 160 + 8 * (pk % 5) AS w, 120 + 8 * (pk % 3) AS h,
+         4 + pk % 5 AS n
+  FROM meta
+),
+frames AS (
+  SELECT video_id, pk, w, h, unnest(generate_series(0, n - 1, 2)) AS fi
+  FROM params
+),
+ftab AS (SELECT * FROM (VALUES {vals}) t(v, fv))
+SELECT video_id,
+  CAST(fi AS INT) AS frame_idx,
+  CAST(w AS INT) AS fw,
+  CAST(h AS INT) AS fh,
+  CAST(w * h AS BIGINT) AS n_px,
+  CAST(80 * h * fa.fv + (w - 80) * h * fb.fv AS BIGINT) AS sum_px
+FROM frames
+JOIN ftab fa ON fa.v = (pk * 7 + 11 * fi) % 256
+JOIN ftab fb ON fb.v = (pk * 13 + 17 * fi + 128) % 256"""
+
+
+def _video_audio_sql() -> str:
+    """Pure-arithmetic twin of q_video_audio: re-derive every PCM sample
+    of the 'sowt' audio track with staged generate_series (chunk k, then
+    sample i — DuckDB zips sibling unnests, so the two levels must be
+    separate CTEs) and aggregate the same exact integers."""
+    return """
+WITH meta AS (
+  SELECT concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS media_id,
+         p_partkey AS pk
+  FROM part WHERE p_partkey <= 60
+),
+params AS (
+  SELECT media_id, pk, 3 + pk % 4 AS nc, 8000 + (pk % 5) * 2000 AS rate
+  FROM meta
+),
+ck AS (
+  SELECT media_id, pk, rate, unnest(generate_series(0, nc - 1)) AS k
+  FROM params
+),
+smp AS (
+  SELECT media_id, pk, rate, k, unnest(generate_series(0, 255)) AS i
+  FROM ck
+),
+vals AS (
+  SELECT media_id, rate,
+         ((pk * 31 + k * 7 + i * 3) % 65536) - 32768 AS s
+  FROM smp
+)
+SELECT media_id,
+  CAST(rate AS INT) AS sample_rate,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(sum(s) AS BIGINT) AS sum_s,
+  CAST(min(s) AS INT) AS min_s,
+  CAST(max(s) AS INT) AS max_s,
+  CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+FROM vals
+GROUP BY media_id, rate"""
 
 
 def _audio_features_sql() -> str:

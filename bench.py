@@ -173,6 +173,8 @@ def main() -> None:
         "video_meta",
         "video_frames",
         "mp3_meta",
+        "video_pixels",
+        "video_audio",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

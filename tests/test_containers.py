@@ -209,3 +209,104 @@ def test_mp4_two_tracks_audio_first(spark):
     (row,) = MM.container_meta(df).collect()
     assert row["codec"] == "avc1" and row["w"] == 80 and row["h"] == 60
     assert row["n_streams"] == 2 and row["n_samples"] == 5
+
+
+# ----------------------------------------------- real-codec track decode
+
+def test_video_decode_frames_mjpeg_both_containers(spark):
+    """MJPEG tracks ('jpeg' fourcc in mp4, 'V_MJPEG' in webm) must decode
+    to REAL pixels: per-frame sums equal a single-process numpy reference
+    of the same encode->decode chain."""
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_jpeg
+
+    def frames(seed, n, w, h):
+        out = []
+        for fi in range(n):
+            a = np.full((h, w), (seed * 7 + 11 * fi) % 256, dtype=np.uint8)
+            a[:, w // 2 :] = (seed * 13 + 17 * fi + 128) % 256
+            out.append(a)
+        return out
+
+    f4, fw = frames(3, 5, 64, 48), frames(8, 4, 48, 32)
+    enc4 = [codec_jpeg.encode_jpeg(a, quality=50) for a in f4]
+    encw = [codec_jpeg.encode_jpeg(a, quality=50) for a in fw]
+    df = spark.createDataFrame(
+        [
+            ("v4", container_mp4.build_mp4(enc4, 64, 48, codec="jpeg"), "mp4"),
+            ("vw", container_webm.build_webm(
+                [(k * 40, s) for k, s in enumerate(encw)], 48, 32,
+                codec="V_MJPEG",
+            ), "webm"),
+        ],
+        "video_id string, bytes binary, fmt string",
+    )
+    out = {
+        (r["video_id"], r["frame_idx"]): r
+        for r in MM.video_decode_frames(df, every_n=2).collect()
+    }
+    assert set(out) == {("v4", 0), ("v4", 2), ("v4", 4), ("vw", 0), ("vw", 2)}
+    for vid, encs, dims in (("v4", enc4, (64, 48)), ("vw", encw, (48, 32))):
+        for fi in range(0, len(encs), 2):
+            ref = codec_jpeg.decode_jpeg(encs[fi])
+            r = out[(vid, fi)]
+            assert (r["fw"], r["fh"]) == dims
+            assert r["n_px"] == ref.size
+            assert r["sum_px"] == int(ref.sum(dtype=np.int64))
+
+
+def test_video_decode_frames_rejects_interframe_codecs(spark):
+    """H.264/VP9 tracks must raise, not silently fake pixels."""
+    import pytest as _pytest
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        [("v", container_mp4.build_mp4(_samples(1, 3), 32, 24, codec="avc1"),
+          "mp4")],
+        "video_id string, bytes binary, fmt string",
+    )
+    with _pytest.raises(Exception, match="codec-library-bound"):
+        MM.video_decode_frames(df).collect()
+
+
+def test_audio_track_pcm_exact(spark):
+    """'sowt' PCM audio track out of a multi-trak mp4: decoded integer
+    features must match numpy exactly; mp4a tracks must raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    i = np.arange(256, dtype=np.int64)
+    chunks = [
+        (((31 + k * 7 + i * 3) % 65536) - 32768).astype("<i2").tobytes()
+        for k in range(4)
+    ]
+    ref = np.concatenate(
+        [np.frombuffer(c, dtype="<i2").astype(np.int64) for c in chunks]
+    )
+    data = container_mp4.build_mp4(
+        _samples(2, 2), 32, 24, audio_samples=chunks,
+        audio_codec="sowt", audio_rate=16000,
+    )
+    df = spark.createDataFrame(
+        [("m", data, "mp4")], "media_id string, bytes binary, fmt string"
+    )
+    (row,) = MM.audio_track_pcm(df).collect()
+    assert row["sample_rate"] == 16000
+    assert row["n_samples"] == ref.size
+    assert row["sum_s"] == int(ref.sum())
+    assert (row["min_s"], row["max_s"]) == (int(ref.min()), int(ref.max()))
+    assert row["sum_abs"] == int(np.abs(ref).sum())
+
+    bad = container_mp4.build_mp4(
+        _samples(2, 2), 32, 24, audio_samples=chunks, audio_codec="mp4a"
+    )
+    dfb = spark.createDataFrame(
+        [("m", bad, "mp4")], "media_id string, bytes binary, fmt string"
+    )
+    with _pytest.raises(Exception, match="codec-library-bound"):
+        MM.audio_track_pcm(dfb).collect()
