@@ -497,6 +497,17 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(jpeg_tiles, resize_to=64)
 
 
+def _capped_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(image_id, pk) for pk <= 60 — the shared driver of every per-pk
+    media fixture (wav/gif/mp3/mp4/webm synth).  The filtered meta arrives
+    as ONE split; per-row codec work is CPU-bound, so spread rows across
+    the cluster before entering Python (cheap metadata-only shuffle)."""
+    meta = derived.images_meta(spark, sf_dir).select(
+        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
+    ).filter(F.col("pk") <= 60)
+    return meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
+
+
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio path: deterministic sawtooth PCM WAVs (synthesized
     per-pk, encoded through the real RIFF codec) -> integer features with
@@ -507,12 +518,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav
 
-    meta = derived.images_meta(spark, sf_dir).select(
-        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
-    ).filter(F.col("pk") <= 60)
-    # the filtered meta arrives as ONE split; per-row codec work is
-    # CPU-bound, so spread before entering Python (cheap metadata shuffle)
-    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
+    meta = _capped_media_meta(spark, sf_dir)
 
     def synth(batches):
         for pdf in batches:
@@ -546,12 +552,7 @@ def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_gif
 
-    meta = derived.images_meta(spark, sf_dir).select(
-        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
-    ).filter(F.col("pk") <= 60)
-    # the filtered meta arrives as ONE split; per-row codec work is
-    # CPU-bound, so spread before entering Python (cheap metadata shuffle)
-    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
+    meta = _capped_media_meta(spark, sf_dir)
 
     pal = np.stack(
         [
@@ -700,12 +701,7 @@ def _synth_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     the SQL twin."""
     import pandas as pd
 
-    meta = derived.images_meta(spark, sf_dir).select(
-        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
-    ).filter(F.col("pk") <= 60)
-    # the filtered meta arrives as ONE split; per-row codec work is
-    # CPU-bound, so spread before entering Python (cheap metadata shuffle)
-    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
+    meta = _capped_media_meta(spark, sf_dir)
 
     def synth(batches):
         from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import container_mp4, container_webm
@@ -788,12 +784,7 @@ def q_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
 
-    meta = derived.images_meta(spark, sf_dir).select(
-        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
-    ).filter(F.col("pk") <= 60)
-    # the filtered meta arrives as ONE split; per-row codec work is
-    # CPU-bound, so spread before entering Python (cheap metadata shuffle)
-    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
+    meta = _capped_media_meta(spark, sf_dir)
 
     def synth(batches):
         from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_mp3
@@ -826,12 +817,7 @@ def _synth_mjpeg_videos(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    meta = derived.images_meta(spark, sf_dir).select(
-        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
-    ).filter(F.col("pk") <= 60)
-    # the filtered meta arrives as ONE split; per-row codec work is
-    # CPU-bound, so spread before entering Python (cheap metadata shuffle)
-    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
+    meta = _capped_media_meta(spark, sf_dir)
 
     def synth(batches):
         from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import (
@@ -897,10 +883,7 @@ def q_video_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
 
-    meta = derived.images_meta(spark, sf_dir).select(
-        "image_id", F.substring("image_id", 5, 18).cast("long").alias("pk")
-    ).filter(F.col("pk") <= 60)
-    meta = meta.repartition(spark.sparkContext.defaultParallelism, "image_id")
+    meta = _capped_media_meta(spark, sf_dir)
 
     def synth(batches):
         from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import container_mp4

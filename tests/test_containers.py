@@ -310,3 +310,28 @@ def test_audio_track_pcm_exact(spark):
     )
     with _pytest.raises(Exception, match="codec-library-bound"):
         MM.audio_track_pcm(dfb).collect()
+
+
+def test_webm_track_number_127_one_byte_vint():
+    """Track number 127 encodes as the 1-byte vint 0xFF — the all-ones
+    'unknown' sentinel applies only to element SIZES, so blocks on track
+    127 must not be dropped."""
+    assert container_webm.read_vint(b"\xff", 0, keep_marker=False) == (127, 1)
+    assert container_webm.read_vint(
+        b"\xff", 0, keep_marker=False, is_size=True
+    ) == (-1, 1)
+
+
+def test_mp4_audio_only_probe_reports_zero_dims():
+    """An audio-only mp4's AudioSampleEntry must not be misread as
+    VisualSampleEntry: dims stay 0 and the samplerate decodes, instead of
+    the 16.16 rate bytes appearing as width."""
+    samples = _samples(3, 4)
+    data = container_mp4.build_mp4(
+        samples, 0, 0, codec="sowt", handler="soun",
+        sample_rate=8000, timescale=8000, sample_delta=256,
+    )
+    (t,) = container_mp4.probe_mp4(data).tracks
+    assert (t.handler, t.codec) == ("soun", "sowt")
+    assert (t.width, t.height) == (0, 0)
+    assert t.sample_rate == 8000

@@ -171,6 +171,19 @@ def audio_features(audio: DataFrame) -> DataFrame:
     return audio.mapInPandas(run, schema=schema)
 
 
+def _video_track_mp4(info):
+    """The first 'vide' handler track, else the first track at all —
+    the single place the video-track preference policy lives (audio-only
+    files fall back to their sole track, whose dims are 0 by the
+    handler-aware stsd parse, never garbage)."""
+    return next((t for t in info.tracks if t.handler == "vide"), info.tracks[0])
+
+
+def _video_track_webm(info):
+    """Matroska twin of :func:`_video_track_mp4` (track_type 1 = video)."""
+    return next((t for t in info.tracks if t.track_type == 1), info.tracks[0])
+
+
 def container_meta(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     """REAL container-level metadata for mp3/mp4/webm payloads — the probe
     an ingest pipeline runs on every media blob before any decode: exact
@@ -201,10 +214,7 @@ def container_meta(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                 mid = getattr(r, id_col)
                 if fmt == "mp4":
                     info = container_mp4.probe_mp4(data)
-                    vid = next(
-                        (t for t in info.tracks if t.handler == "vide"),
-                        info.tracks[0],
-                    )
+                    vid = _video_track_mp4(info)
                     rows.append(
                         (
                             mid, "mp4", vid.codec, len(info.tracks),
@@ -215,10 +225,7 @@ def container_meta(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                     )
                 elif fmt == "webm":
                     info = container_webm.probe_webm(data)
-                    vid = next(
-                        (t for t in info.tracks if t.track_type == 1),
-                        info.tracks[0],
-                    )
+                    vid = _video_track_webm(info)
                     blocks = [b for b in info.blocks if b.track == vid.number]
                     rows.append(
                         (
@@ -288,10 +295,7 @@ def frame_sample(
                     continue
                 if fmt == "mp4":
                     info = container_mp4.probe_mp4(bytes(r.bytes))
-                    vid = next(
-                        (t for t in info.tracks if t.handler == "vide"),
-                        info.tracks[0],
-                    )
+                    vid = _video_track_mp4(info)
                     samples = container_mp4.extract_samples(bytes(r.bytes), vid)
                     for fi in range(0, len(samples), every_n):
                         rows.append(
@@ -300,10 +304,7 @@ def frame_sample(
                     continue
                 if fmt == "webm":
                     info = container_webm.probe_webm(bytes(r.bytes))
-                    vid = next(
-                        (t for t in info.tracks if t.track_type == 1),
-                        info.tracks[0],
-                    )
+                    vid = _video_track_webm(info)
                     blocks = [b for b in info.blocks if b.track == vid.number]
                     for fi in range(0, len(blocks), every_n):
                         rows.append(
@@ -372,18 +373,12 @@ def video_decode_frames(
                 data, mid = bytes(r.bytes), getattr(r, id_col)
                 if r.fmt == "mp4":
                     info = container_mp4.probe_mp4(data)
-                    vid = next(
-                        (t for t in info.tracks if t.handler == "vide"),
-                        info.tracks[0],
-                    )
+                    vid = _video_track_mp4(info)
                     codec_id = vid.codec
                     samples = container_mp4.extract_samples(data, vid)
                 elif r.fmt == "webm":
                     winfo = container_webm.probe_webm(data)
-                    wvid = next(
-                        (t for t in winfo.tracks if t.track_type == 1),
-                        winfo.tracks[0],
-                    )
+                    wvid = _video_track_webm(winfo)
                     codec_id = wvid.codec
                     samples = [
                         b.payload for b in winfo.blocks if b.track == wvid.number

@@ -348,8 +348,11 @@ def embedding_near_dup_pairs(
             {"id_a": lo[keep], "id_b": hi[keep], "cos": cos[ii, jj][keep]}
         )
 
+    # the pair columns keep the caller's id type (string keys near-dup the
+    # same as bigints) — hardcoding long would silently narrow the API
+    id_type = dict(corpus.dtypes)[cid]
     return tagged.groupBy("p", "q").applyInPandas(
-        score, schema="id_a long, id_b long, cos double"
+        score, schema=f"id_a {id_type}, id_b {id_type}, cos double"
     )
 
 

@@ -99,25 +99,31 @@ class Mp4Info:
         return self.duration * 1000 // self.timescale if self.timescale else 0
 
 
-def _parse_stsd(data: bytes, ps: int, pe: int) -> tuple[str, int, int, int]:
+def _parse_stsd(
+    data: bytes, ps: int, pe: int, handler: str
+) -> tuple[str, int, int, int]:
     """(codec_fourcc, width, height, sample_rate) from the first sample
-    entry.  VisualSampleEntry: width/height u16 at entry offset 24/26 past
-    the 8-byte entry header; AudioSampleEntry: samplerate 16.16 fixed at
-    entry offset 16 (both past the 8-byte reserved+dref_index prefix)."""
+    entry.  The entry layout depends on the TRACK handler — the same byte
+    offsets hold width/height in a VisualSampleEntry (u16 at entry offset
+    24/26 past the 8-byte reserved+dref_index prefix) but samplerate in an
+    AudioSampleEntry (16.16 fixed at prefix offset 16) — so parse only the
+    fields the handler's layout defines, and bound every read by the
+    ENTRY's own end: a short or foreign entry yields zeros, never bytes
+    belonging to the following box."""
     count = struct.unpack_from(">I", data, ps + 4)[0]
     if count < 1:
         return "", 0, 0, 0
     entries = list(walk_boxes(data, ps + 8, pe))
     if not entries:
         return "", 0, 0, 0
-    fc, es, _ = entries[0]
+    fc, es, ee = entries[0]
     codec = fc.decode("latin-1")
     body = es + 8  # skip 6 reserved + 2 data_reference_index
     w = h = rate = 0
-    if len(data) >= body + 28:
+    if handler == "vide" and ee >= body + 28:
         w = struct.unpack_from(">H", data, body + 16)[0]
         h = struct.unpack_from(">H", data, body + 18)[0]
-    if len(data) >= body + 20:
+    elif handler == "soun" and ee >= body + 20:
         rate = struct.unpack_from(">I", data, body + 16)[0] >> 16
     return codec, w, h, rate
 
@@ -194,9 +200,7 @@ def probe_mp4(data: bytes) -> Mp4Info:
         w = h = rate = 0
         stsd = _find(data, ts, te, [b"mdia", b"minf", b"stbl", b"stsd"])
         if stsd:
-            codec, w, h, rate = _parse_stsd(data, *stsd[0])
-        if handler != "soun":
-            rate = 0
+            codec, w, h, rate = _parse_stsd(data, *stsd[0], handler)
 
         sizes: list[int] = []
         stsz = _find(data, ts, te, [b"mdia", b"minf", b"stbl", b"stsz"])

@@ -42,12 +42,17 @@ SIMPLE_BLOCK = 0xA3
 _MASTER = {EBML, SEGMENT, INFO, TRACKS, TRACK_ENTRY, VIDEO, AUDIO, CLUSTER}
 
 
-def read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+def read_vint(
+    data: bytes, pos: int, keep_marker: bool, is_size: bool = False
+) -> tuple[int, int]:
     """EBML variable-size integer at ``pos`` -> (value, new_pos).
 
     The count of leading zero bits of the first byte gives the width;
-    element IDs keep the marker bit (compared marker-and-all), sizes strip
-    it.  All-ones size = 'unknown', returned as -1."""
+    element IDs keep the marker bit (compared marker-and-all), sizes and
+    block track numbers strip it.  The all-ones = 'unknown' sentinel
+    (returned as -1) applies ONLY to element SIZES (``is_size=True``) —
+    a SimpleBlock track number 127 is legitimately encoded as the 1-byte
+    vint 0xFF and must decode as 127, not as unknown."""
     first = data[pos]
     if first == 0:
         raise ValueError(f"invalid EBML varint at {pos}")
@@ -57,7 +62,7 @@ def read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
     val = first if keep_marker else first & (0xFF >> length)
     for i in range(1, length):
         val = (val << 8) | data[pos + i]
-    if not keep_marker and val == (1 << (7 * length)) - 1:
+    if is_size and val == (1 << (7 * length)) - 1:
         val = -1  # unknown size
     return val, pos + length
 
@@ -68,7 +73,7 @@ def walk_elements(data: bytes, start: int, end: int):
     pos = start
     while pos < end:
         eid, pos = read_vint(data, pos, keep_marker=True)
-        size, pos = read_vint(data, pos, keep_marker=False)
+        size, pos = read_vint(data, pos, keep_marker=False, is_size=True)
         pe = end if size < 0 else pos + size
         if pe > end:
             raise ValueError(f"element 0x{eid:X} overruns region")
