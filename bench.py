@@ -203,12 +203,15 @@ def main() -> None:
     images_path = os.path.join(tempfile.gettempdir(), "bench_images.parquet")
     materialize_images(spark, SF_DIR, images_path)
     warmup(spark, images_path)
-    # best-of-2 like every other timed figure: a single-shot headline once
-    # recorded a host-steal burst as a 3x outlier
+    # min-of-3, uniform with the scaling study's per-config protocol: a
+    # single-shot headline once recorded a host-steal burst as a 3x
+    # outlier, and best-of-2 still leaves the min exposed to one
+    # multi-minute burst covering both back-to-back runs
     total_rows, t_head, st_head = timed(headline_rows, spark, SF_DIR, images_path)
-    _, t2, st2 = timed(headline_rows, spark, SF_DIR, images_path)
-    if t2 < t_head:
-        t_head, st_head = t2, st2
+    for _ in range(2):
+        _, t2, st2 = timed(headline_rows, spark, SF_DIR, images_path)
+        if t2 < t_head:
+            t_head, st_head = t2, st2
     throughput = total_rows / t_head
     spark.stop()
 

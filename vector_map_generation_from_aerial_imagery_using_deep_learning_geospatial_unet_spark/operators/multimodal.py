@@ -5,12 +5,16 @@ UDFs over ``mapInPandas``.
 
 The container has no image/audio libs, so: png/raw/jpeg/gif/webp decode is
 REAL (our codecs — baseline JFIF in ``sources/codec_jpeg.py``, GIF LZW in
-``codec_gif.py``, WebP-lossless VP8L in ``codec_webp.py``, pure numpy);
-mp3/mp4/webm decode is a clearly-marked stub that raises
-``NotImplementedError`` unless ``stub_ok=True``, in which case a
-deterministic fake (seeded by payload hash) stands in — the Spark-side
-plumbing (schema, partitioning, UDF signature, Arrow batch shape) is real
-and tested either way.
+``codec_gif.py``, WebP-lossless VP8L in ``codec_webp.py``, pure numpy).
+For mp3/mp4/webm the CONTAINER layer is real (exact probing + sample
+extraction), and tracks whose codec we implement decode all the way to
+pixels/PCM: Motion-JPEG video (:func:`video_decode_frames`) and 'sowt'/
+'twos' PCM audio (:func:`audio_track_pcm`).  Only inter-frame video
+(H.264/VP9/AV1) and compressed audio (mp3/aac) PAYLOAD decode stays a
+clearly-marked stub that raises ``NotImplementedError`` unless
+``stub_ok=True``, in which case a deterministic fake (seeded by payload
+hash) stands in — the Spark-side plumbing (schema, partitioning, UDF
+signature, Arrow batch shape) is real and tested either way.
 """
 
 from __future__ import annotations
