@@ -129,3 +129,57 @@ def test_lang_id_stays_jvm_side_map_only(spark):
     assert "Exchange" not in p
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in p
+
+
+def test_near_dup_block_triangle_no_cartesian(spark):
+    """The exact near-dup plan must be the block-triangle shape: a
+    broadcast of the tiny block-pair relation, ONE aggregate-side exchange
+    into the applyInPandas groups, and no BroadcastNestedLoopJoin /
+    CartesianProduct anywhere (the O(n^2) work happens as BLAS inside the
+    groups, not as a join)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    p = plan(SIM.embedding_near_dup_pairs(emb, 0.9))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "FlatMapGroupsInPandas" in p
+    assert "BroadcastExchange" in p  # the B(B+1)/2 block-pair relation
+
+
+def test_ann_lsh_topk_single_exchange_for_both_windows(spark):
+    """Probe-dedup and top-k rank must share one clustering: after the
+    explicit repartition on qid, neither window adds its own Exchange
+    (hashpartitioning(qid) satisfies the (qid, cid) window distribution)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    p = plan(SIM.ann_lsh_topk(qs, emb, k=5, dim=64))
+    # exchanges: scan-side shuffles for the bucket equi-join + exactly ONE
+    # hashpartitioning(qid) for both windows — counting the window side:
+    assert p.count("hashpartitioning(qid") == 1
+    # both windows present, back to back, no exchange between them
+    w1 = p.index("Window")
+    w2 = p.index("Window", w1 + 1)
+    assert "Exchange" not in p[w1:w2]
+
+
+def test_video_synth_single_arrow_hop_per_stage(spark):
+    """The media fixture pipeline is exactly two Python stages (synth,
+    probe/decode) with no exchange between them — the encoded payloads
+    flow straight from the synth stage into the decode stage."""
+    import __spark_entry__ as E
+
+    df = E.q_video_pixels(spark, SF)
+    tree = plan(df).split("\n\n")[0]  # the indented operator tree
+    assert tree.count("MapInPandas") == 2
+    first = tree.index("MapInPandas")
+    second = tree.index("MapInPandas", first + 1)
+    assert "Exchange" not in tree[first:second]
+    # exactly the one deliberate spread shuffle below both Python stages
+    assert tree.count("Exchange") == 1
