@@ -916,6 +916,52 @@ def q_video_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_track_pcm(media, id_col="media_id")
 
 
+def q_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless FLAC decode (sources/codec_flac.py, from scratch:
+    fixed predictors + Rice coding + CRCs): deterministic int16 signals —
+    a 256-sample constant head (CONSTANT subframes) then a sawtooth body
+    (FIXED-order residuals) — encoded through our encoder, decoded back by
+    the engine under test into exact integer features.  FLAC is lossless,
+    so the SQL twin re-derives every sample by pure arithmetic; even pk is
+    mono, odd pk adds a small second channel (independent stereo).
+    s0[i] = c for i < 256 else ((i*a + b) % 65536) - 32768;
+    s1[i] = ((i*3 + 7) % 256) - 128."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    meta = _capped_media_meta(spark, sf_dir)
+
+    def synth(batches):
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_flac
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                n = 3000 + (pk % 40) * 111
+                a, b = 5 + pk % 9, (pk * 131) % 65536
+                c = (pk * 77) % 65536 - 32768
+                i = np.arange(n, dtype=np.int64)
+                s0 = np.where(i < 256, c, ((i * a + b) % 65536) - 32768)
+                if pk % 2 == 0:
+                    sig = s0.astype(np.int16)
+                else:
+                    s1 = ((i * 3 + 7) % 256) - 128
+                    sig = np.stack([s0, s1], axis=1).astype(np.int16)
+                rate = 8000 + (pk % 3) * 4000
+                rows.append(
+                    (r.image_id, codec_flac.encode_flac(sig, rate), "flac")
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    audio = meta.mapInPandas(
+        synth, schema="audio_id string, bytes binary, fmt string"
+    )
+    return MM.audio_features(audio)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -964,6 +1010,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp3_meta": q_mp3_meta,
     "video_pixels": q_video_pixels,
     "video_audio": q_video_audio,
+    "flac_audio": q_flac_audio,
 }
 
 
@@ -1099,6 +1146,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "mp3_meta": _mp3_meta_sql(),
         "video_pixels": _video_pixels_sql(),
         "video_audio": _video_audio_sql(),
+        "flac_audio": _flac_audio_sql(),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -1581,6 +1629,55 @@ SELECT media_id,
   CAST(sum(abs(s)) AS BIGINT) AS sum_abs
 FROM vals
 GROUP BY media_id, rate"""
+
+
+def _flac_audio_sql() -> str:
+    """Pure-arithmetic twin of q_flac_audio — FLAC is lossless, so every
+    decoded sample is re-derived exactly (constant head, sawtooth body,
+    optional second channel) and the integer features must match to the
+    bit; zero-crossings need the staged lag CTE (window-in-aggregate is
+    not legal SQL)."""
+    return """
+WITH meta AS (
+  SELECT concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS audio_id,
+         p_partkey AS pk
+  FROM part WHERE p_partkey <= 60
+),
+params AS (
+  SELECT audio_id, pk,
+    3000 + (pk % 40) * 111 AS n,
+    5 + pk % 9 AS a,
+    (pk * 131) % 65536 AS b,
+    (pk * 77) % 65536 - 32768 AS c,
+    8000 + (pk % 3) * 4000 AS rate,
+    CAST(1 + pk % 2 AS INT) AS nch
+  FROM meta
+),
+idx AS (
+  SELECT audio_id, a, b, c, rate, n, nch,
+         unnest(generate_series(0, n - 1)) AS i
+  FROM params
+),
+vals AS (
+  SELECT audio_id, rate, n, nch, i,
+    CASE WHEN i < 256 THEN c ELSE ((i * a + b) % 65536) - 32768 END AS s0,
+    ((i * 3 + 7) % 256) - 128 AS s1
+  FROM idx
+),
+lagd AS (
+  SELECT *, lag(s0) OVER (PARTITION BY audio_id ORDER BY i) AS p0 FROM vals
+)
+SELECT audio_id,
+  CAST(n AS BIGINT) AS n_samples,
+  CAST(nch AS INT) AS n_channels,
+  CAST(rate AS INT) AS sample_rate,
+  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+  CAST(sum(abs(s0)) + CASE WHEN nch = 2 THEN sum(abs(s1)) ELSE 0 END
+       AS BIGINT) AS sum_abs,
+  CAST(sum(CASE WHEN p0 * s0 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS zero_crossings
+FROM lagd
+GROUP BY audio_id, n, nch, rate"""
 
 
 def _audio_features_sql() -> str:

@@ -175,6 +175,7 @@ def main() -> None:
         "mp3_meta",
         "video_pixels",
         "video_audio",
+        "flac_audio",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -139,12 +139,16 @@ def pixel_sums(images: DataFrame) -> DataFrame:
 
 
 def audio_features(audio: DataFrame) -> DataFrame:
-    """Real audio path (PCM WAV, sources/codec_wav.py): per-row integer
-    features — sample/channel counts, duration, sum|s|, strict
-    zero-crossings of channel 0 — all exact ints so deterministic synth
-    audio gets an exact SQL oracle."""
-    from ..sources import codec_wav
+    """Real audio path: per-row integer features — sample/channel counts,
+    duration, sum|s|, strict zero-crossings of channel 0 — all exact ints
+    so deterministic synth audio gets an exact SQL oracle.  An optional
+    ``fmt`` column selects the codec: 'flac' (sources/codec_flac.py,
+    lossless Rice/fixed-predictor decode) or PCM WAV (default) — both
+    REAL from-scratch decoders, so the gate covers the full
+    encode -> shuffle -> decode path either way."""
+    from ..sources import codec_flac, codec_wav
 
+    has_fmt = "fmt" in audio.columns
     schema = (
         "audio_id string, n_samples long, n_channels int, sample_rate int, "
         "duration_ms long, sum_abs long, zero_crossings long"
@@ -154,7 +158,11 @@ def audio_features(audio: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                s, rate = codec_wav.decode_wav(bytes(r.bytes))
+                fmt = r.fmt if has_fmt else "wav"
+                if fmt == "flac":
+                    s, rate = codec_flac.decode_flac(bytes(r.bytes))
+                else:
+                    s, rate = codec_wav.decode_wav(bytes(r.bytes))
                 c0 = s[:, 0].astype(np.int64)
                 zc = int(((c0[:-1] * c0[1:]) < 0).sum())
                 rows.append(
