@@ -365,16 +365,40 @@ def knn_join(
     results: list[DataFrame] = []
     cached: list[DataFrame] = []
     r = r0
+    first_round = True
     while True:
         full_cover = r >= grid.n  # ring covers the whole domain -> exact
-        build = cts.withColumnRenamed("c_cell", "cell_id")
-        if broadcast_centers:
-            build = F.broadcast(build)
-        cand = (
-            remaining.withColumn("cell_id", F.explode(grid.k_ring(F.col("p_cell"), r)))
-            .join(build, "cell_id")
-            .drop("cell_id")
-        )
+        # The cell k-ring is symmetric (Chebyshev on the lattice), so the
+        # (2r+1)^2 explode can go on EITHER side of the equi-join; put it
+        # on the smaller one.  Round one: every point probes, and points
+        # almost always outnumber centers (the canonical kNN-join shape),
+        # so replicate each center over its ring — 15k x ring instead of
+        # 10^5..10^9 x ring rows.  Later rounds the un-retired remainder
+        # has shrunk far below the center count, so the explode flips back
+        # to the point side.  Candidate SET is identical either way, and
+        # each (point, center) pair still matches exactly once (a point
+        # has one cell; the center's ring cells are distinct).
+        if first_round:
+            build = cts.withColumn(
+                "cell_id", F.explode(grid.k_ring(F.col("c_cell"), r))
+            ).drop("c_cell")
+            if broadcast_centers:
+                build = F.broadcast(build)
+            cand = remaining.join(
+                build, F.col("p_cell") == F.col("cell_id")
+            ).drop("cell_id")
+        else:
+            build = cts.withColumnRenamed("c_cell", "cell_id")
+            if broadcast_centers:
+                build = F.broadcast(build)
+            cand = (
+                remaining.withColumn(
+                    "cell_id", F.explode(grid.k_ring(F.col("p_cell"), r))
+                )
+                .join(build, "cell_id")
+                .drop("cell_id")
+            )
+        first_round = False
         dx, dy = F.col(pxc) - F.col(cxc), F.col(pyc) - F.col(cyc)
         cand = cand.withColumn("dist2", dx * dx + dy * dy).drop(cxc, cyc)
         # candidates meet a point once per shared ring cell is impossible:
