@@ -93,7 +93,7 @@ def _frame(ch_code: int, blocksize: int, body: _BitWriter) -> bytes:
     return frame + struct.pack(">H", _crc16(frame))
 
 
-def _write_rice(bw: _BitWriter, resid, param: int, pbits: int = 4) -> None:
+def _write_rice(bw: _BitWriter, resid, param: int) -> None:
     for u in _zigzag(np.asarray(resid)):
         bw.write_unary(int(u) >> param)
         bw.write(int(u) & ((1 << param) - 1), param)
@@ -223,3 +223,31 @@ def test_stereo_decorrelation_modes(mode):
     dec, _ = decode_flac(_stream(_frame(code, n, bw), 8000, 2, n))
     assert np.array_equal(dec[:, 0], left)
     assert np.array_equal(dec[:, 1], right)
+
+
+def test_truncated_streams_raise_valueerror():
+    """Truncation anywhere must surface as ValueError (the decoder's
+    bad-stream contract), never IndexError/struct.error."""
+    full = encode_flac((np.arange(600) % 200 - 100).astype(np.int16), 8000)
+    for cut in [4, 6, 20, 40, len(full) // 2, len(full) - 1]:
+        with pytest.raises(ValueError):
+            decode_flac(full[:cut])
+
+
+def test_partition_order_exceeding_predictor_order_raises():
+    """blocksize >> porder <= order would wrap negative indices into the
+    output tail and return garbage silently — must raise instead."""
+    n = 16
+    bw = _BitWriter()
+    bw.write(0, 1)
+    bw.write(0b001100, 6)  # FIXED order 4
+    bw.write(0, 1)
+    for v in range(4):
+        bw.write(v, 16)
+    bw.write(0b00, 2)
+    bw.write(3, 4)  # partition order 3 -> 16/8 = 2 <= order 4
+    bw.write(0, 4)
+    for _ in range(n - 4):
+        bw.write_unary(0)
+    with pytest.raises(ValueError, match="partition size"):
+        decode_flac(_stream(_frame(0b0000, n, bw), 8000, 1, n))

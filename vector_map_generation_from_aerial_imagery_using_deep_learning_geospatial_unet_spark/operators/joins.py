@@ -365,20 +365,25 @@ def knn_join(
     results: list[DataFrame] = []
     cached: list[DataFrame] = []
     r = r0
-    first_round = True
+    # One up-front count of the probe side (a single cheap job — at scale
+    # it is a parquet-footer sum next to the candidate joins below) lets
+    # every round put the (2r+1)^2 ring explode on the genuinely smaller
+    # side; a round-number heuristic would invert the optimization for
+    # centers-heavy inputs.
+    n_remaining = points.count()
     while True:
         full_cover = r >= grid.n  # ring covers the whole domain -> exact
         # The cell k-ring is symmetric (Chebyshev on the lattice), so the
-        # (2r+1)^2 explode can go on EITHER side of the equi-join; put it
-        # on the smaller one.  Round one: every point probes, and points
-        # almost always outnumber centers (the canonical kNN-join shape),
-        # so replicate each center over its ring — 15k x ring instead of
-        # 10^5..10^9 x ring rows.  Later rounds the un-retired remainder
-        # has shrunk far below the center count, so the explode flips back
-        # to the point side.  Candidate SET is identical either way, and
-        # each (point, center) pair still matches exactly once (a point
-        # has one cell; the center's ring cells are distinct).
-        if first_round:
+        # explode can go on EITHER side of the equi-join; put it on the
+        # smaller one.  Round one in the canonical kNN-join shape: points
+        # outnumber centers, so replicate each center over its ring —
+        # 15k x ring instead of 10^5..10^9 x ring rows.  Later rounds the
+        # un-retired remainder has usually shrunk below the center count
+        # and the explode flips to the point side.  Candidate SET is
+        # identical either way, and each (point, center) pair still
+        # matches exactly once (a point has one cell; the center's ring
+        # cells are distinct).
+        if n_remaining > n_centers:
             build = cts.withColumn(
                 "cell_id", F.explode(grid.k_ring(F.col("c_cell"), r))
             ).drop("c_cell")
@@ -398,7 +403,6 @@ def knn_join(
                 .join(build, "cell_id")
                 .drop("cell_id")
             )
-        first_round = False
         dx, dy = F.col(pxc) - F.col(cxc), F.col(pyc) - F.col(cyc)
         cand = cand.withColumn("dist2", dx * dx + dy * dy).drop(cxc, cyc)
         # candidates meet a point once per shared ring cell is impossible:
@@ -424,7 +428,9 @@ def knn_join(
             break
         # the probe also warms topk's cache, so the anti-join and the final
         # union read cached rows instead of re-running the candidate join
-        if remaining.isEmpty():
+        # (the count doubles as next round's explode-side input)
+        n_remaining = remaining.count()
+        if n_remaining == 0:
             break
         r *= 2
     out = results[0]

@@ -330,6 +330,8 @@ def _read_utf8(data: bytes, pos: int) -> tuple[int, int]:
     if first < 0x80:
         return first, pos + 1
     nbytes = 8 - (255 - first).bit_length()
+    if pos + nbytes > len(data):
+        raise ValueError("flac: truncated UTF-8 frame number")
     val = first & (0x7F >> nbytes)
     for i in range(1, nbytes):
         cont = data[pos + i]
@@ -349,6 +351,13 @@ def _read_residual(br: _BitReader, blocksize: int, order: int) -> np.ndarray:
     nparts = 1 << porder
     if blocksize % nparts:
         raise ValueError("flac: partition order does not divide block size")
+    if blocksize // nparts <= order:
+        # spec requires blocksize >> porder > predictor order; letting a
+        # negative first-partition count through would wrap negative
+        # indices into the output tail and return garbage samples silently
+        raise ValueError(
+            f"flac: partition size {blocksize // nparts} <= order {order}"
+        )
     out = np.empty(blocksize - order, dtype=np.int64)
     w = 0
     for p in range(nparts):
@@ -412,11 +421,17 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a flac stream (missing fLaC magic)")
     pos, rate, ch, bps, total = 4, 0, 0, 0, 0
     while True:
+        if pos + 4 > len(data):
+            raise ValueError("flac: truncated metadata block header")
         head = data[pos]
         btype, last = head & 0x7F, head & 0x80
         blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        if pos + 4 + blen > len(data):
+            raise ValueError("flac: truncated metadata block body")
         if btype == 0:  # STREAMINFO
             body = data[pos + 4 : pos + 4 + blen]
+            if len(body) < 18:
+                raise ValueError("flac: STREAMINFO too short")
             packed = struct.unpack(">I", body[10:14])[0]
             rate = packed >> 12
             ch = ((packed >> 9) & 0x7) + 1
@@ -431,6 +446,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     chans: list[np.ndarray] = []
     while pos < len(data):
         fstart = pos
+        # frame header is >= 6 bytes (4 fixed + 1 utf8 + crc8); checking up
+        # front keeps truncation a ValueError like every other bad-stream
+        # path, not an IndexError
+        if pos + 6 > len(data):
+            raise ValueError("flac: truncated frame header")
         sync = (data[pos] << 6) | (data[pos + 1] >> 2)
         if sync != _SYNC:
             raise ValueError(f"flac: lost frame sync at {pos}")
@@ -459,12 +479,19 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             pos += 2
         elif sr_code and sr_code not in _RATE_CODES:
             raise ValueError(f"flac: bad samplerate code {sr_code:04b}")
+        if pos >= len(data):
+            raise ValueError("flac: truncated frame header")
         if data[pos] != _crc8(data[fstart:pos]):
             raise ValueError("flac: frame header CRC-8 mismatch")
         pos += 1
 
         fbps = _BPS_CODES.get(bps_code, bps)
-        br = _BitReader(data[pos:])
+        # Bound the reader to this frame's worst case (verbatim/escape stay
+        # under ~5 bytes per sample per channel; 8 is generous slack) so a
+        # long stream decodes linearly — a reader over the whole remaining
+        # tail would make decode O(frames^2) in np.unpackbits work.
+        window = blocksize * (ch + 1) * 8 + 16384
+        br = _BitReader(data[pos : pos + window])
         if ch_code < 0b1000:
             nch = ch_code + 1
             sub = [_decode_subframe(br, blocksize, fbps) for _ in range(nch)]
@@ -485,6 +512,8 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"flac: reserved channel code {ch_code:04b}")
         br.align()
         pos += br.pos // 8
+        if pos + 2 > len(data):
+            raise ValueError("flac: truncated frame CRC")
         crc = struct.unpack(">H", data[pos : pos + 2])[0]
         if crc != _crc16(data[fstart:pos]):
             raise ValueError("flac: frame CRC-16 mismatch")
