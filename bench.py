@@ -274,16 +274,21 @@ def main() -> None:
             ((n_hi / dt_hi) / (n_lo / dt_lo)) / (hi / lo), 3
         )
 
+    # The driver captures only the LAST ~2000 bytes of stdout; round 3's
+    # line carried per-query row counts + steal fractions and outgrew the
+    # window, so `BENCH_r03.json.parsed` came back null.  The printed line
+    # now holds exactly the contract keys (metric/value/unit/queries/sf)
+    # plus the compact headline + scaling summary; everything else —
+    # per-query rows, per-query steal, protocol notes — goes to
+    # BENCH_DETAIL.json next to this script.
     out = {
         # driver contract fixes unit='sec', so `value` is the headline
         # job's WALL TIME; the BASELINE.json rate lives in rows_per_sec
         # (lower value = better, higher rows_per_sec = better)
-        "metric": "headline wall sec (gen_tiles + cell PIP join + point-tile assign); rate in rows_per_sec",
+        "metric": "headline wall sec; rate in rows_per_sec",
         "value": round(t_head, 3),
         "unit": "sec",
         "queries": results,
-        "rows": rows,
-        "steal_frac": steal,
         "headline_steal_frac": st_head,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
         "headline_rows": total_rows,
@@ -291,7 +296,27 @@ def main() -> None:
         "cores": CPUS,
         "scaling": scaling,
     }
-    print(json.dumps(out))
+    detail = dict(
+        out,
+        rows=rows,
+        steal_frac=steal,
+        headline_job="gen_tiles + cell PIP join + point-tile assign",
+        protocol="two full interleaved sweeps, min per query; headline min-of-3",
+    )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # read-only checkout: the printed line still carries the record
+    line = json.dumps(out)
+    if len(line) > 1900:  # self-guard against ever outgrowing the capture
+        slim = dict(out)
+        slim["queries"] = {k: round(v, 1) for k, v in results.items()}
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -383,12 +383,14 @@ def knn_join(
         # identical either way, and each (point, center) pair still
         # matches exactly once (a point has one cell; the center's ring
         # cells are distinct).
-        if n_remaining > n_centers:
+        # broadcast_centers pins the explode to the PROBE side: the
+        # broadcast relation must stay n_centers rows — exploding before
+        # the broadcast would ship n_centers*(2r+1)^2 rows to every
+        # executor, quadratic in r as rounds double the radius.
+        if n_remaining > n_centers and not broadcast_centers:
             build = cts.withColumn(
                 "cell_id", F.explode(grid.k_ring(F.col("c_cell"), r))
             ).drop("c_cell")
-            if broadcast_centers:
-                build = F.broadcast(build)
             cand = remaining.join(
                 build, F.col("p_cell") == F.col("cell_id")
             ).drop("cell_id")

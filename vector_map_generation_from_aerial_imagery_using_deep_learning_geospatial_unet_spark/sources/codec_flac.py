@@ -317,7 +317,7 @@ _BLOCKSIZE_CODES = {
     0b0001: 192, **{c: 576 << (c - 2) for c in range(0b0010, 0b0110)},
     **{c: 256 << (c - 8) for c in range(0b1000, 0b10000)},
 }
-_BPS_CODES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24}
+_BPS_CODES = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24, 0b111: 32}
 _RATE_CODES = {
     0b0001: 88200, 0b0010: 176400, 0b0011: 192000, 0b0100: 8000,
     0b0101: 16000, 0b0110: 22050, 0b0111: 24000, 0b1000: 32000,
@@ -485,31 +485,49 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("flac: frame header CRC-8 mismatch")
         pos += 1
 
+        if bps_code == 0b011:
+            raise ValueError("flac: reserved bits-per-sample code 011")
         fbps = _BPS_CODES.get(bps_code, bps)
+
+        def _decode_channels(br: _BitReader) -> list[np.ndarray]:
+            if ch_code < 0b1000:
+                return [
+                    _decode_subframe(br, blocksize, fbps)
+                    for _ in range(ch_code + 1)
+                ]
+            if ch_code == 0b1000:  # left-side
+                left = _decode_subframe(br, blocksize, fbps)
+                side = _decode_subframe(br, blocksize, fbps + 1)
+                return [left, left - side]
+            if ch_code == 0b1001:  # right-side
+                side = _decode_subframe(br, blocksize, fbps + 1)
+                right = _decode_subframe(br, blocksize, fbps)
+                return [right + side, right]
+            if ch_code == 0b1010:  # mid-side
+                mid = _decode_subframe(br, blocksize, fbps)
+                side = _decode_subframe(br, blocksize, fbps + 1)
+                m2 = (mid << 1) | (side & 1)
+                return [(m2 + side) >> 1, (m2 - side) >> 1]
+            raise ValueError(f"flac: reserved channel code {ch_code:04b}")
+
         # Bound the reader to this frame's worst case (verbatim/escape stay
         # under ~5 bytes per sample per channel; 8 is generous slack) so a
         # long stream decodes linearly — a reader over the whole remaining
         # tail would make decode O(frames^2) in np.unpackbits work.
         window = blocksize * (ch + 1) * 8 + 16384
         br = _BitReader(data[pos : pos + window])
-        if ch_code < 0b1000:
-            nch = ch_code + 1
-            sub = [_decode_subframe(br, blocksize, fbps) for _ in range(nch)]
-        elif ch_code == 0b1000:  # left-side
-            left = _decode_subframe(br, blocksize, fbps)
-            side = _decode_subframe(br, blocksize, fbps + 1)
-            sub = [left, left - side]
-        elif ch_code == 0b1001:  # right-side
-            side = _decode_subframe(br, blocksize, fbps + 1)
-            right = _decode_subframe(br, blocksize, fbps)
-            sub = [right + side, right]
-        elif ch_code == 0b1010:  # mid-side
-            mid = _decode_subframe(br, blocksize, fbps)
-            side = _decode_subframe(br, blocksize, fbps + 1)
-            m2 = (mid << 1) | (side & 1)
-            sub = [(m2 + side) >> 1, (m2 - side) >> 1]
-        else:
-            raise ValueError(f"flac: reserved channel code {ch_code:04b}")
+        try:
+            sub = _decode_channels(br)
+        except ValueError:
+            # A spec-valid frame can outgrow the heuristic window (e.g. a
+            # Rice partition with a tiny parameter and one huge residual's
+            # unary run).  Retry this one frame with an unbounded reader
+            # over the remaining tail before declaring the stream bad; the
+            # windowed path stays the common fast case.
+            if window >= len(data) - pos:
+                raise  # window already covered the tail: genuinely bad
+            br = _BitReader(data[pos:])
+            sub = _decode_channels(br)
         br.align()
         pos += br.pos // 8
         if pos + 2 > len(data):
