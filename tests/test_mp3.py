@@ -1,0 +1,154 @@
+"""Layer I MP3 payload codec: fidelity contracts, spec bit-layout
+round-trips, capability guards, and the Spark audio_features path.
+
+The codec is from scratch (sources/codec_mp3.py): computed near-PR
+pseudo-QMF prototype, spec Layer I framing, (2^nb-1)-level midtread
+requantizer.  Fidelity is pinned by SNR floors (the analogue of the
+JPEG PSNR>=40 contract in test_jpeg.py): a lossy codec's correctness
+claim IS its rate/distortion behavior."""
+
+import numpy as np
+import pytest
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_mp3
+
+
+def _multisine(n: int, rate: int) -> np.ndarray:
+    m = np.arange(n, dtype=np.float64)
+    x = (
+        0.3 * np.sin(2 * np.pi * 440 / rate * m)
+        + 0.25 * np.sin(2 * np.pi * 1873 / rate * m + 1.0)
+        + 0.2 * np.sin(2 * np.pi * 5777 / rate * m + 2.0)
+    )
+    return np.rint(x * 32767).astype(np.int16)
+
+
+def _snr_db(ref: np.ndarray, out: np.ndarray) -> float:
+    ref = ref.astype(np.float64)
+    err = out.astype(np.float64) - ref
+    return float(10 * np.log10((ref**2).sum() / (err**2).sum()))
+
+
+def test_roundtrip_snr_high_bitrate():
+    sig = _multisine(20000, 32000)
+    enc = codec_mp3.encode_mp3(sig, 32000, bitrate_idx=14)
+    dec, rate = codec_mp3.decode_mp3(enc)
+    assert rate == 32000
+    d = codec_mp3.codec_delay()
+    assert _snr_db(sig, dec[d : d + len(sig), 0]) > 55.0
+
+
+def test_roundtrip_snr_rises_with_bitrate():
+    sig = _multisine(20000, 32000)
+    snrs = []
+    d = codec_mp3.codec_delay()
+    for bi in (2, 6, 12):
+        dec, _ = codec_mp3.decode_mp3(
+            codec_mp3.encode_mp3(sig, 32000, bitrate_idx=bi)
+        )
+        snrs.append(_snr_db(sig, dec[d : d + len(sig), 0]))
+    assert snrs[0] > 30.0
+    assert snrs[0] < snrs[1] < snrs[2] + 1e-9  # monotone rate/distortion
+
+
+def test_roundtrip_stereo():
+    sig0 = _multisine(12000, 44100)
+    sig = np.stack([sig0, (sig0[::-1] // 2)], axis=1)
+    enc = codec_mp3.encode_mp3(sig, 44100, bitrate_idx=13)
+    dec, rate = codec_mp3.decode_mp3(enc)
+    assert rate == 44100 and dec.shape[1] == 2
+    d = codec_mp3.codec_delay()
+    for c in range(2):
+        assert _snr_db(sig[:, c], dec[d : d + len(sig), c]) > 45.0
+
+
+def test_encode_deterministic():
+    sig = _multisine(5000, 48000)
+    a = codec_mp3.encode_mp3(sig, 48000, bitrate_idx=9)
+    b = codec_mp3.encode_mp3(sig, 48000, bitrate_idx=9)
+    assert a == b
+
+
+def test_encoded_stream_walks_as_spec_layer1():
+    sig = _multisine(3840, 32000)  # 10 frames + 2 flush
+    enc = codec_mp3.encode_mp3(sig, 32000, bitrate_idx=8)
+    info = codec_mp3.probe_mp3(enc)
+    assert info.n_frames == 12 and info.is_cbr
+    assert info.sample_rate == 32000
+    fr = codec_mp3.walk_frames(enc)[0]
+    assert fr.layer == 1 and fr.samples == 384 and fr.mode == 3
+
+
+def test_silence_roundtrip_exact():
+    sig = np.zeros(768, dtype=np.int16)
+    dec, _ = codec_mp3.decode_mp3(codec_mp3.encode_mp3(sig, 32000, 5))
+    assert int(np.abs(dec).max()) == 0
+
+
+def test_layer3_payload_capability_guard():
+    with pytest.raises(NotImplementedError, match="layer III"):
+        codec_mp3.decode_mp3(codec_mp3.build_mp3(4, 5, 1))
+
+
+def test_stereo_lowest_bitrate_rejected():
+    sig = np.zeros((400, 2), dtype=np.int16)
+    with pytest.raises(ValueError, match="bitrate too low"):
+        codec_mp3.encode_mp3(sig, 48000, bitrate_idx=1)
+
+
+def test_bad_args_rejected():
+    sig = np.zeros(400, dtype=np.int16)
+    with pytest.raises(ValueError, match="sample rate"):
+        codec_mp3.encode_mp3(sig, 22050, bitrate_idx=5)
+    with pytest.raises(ValueError, match="channels"):
+        codec_mp3.encode_mp3(np.zeros((10, 3), dtype=np.int16), 32000, 5)
+
+
+def test_forbidden_allocation_code_rejected():
+    sig = _multisine(768, 32000)
+    enc = bytearray(codec_mp3.encode_mp3(sig, 32000, bitrate_idx=8))
+    enc[4] = 0xFF  # first two allocation nibbles -> 15
+    with pytest.raises(ValueError, match="allocation"):
+        codec_mp3.decode_mp3(bytes(enc))
+
+
+def test_audio_features_mp3_path(spark):
+    """End-to-end Spark path: encode -> shuffle -> Layer I decode ->
+    integer features, plus the unknown-fmt capability boundary."""
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    rows = []
+    for pk in range(4):
+        sig = _multisine(2000 + 500 * pk, 32000)
+        rows.append(
+            (f"a{pk}", codec_mp3.encode_mp3(sig, 32000, 6 + pk), "mp3")
+        )
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+    )
+    out = {
+        r["audio_id"]: r
+        for r in MM.audio_features(df).collect()
+    }
+    for pk in range(4):
+        r = out[f"a{pk}"]
+        n = 2000 + 500 * pk
+        frames = -(-n // 384) + 2
+        assert r["n_samples"] == 384 * frames
+        assert r["sample_rate"] == 32000 and r["n_channels"] == 1
+        assert r["sum_abs"] > 0 and r["zero_crossings"] > 0
+
+
+def test_audio_features_unknown_fmt_raises(spark):
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    df = spark.createDataFrame(
+        pd.DataFrame([("x", b"\x00" * 16, "ogg")],
+                     columns=["audio_id", "bytes", "fmt"])
+    )
+    with pytest.raises(Exception, match="unsupported fmt"):
+        MM.audio_features(df).collect()

@@ -146,7 +146,7 @@ def audio_features(audio: DataFrame) -> DataFrame:
     lossless Rice/fixed-predictor decode) or PCM WAV (default) — both
     REAL from-scratch decoders, so the gate covers the full
     encode -> shuffle -> decode path either way."""
-    from ..sources import codec_flac, codec_wav
+    from ..sources import codec_flac, codec_mp3, codec_wav
 
     has_fmt = "fmt" in audio.columns
     schema = (
@@ -161,8 +161,18 @@ def audio_features(audio: DataFrame) -> DataFrame:
                 fmt = r.fmt if has_fmt else "wav"
                 if fmt == "flac":
                     s, rate = codec_flac.decode_flac(bytes(r.bytes))
-                else:
+                elif fmt == "mp3":
+                    s, rate = codec_mp3.decode_mp3(bytes(r.bytes))
+                elif fmt == "wav":
                     s, rate = codec_wav.decode_wav(bytes(r.bytes))
+                else:
+                    # explicit capability boundary: an unknown fmt must
+                    # surface as such, not as a RIFF-magic error from the
+                    # WAV decoder it silently fell into (round-3 ADVICE)
+                    raise NotImplementedError(
+                        f"audio_features: unsupported fmt {fmt!r} "
+                        "(supported: wav, flac, mp3)"
+                    )
                 c0 = s[:, 0].astype(np.int64)
                 zc = int(((c0[:-1] * c0[1:]) < 0).sum())
                 rows.append(
