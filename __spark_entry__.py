@@ -962,6 +962,62 @@ def q_flac_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(audio)
 
 
+def q_mp3_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer I payload decode (sources/codec_mp3.py, from
+    scratch: computed near-PR pseudo-QMF filterbank, spec bit layout,
+    (2^nb-1)-level requantizer): deterministic multisine PCM encoded
+    through our Layer I encoder, decoded back by the engine into exact
+    integer features.  Layer I is lossy, so the oracle is the frozen
+    single-process expectations table (tools/build_mp3_fixture.py, the
+    multimodal_jpeg pattern); the codec's rate/distortion contract is
+    separately pinned by tests/test_mp3.py.  Signal spec (mirrored in
+    the fixture tool): rate = [32000,44100,48000][pk%3], bitrate_idx =
+    6+pk%8, n = 2000+(pk%7)*400, three pk-keyed sines; odd pk adds a
+    second channel reversed(ch0)//2."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    meta = _capped_media_meta(spark, sf_dir)
+
+    def synth(batches):
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_mp3
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                rate = [32000, 44100, 48000][pk % 3]
+                n = 2000 + (pk % 7) * 400
+                i = np.arange(n, dtype=np.float64)
+                f1 = 200 + 17 * (pk % 13)
+                f2 = 1100 + 37 * (pk % 11)
+                f3 = 3800 + 53 * (pk % 7)
+                x = (
+                    0.3 * np.sin(2 * np.pi * f1 / rate * i)
+                    + 0.25 * np.sin(2 * np.pi * f2 / rate * i + 1.0)
+                    + 0.2 * np.sin(2 * np.pi * f3 / rate * i + 2.0)
+                )
+                ch0 = np.rint(32767 * x).astype(np.int16)
+                sig = (
+                    np.stack([ch0, ch0[::-1] // 2], axis=1) if pk % 2 else ch0
+                )
+                rows.append(
+                    (
+                        r.image_id,
+                        codec_mp3.encode_mp3(sig, rate, 6 + pk % 8),
+                        "mp3",
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    audio = meta.mapInPandas(
+        synth, schema="audio_id string, bytes binary, fmt string"
+    )
+    return MM.audio_features(audio)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -1011,6 +1067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_pixels": q_video_pixels,
     "video_audio": q_video_audio,
     "flac_audio": q_flac_audio,
+    "mp3_audio": q_mp3_audio,
 }
 
 
@@ -1147,6 +1204,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "video_pixels": _video_pixels_sql(),
         "video_audio": _video_audio_sql(),
         "flac_audio": _flac_audio_sql(),
+        "mp3_audio": _mp3_audio_sql(),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -1873,6 +1931,19 @@ JOIN blob bl USING (image_id)"""
 
 _MM_THUMB_FIXTURE = "/root/repo/fixtures/multimodal_thumb_sf0_01.parquet"
 _MM_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_jpeg_sf0_01.parquet"
+_MP3_AUDIO_FIXTURE = "/root/repo/fixtures/mp3_audio_sf0_01.parquet"
+
+
+def _mp3_audio_sql() -> str:
+    """Twin of q_mp3_audio: lossy Layer I samples have no SQL form, so
+    the oracle is the complete expectations table from a single-process
+    run of the same synth -> encode -> decode -> feature chain
+    (tools/build_mp3_fixture.py) — no Spark machinery shared, so a
+    distributed-plumbing bug cannot cancel out."""
+    return f"""
+SELECT audio_id, n_samples, n_channels, sample_rate,
+       duration_ms, sum_abs, zero_crossings
+FROM read_parquet('{_MP3_AUDIO_FIXTURE}')"""
 
 
 def _multimodal_features_sql() -> str:

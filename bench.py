@@ -176,6 +176,8 @@ def main() -> None:
         "video_pixels",
         "video_audio",
         "flac_audio",
+        # round-4 additions
+        "mp3_audio",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}
