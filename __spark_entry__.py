@@ -1018,6 +1018,95 @@ def q_mp3_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(audio)
 
 
+def q_stream_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming path under an exact oracle: the images
+    catalog lands as files, a readStream -> watermarked 5 s window ->
+    append-mode parquet sink runs to completion (availableNow), and the
+    gate returns the sunk windows.  Event time is deterministic —
+    base + (pk*7 % 97) seconds — so append-mode semantics are exact SQL:
+    every window with win_end <= max event time has been flushed by the
+    final watermark, the tail window stays pending (the documented
+    append-mode contract, streaming/stream.py).  Windows are reported as
+    offsets from the base timestamp so session/oracle timezones cancel."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        IntegerType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming.stream import stream_ingest_stats
+
+    base = "2026-01-01 00:00:00"
+    meta = derived.images_meta(spark, sf_dir).select(
+        "image_id", "w", "h",
+        F.substring("image_id", 5, 18).cast("long").alias("pk"),
+    )
+    stamped = meta.select(
+        "image_id", "w", "h",
+        (
+            F.to_timestamp(F.lit(base))
+            + F.make_interval(secs=((F.col("pk") * 7) % 97).cast("double"))
+        ).alias("event_ts"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_gate_")
+    src, out, cp = f"{tmp}/src", f"{tmp}/out", f"{tmp}/cp"
+    # >= 2 source files so the stream sees multiple microbatches, the
+    # shape that actually exercises watermark advancement
+    stamped.repartition(8).write.parquet(src)
+    sch = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("event_ts", TimestampType()),
+        ]
+    )
+    q = stream_ingest_stats(
+        spark, src, out, cp,
+        window="5 seconds", watermark="0 seconds",
+        event_time_col="event_ts", schema=sch,
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out)
+    base_s = F.unix_timestamp(F.to_timestamp(F.lit(base)))
+    return res.select(
+        (F.unix_timestamp("win_start") - base_s).alias("win_off_s"),
+        "images", "pixels", "tiles",
+    )
+
+
+def q_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_gen_tiles under the SAME exact oracle: the
+    images catalog streams in (readStream over parquet files), gen_tiles
+    expands every image incrementally, and the append-mode parquet sink
+    accumulates the full grid — proving the batch operator composes
+    unchanged into the incremental path (streaming/stream.py
+    stream_tiles, checkpointed so a restart resumes, the streaming twin
+    of the manifest-based batch resume)."""
+    import tempfile
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming.stream import stream_tiles
+
+    meta = derived.images_meta(spark, sf_dir).select(
+        "image_id",
+        F.lit(None).cast("binary").alias("bytes"),
+        "w", "h",
+        F.lit("png").alias("fmt"),
+        F.lit(None).cast("string").alias("caption"),
+        F.lit(None).cast("long").alias("phash"),
+        "ulx", "uly",
+        F.lit("EPSG:32643").alias("crs"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_tiles_gate_")
+    src, out, cp = f"{tmp}/src", f"{tmp}/out", f"{tmp}/cp"
+    meta.repartition(8).write.parquet(src)
+    q = stream_tiles(spark, src, out, cp, CFG)
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "image_id", "tiy", "tix", "tile_id", "off_x", "off_y", "tw", "th"
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -1068,6 +1157,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_audio": q_video_audio,
     "flac_audio": q_flac_audio,
     "mp3_audio": q_mp3_audio,
+    "stream_ingest_stats": q_stream_ingest_stats,
+    "stream_tiles": q_stream_tiles,
 }
 
 
@@ -1205,6 +1296,14 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "video_audio": _video_audio_sql(),
         "flac_audio": _flac_audio_sql(),
         "mp3_audio": _mp3_audio_sql(),
+        "stream_ingest_stats": _stream_ingest_stats_sql(),
+        # the streamed grid must equal the batch grid bit-for-bit, so the
+        # streaming gate reuses gen_tiles' exact closed-form oracle
+        "stream_tiles": derived.with_ctes(
+            derived.IMAGES_META_SQL,
+            gt,
+            body="SELECT image_id, tiy, tix, tile_id, off_x, off_y, tw, th FROM tiles",
+        ),
         "knn_join": derived.with_ctes(
             derived.POINTS_META_SQL,
             derived.FOOTPRINTS_META_SQL,
@@ -1932,6 +2031,36 @@ JOIN blob bl USING (image_id)"""
 _MM_THUMB_FIXTURE = "/root/repo/fixtures/multimodal_thumb_sf0_01.parquet"
 _MM_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_jpeg_sf0_01.parquet"
 _MP3_AUDIO_FIXTURE = "/root/repo/fixtures/mp3_audio_sf0_01.parquet"
+
+
+def _stream_ingest_stats_sql() -> str:
+    """Closed-form twin of q_stream_ingest_stats: deterministic event
+    times (off = pk*7 % 97 seconds) bucket into 5 s windows; append-mode
+    emits exactly the windows whose end <= max event time (zero-delay
+    watermark), the tail window stays pending.  Tile counts reuse the
+    gen_tiles grid arithmetic so an EngineConfig change can't split the
+    engine from the oracle."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import IMAGES_META_PK_SQL
+
+    t, step = CFG.tile_size, CFG.tile_size - CFG.overlap_px
+    nx = f"(1 + FLOOR((greatest(w - {t}, 0) + {step - 1}) / {step}))"
+    ny = f"(1 + FLOOR((greatest(h - {t}, 0) + {step - 1}) / {step}))"
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + f""",
+evts AS (
+  SELECT (pk * 7) % 97 AS off, w, h, {nx} * {ny} AS n_tiles
+  FROM images_meta_pk
+)
+SELECT CAST((off // 5) * 5 AS BIGINT) AS win_off_s,
+  count(*)                            AS images,
+  CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT) AS pixels,
+  CAST(sum(n_tiles) AS BIGINT)        AS tiles
+FROM evts
+WHERE (off // 5) * 5 + 5 <= (SELECT max(off) FROM evts)
+GROUP BY 1"""
+    )
 
 
 def _mp3_audio_sql() -> str:

@@ -178,6 +178,7 @@ def main() -> None:
         "flac_audio",
         # round-4 additions
         "mp3_audio",
+        "stream_ingest_stats",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

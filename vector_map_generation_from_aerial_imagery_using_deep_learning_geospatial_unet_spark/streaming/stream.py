@@ -200,30 +200,39 @@ def stream_ingest_stats(
     window: str = "5 seconds",
     watermark: str = "0 seconds",
     available_now: bool = True,
+    event_time_col: str | None = None,
+    schema: StructType | None = None,
 ):
     """Watermarked windowed aggregation over the ingest stream: per
     event-time window, image count + total pixels + tile-grid size (the
     streaming metrics feed a deployment would watch).
 
-    Event time is the ingest timestamp (monotone across microbatches), so
-    with the zero-delay default watermark no data is ever late-dropped: a
-    window closes and emits exactly once (append mode) as soon as a later
-    microbatch advances the watermark past its end; the tail window's
-    partial flushes on the next trigger/restart.  A deployment with a real
-    upstream event-time column swaps it in and sets the watermark to its
-    actual lateness bound."""
+    By default event time is the ingest timestamp (monotone across
+    microbatches), so with the zero-delay default watermark no data is
+    ever late-dropped: a window closes and emits exactly once (append
+    mode) as soon as a later microbatch advances the watermark past its
+    end; the tail window's partial flushes on the next trigger/restart.
+    A deployment with a real upstream event-time column passes it as
+    ``event_time_col`` (with ``schema`` describing the source files) and
+    sets the watermark to its actual lateness bound — that path is what
+    the driver gate exercises with deterministic event times."""
     from pyspark.sql import functions as F
 
     from ..operators.grid import tile_counts
 
     cfg = DEFAULT_CONFIG
     src = (
-        spark.readStream.schema(IMAGES_SCHEMA)
+        spark.readStream.schema(schema or IMAGES_SCHEMA)
         .option("maxFilesPerTrigger", 8)
         .parquet(images_dir)
     )
+    ts = (
+        F.col(event_time_col)
+        if event_time_col
+        else F.current_timestamp()
+    )
     stats = (
-        src.withColumn("ingest_ts", F.current_timestamp())
+        src.withColumn("ingest_ts", ts)
         .withWatermark("ingest_ts", watermark)
         .groupBy(F.window("ingest_ts", window))
         .agg(
