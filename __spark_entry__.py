@@ -251,7 +251,10 @@ def _skeleton_px_counts(sk: DataFrame) -> DataFrame:
 
 def q_skeletonize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2 skeletonize (linearFeature branch) — per-image medial-line pixel
-    count.  Thinning has no SQL twin: rows-only; numpy oracles in pytest."""
+    count on the free-form blob masks.  Zhang-Suen thinning has no closed
+    SQL form, so the oracle is the frozen single-process expectations
+    table (tools/build_skeleton_fixture.py); the axis-aligned twin
+    (q_skeletonize_bars) additionally closes analytically."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
 
@@ -1282,6 +1285,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "edt_weight_hist": _edt_weight_hist_sql(),
         "watershed_split": _watershed_split_sql(),
         "skeletonize_bars": _skeletonize_bars_sql(),
+        "skeletonize": _skeletonize_sql(),
         "multimodal_pixel_sums": _multimodal_pixel_sums_sql(),
         "multimodal_webp": _multimodal_webp_sql(),
         "multimodal_features": _multimodal_features_sql(),
@@ -2031,6 +2035,19 @@ JOIN blob bl USING (image_id)"""
 _MM_THUMB_FIXTURE = "/root/repo/fixtures/multimodal_thumb_sf0_01.parquet"
 _MM_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_jpeg_sf0_01.parquet"
 _MP3_AUDIO_FIXTURE = "/root/repo/fixtures/mp3_audio_sf0_01.parquet"
+
+
+_SKELETON_FIXTURE = "/root/repo/fixtures/skeleton_sf0_01.parquet"
+
+
+def _skeletonize_sql() -> str:
+    """Twin of q_skeletonize: frozen expectations from a single-process
+    run of the same render -> dilate -> Zhang-Suen -> count chain
+    (tools/build_skeleton_fixture.py) — retires round 3's last
+    rows-only driver query."""
+    return f"""
+SELECT image_id, skeleton_px
+FROM read_parquet('{_SKELETON_FIXTURE}')"""
 
 
 def _stream_ingest_stats_sql() -> str:
