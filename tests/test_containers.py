@@ -335,3 +335,137 @@ def test_mp4_audio_only_probe_reports_zero_dims():
     assert (t.handler, t.codec) == ("soun", "sowt")
     assert (t.width, t.height) == (0, 0)
     assert t.sample_rate == 8000
+
+
+# ------------------------------------------------------- hostile-byte fuzz
+# At 100 TB ingest, malformed and adversarial streams are certain.  The
+# parser contract: raise ValueError (or the decoder's NotImplementedError
+# capability guard) cleanly — never hang, over-allocate, or leak
+# struct.error/IndexError.  (FLAC got the same hardening in round 3.)
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _fuzz_probe(fn, data, allowed=(ValueError,)):
+    try:
+        fn(data)
+    except allowed:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=4096))
+def test_fuzz_random_bytes_all_parsers(data):
+    _fuzz_probe(container_mp4.probe_mp4, data)
+    _fuzz_probe(container_webm.probe_webm, data)
+    _fuzz_probe(codec_mp3.probe_mp3, data)
+    _fuzz_probe(
+        codec_mp3.decode_mp3, data, (ValueError, NotImplementedError)
+    )
+
+
+def _valid_mp4() -> bytes:
+    return container_mp4.build_mp4(_samples(9, 5), 160, 120, codec="avc1")
+
+
+def _valid_webm() -> bytes:
+    return container_webm.build_webm(
+        [(40 * k, s) for k, s in enumerate(_samples(9, 5))], 160, 120
+    )
+
+
+def _valid_mp3() -> bytes:
+    sig = np.rint(
+        8000 * np.sin(np.arange(2000) * 0.07)
+    ).astype(np.int16)
+    return codec_mp3.encode_mp3(sig, 32000, bitrate_idx=7)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_fuzz_truncations_of_valid_files(data):
+    for blob, fns in (
+        (_valid_mp4(), [container_mp4.probe_mp4]),
+        (_valid_webm(), [container_webm.probe_webm]),
+        (_valid_mp3(), [codec_mp3.probe_mp3, codec_mp3.decode_mp3]),
+    ):
+        cut = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        for fn in fns:
+            _fuzz_probe(fn, blob[:cut], (ValueError, NotImplementedError))
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.data())
+def test_fuzz_byte_flips_of_valid_files(data):
+    for blob, fns in (
+        (_valid_mp4(), [container_mp4.probe_mp4]),
+        (_valid_webm(), [container_webm.probe_webm]),
+        (_valid_mp3(), [codec_mp3.probe_mp3, codec_mp3.decode_mp3]),
+    ):
+        mut = bytearray(blob)
+        for _ in range(data.draw(st.integers(min_value=1, max_value=8))):
+            i = data.draw(st.integers(min_value=0, max_value=len(mut) - 1))
+            mut[i] = data.draw(st.integers(min_value=0, max_value=255))
+        for fn in fns:
+            _fuzz_probe(fn, bytes(mut), (ValueError, NotImplementedError))
+
+
+def test_mp4_lying_stsz_count_never_allocates():
+    """fixed-size stsz declaring 2^32-1 samples must raise, not build a
+    four-billion-entry list."""
+    blob = bytearray(_valid_mp4())
+    i = blob.find(b"stsz")
+    assert i > 0
+    # payload starts at i+4: ver/flags(4) sample_size(4) sample_count(4)
+    blob[i + 8 : i + 12] = struct.pack(">I", 1)  # fixed size 1
+    blob[i + 12 : i + 16] = struct.pack(">I", 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="implausible"):
+        container_mp4.probe_mp4(bytes(blob))
+
+
+def test_mp4_lying_stts_run_never_allocates():
+    """a single stts run declaring 2^32-1 samples must raise at the
+    cumulative-plausibility bound."""
+    blob = bytearray(_valid_mp4())
+    i = blob.find(b"stts")
+    assert i > 0
+    # stts payload: ver/flags(4) entry_count(4) [count delta]...
+    blob[i + 12 : i + 16] = struct.pack(">I", 0xFFFFFFFF)
+    with pytest.raises(ValueError, match="implausible|malformed"):
+        container_mp4.probe_mp4(bytes(blob))
+
+
+def test_mp4_zero_based_stsc_rejected():
+    blob = bytearray(_valid_mp4())
+    i = blob.find(b"stsc")
+    assert i > 0
+    # stsc payload: ver/flags(4) entry_count(4) first_chunk(4) ...
+    blob[i + 12 : i + 16] = struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="1-based|malformed"):
+        container_mp4.probe_mp4(bytes(blob))
+
+
+def test_mp4_lying_box_size_rejected():
+    blob = bytearray(_valid_mp4())
+    blob[0:4] = struct.pack(">I", len(blob) + 1000)
+    with pytest.raises(ValueError):
+        container_mp4.probe_mp4(bytes(blob))
+
+
+def test_webm_short_simpleblock_rejected():
+    blob = container_webm.build_webm([(0, b"xy")], 32, 32)
+    i = blob.find(b"\xa3")  # SimpleBlock id
+    assert i > 0
+    # shrink the block's declared size to 2 (< track vint + s16 + flags)
+    mut = bytearray(blob)
+    mut[i + 1] = 0x82
+    with pytest.raises(ValueError):
+        container_webm.probe_webm(bytes(mut))
+
+
+def test_webm_truncated_varint_at_region_end():
+    blob = container_webm.build_webm([(0, b"xy")], 32, 32)
+    with pytest.raises(ValueError):
+        container_webm.probe_webm(blob + b"\x40")  # dangling 2-byte id

@@ -135,13 +135,18 @@ def _sample_offsets(
 
     stsc rows are (first_chunk, samples_per_chunk) runs (1-based, each run
     extends to the next row's first_chunk); stco is the absolute offset of
-    each chunk; within a chunk samples are contiguous in stsz order."""
+    each chunk; within a chunk samples are contiguous in stsz order.
+    Hostile tables (0-based or out-of-range chunk indices, runs past the
+    chunk count) raise instead of wrapping into Python negative indexing
+    or spinning through a lying run length."""
     offsets: list[int] = []
     n_chunks = len(stco)
     si = 0
     for ri, (first, per) in enumerate(stsc):
+        if first < 1:
+            raise ValueError(f"stsc first_chunk {first} is not 1-based")
         last = stsc[ri + 1][0] - 1 if ri + 1 < len(stsc) else n_chunks
-        for chunk in range(first, last + 1):
+        for chunk in range(first, min(last, n_chunks) + 1):
             base = stco[chunk - 1]
             for _ in range(per):
                 if si >= len(sizes):
@@ -152,9 +157,29 @@ def _sample_offsets(
     return offsets
 
 
+def _table_count(cnt: int, data: bytes, what: str) -> int:
+    """Plausibility bound for declared sample-table entry counts: a real
+    table can't describe more entries than the file has bytes, so a lying
+    32-bit count raises instead of allocating gigabytes ([fixed]*cnt /
+    [delta]*n expansion — 100 TB ingest sees hostile bytes for certain)."""
+    if cnt > len(data):
+        raise ValueError(f"implausible {what} count {cnt} in {len(data)}-byte file")
+    return cnt
+
+
 def probe_mp4(data: bytes) -> Mp4Info:
     """Parse the container: movie header, every track's metadata and its
-    full sample table (exact sizes, absolute offsets, timestamps)."""
+    full sample table (exact sizes, absolute offsets, timestamps).
+    Malformed streams (truncations, length-field lies, hostile table
+    counts) raise ValueError — never hang, over-allocate, or leak
+    struct/index errors."""
+    try:
+        return _probe_mp4(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed MP4: {e}") from e
+
+
+def _probe_mp4(data: bytes) -> Mp4Info:
     brand = ""
     for fc, ps, pe in walk_boxes(data):
         if fc == b"ftyp":
@@ -207,6 +232,7 @@ def probe_mp4(data: bytes) -> Mp4Info:
         if stsz:
             hs, _ = stsz[0]
             fixed, cnt = struct.unpack_from(">II", data, hs + 4)
+            cnt = _table_count(cnt, data, "stsz sample")
             sizes = (
                 [fixed] * cnt
                 if fixed
@@ -238,6 +264,7 @@ def probe_mp4(data: bytes) -> Mp4Info:
             cnt = struct.unpack_from(">I", data, hs + 4)[0]
             for i in range(cnt):
                 n, d = struct.unpack_from(">II", data, hs + 8 + 8 * i)
+                _table_count(len(deltas) + n, data, "stts cumulative sample")
                 deltas.extend([d] * n)
 
         tracks.append(

@@ -53,6 +53,8 @@ def read_vint(
     (returned as -1) applies ONLY to element SIZES (``is_size=True``) —
     a SimpleBlock track number 127 is legitimately encoded as the 1-byte
     vint 0xFF and must decode as 127, not as unknown."""
+    if pos >= len(data):
+        raise ValueError("truncated EBML varint")
     first = data[pos]
     if first == 0:
         raise ValueError(f"invalid EBML varint at {pos}")
@@ -121,6 +123,16 @@ class WebmInfo:
 
 
 def probe_webm(data: bytes) -> WebmInfo:
+    """Parse the container.  Malformed streams (truncated varints, size
+    lies, short blocks) raise ValueError — never hang, over-allocate, or
+    leak struct/index errors."""
+    try:
+        return _probe_webm(data)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"malformed WebM: {e}") from e
+
+
+def _probe_webm(data: bytes) -> WebmInfo:
     doctype = ""
     for eid, ps, pe in walk_elements(data, 0, len(data)):
         if eid == EBML:
@@ -174,6 +186,8 @@ def probe_webm(data: bytes) -> WebmInfo:
                     cluster_ts = _uint(data, p2, q2)
                 elif e2 == SIMPLE_BLOCK:
                     tno, bp = read_vint(data, p2, keep_marker=False)
+                    if q2 - bp < 3:
+                        raise ValueError("SimpleBlock too short for header")
                     rel = struct.unpack(">h", data[bp : bp + 2])[0]
                     # bp+2 = flags byte; lacing unsupported (flags & 0x06
                     # must be 0 — our writer never laces)
