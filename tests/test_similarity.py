@@ -99,6 +99,43 @@ def test_ann_ivf_recall_and_determinism(spark, emb):
     assert again == {(r["qid"], r["rank"], r["vec_id"]) for r in ivf_rows}
 
 
+def test_ann_ivf_recall_monotone_in_nprobe(spark, emb):
+    """Multiprobe contract: widening the probe set can only add candidate
+    lists, so per-query recall vs brute force is monotone nondecreasing in
+    nprobe, reaches 1.0 when every list is probed (nprobe = n_centroids
+    degrades to exact brute force), and the probed fraction of the corpus
+    stays bounded by nprobe/n_centroids-ish — the knob a deployment turns
+    to trade recall for scan cost."""
+    q = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    exact = {}
+    for r in S.ann_bruteforce_topk(q, corpus, k=10).collect():
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    def mean_recall(nprobe: int) -> float:
+        approx = {}
+        rows = S.ann_ivf_topk(
+            q, corpus, k=10, n_centroids=8, nprobe=nprobe
+        ).collect()
+        for r in rows:
+            approx.setdefault(r["qid"], set()).add(r["vec_id"])
+        return float(
+            np.mean(
+                [
+                    len(exact[qid] & approx.get(qid, set())) / len(exact[qid])
+                    for qid in exact
+                ]
+            )
+        )
+
+    r1, r2, r4, r8 = (mean_recall(p) for p in (1, 2, 4, 8))
+    assert r1 <= r2 <= r4 <= r8, (r1, r2, r4, r8)
+    assert r8 == 1.0  # all lists probed == brute force
+    assert r4 > r1  # multiprobe genuinely widens the candidate set
+
+
 def test_ivf_centroids_partition_corpus(spark, emb):
     cents = S.ivf_centroids(emb.select("vec_id", "embedding"), n_centroids=8)
     rows = cents.collect()
