@@ -133,6 +133,30 @@ def test_knn_more_than_available(spark, geo):
     assert got.groupBy("pt_id").count().agg(F.max("count")).first()[0] == 2
 
 
+def test_knn_explode_side_identical_results(spark, geo):
+    """explode_side only moves the k-ring explode between join sides
+    (BENCH.md shuffle-volume study); the ranked result set must be
+    byte-identical for every setting, and unknown settings must raise."""
+    pts, polys, pdf, gdf = geo
+    centers = spark.createDataFrame(
+        [(fid, (mnx + mxx) / 2, (mny + mxy) / 2) for fid, _, mnx, mny, mxx, mxy in polys],
+        "fp_id string, cx double, cy double",
+    )
+    key = lambda r: (r["pt_id"], r["rank"], r["fp_id"], r["dist2"])
+    base = sorted(
+        joins.knn_join(pdf, centers, GRID, k=3, r0=1, explode_side="auto").collect(),
+        key=key,
+    )
+    for side in ("build", "probe"):
+        got = sorted(
+            joins.knn_join(pdf, centers, GRID, k=3, r0=1, explode_side=side).collect(),
+            key=key,
+        )
+        assert [key(r) for r in got] == [key(r) for r in base], side
+    with pytest.raises(ValueError):
+        joins.knn_join(pdf, centers, GRID, k=3, explode_side="left")
+
+
 def test_cellindex_properties(spark):
     g = CellGrid(0.0, 0.0, 100.0, 4)
     df = spark.createDataFrame(

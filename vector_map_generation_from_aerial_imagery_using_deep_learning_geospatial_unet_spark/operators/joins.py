@@ -331,6 +331,7 @@ def knn_join(
     r0: int | None = None,
     broadcast_centers: bool = False,
     materialize: bool = True,
+    explode_side: str = "auto",
 ) -> DataFrame:
     """Exact kNN: for each point the k nearest centers, ranked.
 
@@ -345,7 +346,16 @@ def knn_join(
     ``broadcast_centers=True``: build-side broadcast of the center table
     (use when centers fit executor memory; the default shuffle join is the
     scale path).
+
+    ``explode_side``: which side of the round's equi-join carries the
+    (2r+1)^2 k-ring explode — ``'auto'`` (default: the smaller side per
+    round), ``'build'`` (always the center side), ``'probe'`` (always the
+    point side — the pre-round-3 plan, kept as a measurement baseline for
+    the shuffle-volume evidence in BENCH.md).  The candidate SET and the
+    result are identical for every setting.
     """
+    if explode_side not in ("auto", "build", "probe"):
+        raise ValueError(f"explode_side {explode_side!r}")
     pid, pxc, pyc = pt_cols
     cid, cxc, cyc = center_cols
     n_centers = centers.count()
@@ -387,7 +397,12 @@ def knn_join(
         # broadcast relation must stay n_centers rows — exploding before
         # the broadcast would ship n_centers*(2r+1)^2 rows to every
         # executor, quadratic in r as rounds double the radius.
-        if n_remaining > n_centers and not broadcast_centers:
+        explode_build = (
+            (n_remaining > n_centers)
+            if explode_side == "auto"
+            else explode_side == "build"
+        )
+        if explode_build and not broadcast_centers:
             build = cts.withColumn(
                 "cell_id", F.explode(grid.k_ring(F.col("c_cell"), r))
             ).drop("c_cell")
