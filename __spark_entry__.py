@@ -1021,6 +1021,64 @@ def q_mp3_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(audio)
 
 
+def q_mp3_audio_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer II payload decode (sources/codec_mp3.py, from
+    scratch: spec allocation Tables 3-B.2a/3-B.2b, Table 3-B.4
+    quantization classes with grouped 3/5/9-level codewords, scfsi
+    scalefactor coding, the same computed filterbank as Layer I): a
+    distinct multisine family encoded through our Layer II encoder and
+    decoded back by the engine into exact integer features.  The oracle
+    is the frozen single-process expectations table
+    (tools/build_mp3_fixture.py :: mp3_l2_signal, which also documents
+    the signal spec); the codec's rate/distortion contract is pinned by
+    tests/test_mp3.py.  48 kHz streams hit B.2a and >= 96 kbps/ch
+    44.1/32 kHz streams hit B.2b, so both transcribed tables are under
+    the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    meta = _capped_media_meta(spark, sf_dir)
+
+    def synth(batches):
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_mp3
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                rate = [32000, 44100, 48000][pk % 3]
+                n = 3000 + (pk % 5) * 600
+                i = np.arange(n, dtype=np.float64)
+                f1 = 180 + 19 * (pk % 13)
+                f2 = 950 + 41 * (pk % 11)
+                f3 = 3400 + 59 * (pk % 7)
+                x = (
+                    0.3 * np.sin(2 * np.pi * f1 / rate * i)
+                    + 0.25 * np.sin(2 * np.pi * f2 / rate * i + 1.0)
+                    + 0.2 * np.sin(2 * np.pi * f3 / rate * i + 2.0)
+                )
+                ch0 = np.rint(32767 * x).astype(np.int16)
+                if pk % 2:
+                    sig, bi = np.stack([ch0, ch0[::-1] // 2], axis=1), 7 + pk % 8
+                else:
+                    sig, bi = ch0, 3 + pk % 8
+                rows.append(
+                    (
+                        r.image_id,
+                        codec_mp3.encode_mp3(sig, rate, bi, layer=2),
+                        "mp3",
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    audio = meta.mapInPandas(
+        synth, schema="audio_id string, bytes binary, fmt string"
+    )
+    return MM.audio_features(audio)
+
+
 def q_stream_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming path under an exact oracle: the images
     catalog lands as files, a readStream -> watermarked 5 s window ->
@@ -1160,6 +1218,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_audio": q_video_audio,
     "flac_audio": q_flac_audio,
     "mp3_audio": q_mp3_audio,
+    "mp3_audio_l2": q_mp3_audio_l2,
     "stream_ingest_stats": q_stream_ingest_stats,
     "stream_tiles": q_stream_tiles,
 }
@@ -1300,6 +1359,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "video_audio": _video_audio_sql(),
         "flac_audio": _flac_audio_sql(),
         "mp3_audio": _mp3_audio_sql(),
+        "mp3_audio_l2": _mp3_audio_l2_sql(),
         "stream_ingest_stats": _stream_ingest_stats_sql(),
         # the streamed grid must equal the batch grid bit-for-bit, so the
         # streaming gate reuses gen_tiles' exact closed-form oracle
@@ -2035,6 +2095,7 @@ JOIN blob bl USING (image_id)"""
 _MM_THUMB_FIXTURE = "/root/repo/fixtures/multimodal_thumb_sf0_01.parquet"
 _MM_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_jpeg_sf0_01.parquet"
 _MP3_AUDIO_FIXTURE = "/root/repo/fixtures/mp3_audio_sf0_01.parquet"
+_MP3_AUDIO_L2_FIXTURE = "/root/repo/fixtures/mp3_audio_l2_sf0_01.parquet"
 
 
 _SKELETON_FIXTURE = "/root/repo/fixtures/skeleton_sf0_01.parquet"
@@ -2090,6 +2151,16 @@ def _mp3_audio_sql() -> str:
 SELECT audio_id, n_samples, n_channels, sample_rate,
        duration_ms, sum_abs, zero_crossings
 FROM read_parquet('{_MP3_AUDIO_FIXTURE}')"""
+
+
+def _mp3_audio_l2_sql() -> str:
+    """Twin of q_mp3_audio_l2: the Layer II expectations table frozen by
+    the same single-process fixture run (tools/build_mp3_fixture.py ::
+    mp3_l2_signal) — no Spark machinery shared with the gated query."""
+    return f"""
+SELECT audio_id, n_samples, n_channels, sample_rate,
+       duration_ms, sum_abs, zero_crossings
+FROM read_parquet('{_MP3_AUDIO_L2_FIXTURE}')"""
 
 
 def _multimodal_features_sql() -> str:

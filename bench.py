@@ -178,6 +178,7 @@ def main() -> None:
         "flac_audio",
         # round-4 additions
         "mp3_audio",
+        "mp3_audio_l2",
         "stream_ingest_stats",
     ]
     qs = E.queries()

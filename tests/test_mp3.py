@@ -90,6 +90,104 @@ def test_layer3_payload_capability_guard():
         codec_mp3.decode_mp3(codec_mp3.build_mp3(4, 5, 1))
 
 
+# ---------------------------------------------------------------------
+# Layer II (allocation Tables 3-B.2a / 3-B.2b)
+# ---------------------------------------------------------------------
+
+
+def test_l2_roundtrip_snr_both_tables():
+    """48 kHz and 44.1 kHz <= 80 kbps/ch exercise B.2a; 44.1 kHz at
+    192 kbps/ch exercises B.2b (sblimit 30)."""
+    d = codec_mp3.codec_delay()
+    for rate, bi, floor in ((48000, 10, 48.0), (44100, 5, 38.0),
+                            (44100, 10, 48.0), (32000, 8, 45.0)):
+        sig = _multisine(20000, rate)
+        dec, r = codec_mp3.decode_mp3(
+            codec_mp3.encode_mp3(sig, rate, bitrate_idx=bi, layer=2)
+        )
+        assert r == rate
+        assert _snr_db(sig, dec[d : d + len(sig), 0]) > floor, (rate, bi)
+
+
+def test_l2_snr_rises_with_bitrate():
+    sig = _multisine(20000, 48000)
+    d = codec_mp3.codec_delay()
+    snrs = [
+        _snr_db(
+            sig,
+            codec_mp3.decode_mp3(
+                codec_mp3.encode_mp3(sig, 48000, bitrate_idx=bi, layer=2)
+            )[0][d : d + len(sig), 0],
+        )
+        for bi in (3, 6, 10)
+    ]
+    assert snrs[0] > 30.0
+    assert snrs[0] < snrs[1] < snrs[2] + 1e-9
+
+
+def test_l2_stereo_roundtrip():
+    sig0 = _multisine(12000, 48000)
+    sig = np.stack([sig0, sig0[::-1] // 2], axis=1)
+    enc = codec_mp3.encode_mp3(sig, 48000, bitrate_idx=13, layer=2)
+    dec, rate = codec_mp3.decode_mp3(enc)
+    assert rate == 48000 and dec.shape[1] == 2
+    d = codec_mp3.codec_delay()
+    for c in range(2):
+        assert _snr_db(sig[:, c], dec[d : d + len(sig), c]) > 42.0
+
+
+def test_l2_stream_walks_as_spec_layer2():
+    sig = _multisine(4608, 44100)  # 4 frames + 1 flush
+    enc = codec_mp3.encode_mp3(sig, 44100, bitrate_idx=8, layer=2)
+    info = codec_mp3.probe_mp3(enc)
+    assert info.n_frames == 5 and info.is_cbr
+    fr = codec_mp3.walk_frames(enc)[0]
+    assert fr.layer == 2 and fr.samples == 1152 and fr.mode == 3
+
+
+def test_l2_silence_roundtrip_exact():
+    sig = np.zeros((2304, 2), dtype=np.int16)
+    dec, _ = codec_mp3.decode_mp3(
+        codec_mp3.encode_mp3(sig, 48000, 10, layer=2)
+    )
+    assert int(np.abs(dec).max()) == 0
+
+
+def test_l2_encode_deterministic():
+    sig = _multisine(5000, 48000)
+    a = codec_mp3.encode_mp3(sig, 48000, bitrate_idx=9, layer=2)
+    b = codec_mp3.encode_mp3(sig, 48000, bitrate_idx=9, layer=2)
+    assert a == b
+
+
+def test_l2_bitrate_per_channel_bounds():
+    sig = np.zeros(1152, dtype=np.int16)
+    with pytest.raises(ValueError, match="kbps per channel"):
+        codec_mp3.encode_mp3(sig, 48000, bitrate_idx=2, layer=2)  # 48 kbps
+    st = np.zeros((1152, 2), dtype=np.int16)
+    with pytest.raises(ValueError, match="kbps per channel"):
+        codec_mp3.encode_mp3(st, 48000, bitrate_idx=5, layer=2)  # 40/ch
+
+
+def test_l2_low_rate_tables_guarded():
+    with pytest.raises(NotImplementedError, match="B.2c"):
+        codec_mp3._l2_table(44100, 48)
+
+
+def test_l2_quant_class_constants():
+    """C/D must match the published Table 3-B.4 decimals."""
+    for levels, c_exp, d_exp in (
+        (3, 1.33333333333, 0.5),
+        (5, 1.6, 0.5),
+        (7, 1.14285714286, 0.25),
+        (9, 1.77777777777, 0.5),
+        (15, 1.06666666666, 0.125),
+        (65535, 1.00001525902, 0.000030517578125),
+    ):
+        c, d = codec_mp3._l2_cd(levels)
+        assert abs(c - c_exp) < 1e-9 and abs(d - d_exp) < 1e-12, levels
+
+
 def test_stereo_lowest_bitrate_rejected():
     sig = np.zeros((400, 2), dtype=np.int16)
     with pytest.raises(ValueError, match="bitrate too low"):

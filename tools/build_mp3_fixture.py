@@ -21,6 +21,11 @@ cancel out.  The signal spec mirrors q_mp3_audio's docstring exactly:
     f1 = 200 + 17 (pk % 13); f2 = 1100 + 37 (pk % 11); f3 = 3800 + 53 (pk % 7)
     ch0 = rint(32767 x); odd pk adds ch1 = reversed(ch0) // 2
 
+``fixtures/mp3_audio_l2_sf0_01.parquet`` — the Layer II twin
+(q_mp3_audio_l2): same feature columns over a distinct multisine family
+encoded/decoded through the table-driven Layer II codec (allocation
+Tables B.2a/B.2b); signal spec in ``mp3_l2_signal``.
+
 Usage:  python tools/build_mp3_fixture.py [sf_dir]
 """
 
@@ -64,14 +69,39 @@ def mp3_signal(pk: int) -> tuple[np.ndarray, int, int]:
     return sig, rate, 6 + pk % 8
 
 
-def main() -> None:
+def mp3_l2_signal(pk: int) -> tuple[np.ndarray, int, int]:
+    """Layer II twin of mp3_signal (q_mp3_audio_l2's spec): a distinct
+    multisine family, bitrate chosen inside the spec's per-mode Layer II
+    range (mono idx 3..10, stereo 7..14 -> 56..192 kbps per channel), so
+    48 kHz streams hit allocation Table B.2a and the >= 96 kbps/ch
+    44.1/32 kHz streams hit B.2b."""
+    rate = [32000, 44100, 48000][pk % 3]
+    n = 3000 + (pk % 5) * 600
+    i = np.arange(n, dtype=np.float64)
+    f1 = 180 + 19 * (pk % 13)
+    f2 = 950 + 41 * (pk % 11)
+    f3 = 3400 + 59 * (pk % 7)
+    x = (
+        0.3 * np.sin(2 * np.pi * f1 / rate * i)
+        + 0.25 * np.sin(2 * np.pi * f2 / rate * i + 1.0)
+        + 0.2 * np.sin(2 * np.pi * f3 / rate * i + 2.0)
+    )
+    ch0 = np.rint(32767 * x).astype(np.int16)
+    if pk % 2:
+        return np.stack([ch0, ch0[::-1] // 2], axis=1), rate, 7 + pk % 8
+    return ch0, rate, 3 + pk % 8
+
+
+def _freeze(signal_fn, layer: int, out_name: str) -> None:
     part = pd.read_parquet(f"{SF_DIR}/part.parquet", columns=["p_partkey"])
     rows = []
     for pk in sorted(int(x) for x in part["p_partkey"]):
         if pk > PK_CAP:
             continue
-        sig, rate, bi = mp3_signal(pk)
-        s, dec_rate = codec_mp3.decode_mp3(codec_mp3.encode_mp3(sig, rate, bi))
+        sig, rate, bi = signal_fn(pk)
+        s, dec_rate = codec_mp3.decode_mp3(
+            codec_mp3.encode_mp3(sig, rate, bi, layer=layer)
+        )
         assert dec_rate == rate
         c0 = s[:, 0].astype(np.int64)
         rows.append(
@@ -92,9 +122,14 @@ def main() -> None:
             "duration_ms", "sum_abs", "zero_crossings",
         ],
     )
-    out = os.path.join(FIX_DIR, "mp3_audio_sf0_01.parquet")
+    out = os.path.join(FIX_DIR, out_name)
     df.to_parquet(out, index=False)
     print(f"wrote {out}: {len(df)} rows")
+
+
+def main() -> None:
+    _freeze(mp3_signal, 1, "mp3_audio_sf0_01.parquet")
+    _freeze(mp3_l2_signal, 2, "mp3_audio_l2_sf0_01.parquet")
 
 
 if __name__ == "__main__":

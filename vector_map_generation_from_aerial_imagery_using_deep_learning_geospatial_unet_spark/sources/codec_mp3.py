@@ -24,9 +24,19 @@ Scope:
   both our analysis (encoder) and synthesis (decoder); round-trip
   fidelity is pinned by an SNR contract in tests/test_mp3.py.
 
-* LAYER II/III payloads stay stubbed (tested ``NotImplementedError``):
-  their bit-allocation / Huffman tables exist only as spec tables that
-  cannot be re-derived, which is this repo's codec-library boundary.
+* LAYER II payload — full encode + decode, allocation Tables 3-B.2a
+  (sblimit 27) and 3-B.2b (sblimit 30) transcribed from the public
+  spec, the published quantization classes of Table 3-B.4 (grouped
+  3/5/9-level codewords of 5/7/10 bits, C = 2^ceil(log2(L+1))/L,
+  D = 0.5 grouped / 2^(1-nb) ungrouped), scfsi-coded scalefactors, and
+  the same computed filterbank as Layer I.  Table selection from
+  (sample rate, kbps per channel): 48 kHz or <= 80 kbps/ch -> B.2a,
+  else B.2b; the low-rate tables B.2c/d (< 56 kbps/ch) stay out of
+  scope and raise.
+
+* LAYER III payload stays stubbed (tested ``NotImplementedError``):
+  its Huffman code tables exist only as spec annex tables that cannot
+  be re-derived, which is this repo's codec-library boundary.
 
 Reference analogue: library-delegated media open in
 /root/reference/src/io.py:41-63.
@@ -352,10 +362,12 @@ def _scf_indices(amax: np.ndarray) -> np.ndarray:
 
 
 def encode_mp3(
-    sig: np.ndarray, sample_rate: int, bitrate_idx: int = 12
+    sig: np.ndarray, sample_rate: int, bitrate_idx: int = 12, layer: int = 1
 ) -> bytes:
-    """MPEG-1 Layer I CBR encoder: int16 PCM (n,) or (n, ch<=2) ->
-    spec-framed Layer I stream.  Per frame (384 samples/channel): 32-band
+    """MPEG-1 Layer I/II CBR encoder: int16 PCM (n,) or (n, ch<=2) ->
+    spec-framed stream.  ``layer=2`` routes to the table-driven Layer II
+    encoder (``_encode_layer2``); the rest of this docstring describes
+    the Layer I path.  Per frame (384 samples/channel): 32-band
     analysis, per-subband scalefactor, greedy noise-proxy bit allocation
     into the exact CBR bit budget, midtread quantization with the wire
     code's MSB inverted (anti sync-emulation), zero-bit padding to the
@@ -371,6 +383,10 @@ def encode_mp3(
         raise ValueError("mp3: MPEG1 sample rate must be 32000/44100/48000")
     if not 1 <= bitrate_idx <= 14:
         raise ValueError("bitrate_idx in 1..14")
+    if layer == 2:
+        return _encode_layer2(sig, sample_rate, bitrate_idx)
+    if layer != 1:
+        raise ValueError("mp3: encoder supports layer 1 or 2")
     sr_idx = _SR_IDX_V1[sample_rate]
     bitrate = _BITRATES_V1[1][bitrate_idx]
     frame_len = (12 * bitrate * 1000 // sample_rate) * 4  # padding bit 0
@@ -448,22 +464,275 @@ def encode_mp3(
     return bytes(out)
 
 
+# ---------------------------------------------------------------------
+# Layer II payload codec (allocation Tables 3-B.2a / 3-B.2b)
+# ---------------------------------------------------------------------
+
+# Table 3-B.2a (sblimit 27): per-subband allocation-field width and the
+# list of possible quantization LEVEL COUNTS the field indexes (0 = no
+# bits).  Transcribed from the public ISO/IEC 11172-3 table; the spec
+# quirks are real: subbands 0-2 skip the grouped 5/9-level classes,
+# subbands 3-10 jump 8191 -> 65535 (no 16383/32767).
+_L2_LIST_LOW = [0, 3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+                8191, 16383, 32767, 65535]
+_L2_LIST_MID = [0, 3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047,
+                4095, 8191, 65535]
+_L2_LIST_HIGH = [0, 3, 5, 7, 9, 15, 31, 65535]
+_L2_LIST_TOP = [0, 3, 5, 65535]
+_L2_TABLE_A = [_L2_LIST_LOW] * 3 + [_L2_LIST_MID] * 8 + \
+    [_L2_LIST_HIGH] * 12 + [_L2_LIST_TOP] * 4
+# Table 3-B.2b (sblimit 30): same pattern, three more 2-bit subbands
+_L2_TABLE_B = _L2_TABLE_A + [_L2_LIST_TOP] * 3
+_L2_GROUP_BITS = {3: 5, 5: 7, 9: 10}  # grouped classes: 3 samples/codeword
+
+
+def _l2_table(sample_rate: int, kbps_per_ch: int) -> list[list[int]]:
+    """Allocation-table selection from the spec's (sampling frequency,
+    bitrate per channel) matrix, for the >= 56 kbps/ch region this codec
+    implements: 48 kHz always uses B.2a; 44.1/32 kHz use B.2a up to
+    80 kbps/ch and B.2b from 96 kbps/ch.  The low-rate tables B.2c/d
+    (32/48 kbps/ch) are out of scope."""
+    if kbps_per_ch < 56:
+        raise NotImplementedError(
+            "mp3: Layer II below 56 kbps/channel uses allocation tables "
+            "B.2c/B.2d, which this codec does not implement"
+        )
+    if sample_rate == 48000 or kbps_per_ch <= 80:
+        return _L2_TABLE_A
+    return _L2_TABLE_B
+
+
+def _l2_width(levels: int) -> int:
+    """Bits one 3-sample granule costs at this quantization class."""
+    g = _L2_GROUP_BITS.get(levels)
+    return g if g is not None else 3 * levels.bit_length()
+
+
+def _l2_cd(levels: int) -> tuple[float, float]:
+    """(C, D) of quantization-class Table 3-B.4: the requantization is
+    s'' = C * (s''' + D).  Both constants close over the level count:
+    C = 2^ceil(log2(L+1)) / L for every class (4/3, 8/5, 8/7, 16/9,
+    16/15, ... matching the spec's decimal table), D = 1/2 for the
+    grouped classes and 2^(1-nb) for the 2^nb - 1 ones."""
+    nb = levels.bit_length()
+    if levels in _L2_GROUP_BITS:
+        return (1 << nb) / levels, 0.5
+    return (1 << nb) / levels, 2.0 ** (1 - nb)
+
+
+_L2_ALLOWED_KBPS_PER_CH = (56, 64, 80, 96, 112, 128, 160, 192)
+
+
+def _encode_layer2(
+    sig: np.ndarray, sample_rate: int, bitrate_idx: int
+) -> bytes:
+    """MPEG-1 Layer II CBR encoder.  Per frame (1152 samples/channel =
+    36 subband windows in 3 parts of 12): table-driven allocation walked
+    greedily by the same noise proxy as Layer I, scfsi=0 (all three
+    scalefactors transmitted — always valid, never optimal), grouped
+    codewords for the 3/5/9-level classes, spec payload order
+    (allocation, scfsi, scalefactors, then 12 granules x subband x
+    channel)."""
+    n, ch = sig.shape
+    bitrate = _BITRATES_V1[2][bitrate_idx]
+    kbps_ch = bitrate // ch
+    if kbps_ch not in _L2_ALLOWED_KBPS_PER_CH:
+        raise ValueError(
+            f"mp3: Layer II needs 56..192 kbps per channel (got {bitrate} "
+            f"kbps / {ch} ch); pick bitrate_idx 3..10 mono, 7..14 stereo"
+        )
+    table = _l2_table(sample_rate, kbps_ch)
+    sblimit = len(table)
+    nbal = [len(lst).bit_length() - 1 for lst in table]
+    frame_len = 144 * bitrate * 1000 // sample_rate  # padding bit 0
+    budget0 = frame_len * 8 - 32 - ch * sum(nbal)
+    sr_idx = _SR_IDX_V1[sample_rate]
+
+    nframes = -(-n // 1152) + 1  # one flush frame drains the filterbank
+    x = np.zeros((1152 * nframes, ch))
+    x[:n] = sig.astype(np.float64) / 32768.0
+    A, _G, _d = _filterbank()
+    S = np.stack([_analyze(x[:, c], A) for c in range(ch)], axis=2)
+
+    hdr = bytes(
+        [
+            0xFF,
+            0xFD,  # MPEG1, Layer II, no CRC
+            (bitrate_idx << 4) | (sr_idx << 2),
+            0xC0 if ch == 1 else 0x00,
+        ]
+    )
+    out = bytearray()
+    for f in range(nframes):
+        Sf = S[36 * f : 36 * (f + 1)]  # (36, 32, ch)
+        # one scalefactor per 12-window part (scfsi=0 transmits all 3)
+        amax3 = np.abs(Sf.reshape(3, 12, 32, ch)).max(axis=1)  # (3,32,ch)
+        scf_idx = _scf_indices(amax3)  # (3, 32, ch)
+        scf_val = _SCF_LAYER1[scf_idx]
+        amax = amax3.max(axis=0)  # (32, ch)
+        scf_top = _SCF_LAYER1[_scf_indices(amax)]
+
+        # greedy allocation over the table's level ladder: grow the
+        # (subband, channel) whose quantized-noise proxy scf/levels is
+        # largest; first step additionally buys 2 scfsi + 18 scf bits
+        idx = np.zeros((32, ch), dtype=np.int64)
+        prio = np.full((32, ch), -1.0)
+        for sb in range(sblimit):
+            for c in range(ch):
+                if amax[sb, c] > 0:
+                    prio[sb, c] = scf_top[sb, c]
+        budget = budget0
+        while True:
+            i = int(np.argmax(prio))
+            sb, c = divmod(i, ch)
+            if prio[sb, c] <= 0:
+                break
+            lst = table[sb]
+            cost = 12 * (
+                _l2_width(lst[idx[sb, c] + 1])
+                - (_l2_width(lst[idx[sb, c]]) if idx[sb, c] else 0)
+            ) + (2 + 18 if idx[sb, c] == 0 else 0)
+            if cost > budget:
+                prio[sb, c] = -1.0
+                continue
+            idx[sb, c] += 1
+            budget -= cost
+            prio[sb, c] = (
+                -1.0 if idx[sb, c] + 1 >= len(lst)
+                else scf_top[sb, c] / lst[idx[sb, c]]
+            )
+
+        w = _BitWriter()
+        for sb in range(sblimit):
+            for c in range(ch):
+                w.write(int(idx[sb, c]), nbal[sb])
+        for sb in range(sblimit):
+            for c in range(ch):
+                if idx[sb, c]:
+                    w.write(0, 2)  # scfsi = 0: three scalefactors follow
+        for sb in range(sblimit):
+            for c in range(ch):
+                if idx[sb, c]:
+                    for p in range(3):
+                        w.write(int(scf_idx[p, sb, c]), 6)
+        for g in range(12):
+            p = g // 4  # scalefactor part this granule sits in
+            for sb in range(sblimit):
+                for c in range(ch):
+                    L = table[sb][idx[sb, c]]
+                    if not L:
+                        continue
+                    C, D = _l2_cd(L)
+                    sv = scf_val[p, sb, c]
+                    if L in _L2_GROUP_BITS:
+                        v = 0
+                        for s in (2, 1, 0):  # first sample = lowest digit
+                            xq = Sf[3 * g + s, sb, c] / sv
+                            code = int(np.rint((xq / C - D + 1.0) * (L - 1)))
+                            v = v * L + min(max(code, 0), L - 1)
+                        w.write(v, _L2_GROUP_BITS[L])
+                    else:
+                        b = L.bit_length()
+                        for s in range(3):
+                            xq = Sf[3 * g + s, sb, c] / sv
+                            code = int(
+                                np.rint(
+                                    (xq * L / (1 << b) + 1.0 - 2.0 ** (1 - b))
+                                    * 2.0 ** (b - 1)
+                                )
+                            )
+                            code = min(max(code, 0), L - 1)
+                            w.write(code ^ (1 << (b - 1)), b)
+        out += hdr + w.padded_to(frame_len - 4)
+    return bytes(out)
+
+
+def _decode_layer2(data: bytes, frames: list[Mp3Frame], ch: int) -> np.ndarray:
+    """Parse Layer II frames into the (36*nframes, 32, ch) subband
+    array (requantized, scalefactored); synthesis happens in the shared
+    decode_mp3 tail."""
+    f0 = frames[0]
+    table = _l2_table(f0.sample_rate, f0.bitrate_kbps // ch)
+    sblimit = len(table)
+    nbal = [len(lst).bit_length() - 1 for lst in table]
+    S = np.zeros((36 * len(frames), 32, ch))
+    for fi, fr in enumerate(frames):
+        pos = fr.offset + 4 + (2 if fr.protection == 0 else 0)
+        bits = _FrameBits(data[pos : fr.offset + fr.length])
+        alloc = np.zeros((32, ch), dtype=np.int64)
+        for sb in range(sblimit):
+            for c in range(ch):
+                alloc[sb, c] = bits.read(nbal[sb])
+        scfsi = np.zeros((32, ch), dtype=np.int64)
+        for sb in range(sblimit):
+            for c in range(ch):
+                if alloc[sb, c]:
+                    scfsi[sb, c] = bits.read(2)
+        scf = np.ones((3, 32, ch))
+        for sb in range(sblimit):
+            for c in range(ch):
+                if not alloc[sb, c]:
+                    continue
+                n_scf = {0: 3, 1: 2, 2: 1, 3: 2}[int(scfsi[sb, c])]
+                vals = []
+                for _ in range(n_scf):
+                    i = bits.read(6)
+                    if i > 62:
+                        raise ValueError("mp3: forbidden scalefactor 63")
+                    vals.append(_SCF_LAYER1[i])
+                if scfsi[sb, c] == 0:
+                    parts = vals
+                elif scfsi[sb, c] == 1:  # first covers parts 0+1
+                    parts = [vals[0], vals[0], vals[1]]
+                elif scfsi[sb, c] == 2:  # one for the whole frame
+                    parts = [vals[0]] * 3
+                else:  # 3: second covers parts 1+2
+                    parts = [vals[0], vals[1], vals[1]]
+                scf[:, sb, c] = parts
+        for g in range(12):
+            p = g // 4
+            for sb in range(sblimit):
+                for c in range(ch):
+                    a = int(alloc[sb, c])
+                    if not a:
+                        continue
+                    L = table[sb][a]
+                    C, D = _l2_cd(L)
+                    if L in _L2_GROUP_BITS:
+                        v = bits.read(_L2_GROUP_BITS[L])
+                        if v >= L * L * L:
+                            raise ValueError("mp3: grouped code out of range")
+                        codes = []
+                        for _ in range(3):  # first sample = lowest digit
+                            codes.append(v % L)
+                            v //= L
+                        for s in range(3):
+                            sq = C * ((codes[s] - (L - 1)) / (L - 1) + D)
+                            S[36 * fi + 3 * g + s, sb, c] = sq * scf[p, sb, c]
+                    else:
+                        b = L.bit_length()
+                        for s in range(3):
+                            code = bits.read(b) ^ (1 << (b - 1))
+                            sq = C * (code * 2.0 ** (1 - b) - 1.0 + D)
+                            S[36 * fi + 3 * g + s, sb, c] = sq * scf[p, sb, c]
+    return S
+
+
 def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     """Decode an MPEG audio stream to PCM: (samples int16 (n, ch), rate).
-    Layer I decodes for real (allocation/scalefactor/sample parse,
-    spec (2^nb-1)-level requantization s = scf * (2^nb/(2^nb-1)) *
-    (code*2^(1-nb) - 1 + 2^(1-nb)), 32-band synthesis filterbank); Layer
-    II/III payloads raise NotImplementedError — their allocation/Huffman
-    tables are the documented codec-library boundary."""
+    Layers I and II decode for real (allocation/scalefactor/sample
+    parse, Table 3-B.4 requantization s'' = C * (s''' + D), 32-band
+    synthesis filterbank); Layer III payloads raise NotImplementedError —
+    its Huffman tables are the documented codec-library boundary."""
     frames = walk_frames(data)
     if not frames:
         raise ValueError("no MPEG audio frames found")
     f0 = frames[0]
-    if f0.layer != 1:
+    if f0.layer == 3:
         raise NotImplementedError(
-            f"mp3: layer {'I II III'.split()[f0.layer - 1]} payload decode "
-            "not implemented (Layer II/III bit-allocation and Huffman "
-            "tables are codec-library-bound); Layer I decodes for real"
+            "mp3: layer III payload decode not implemented (its Huffman "
+            "code tables are codec-library-bound); Layers I and II decode "
+            "for real"
         )
     if f0.mode == 1:
         raise NotImplementedError("mp3: intensity (joint) stereo")
@@ -473,6 +742,22 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
             f0.layer, f0.mode, f0.sample_rate,
         ):
             raise ValueError("mp3: inconsistent stream parameters")
+
+    if f0.layer == 2:
+        # table selection keys off the bitrate, so Layer II additionally
+        # needs CBR (every frame on one allocation table)
+        if any(fr.bitrate_kbps != f0.bitrate_kbps for fr in frames):
+            raise ValueError("mp3: VBR Layer II not supported")
+        S = _decode_layer2(data, frames, ch)
+        _A, G, _d = _filterbank()
+        n_out = S.shape[0] * 32
+        pcm = np.stack(
+            [_synth_raw(S[:, :, c], G)[:n_out] for c in range(ch)], axis=1
+        )
+        return (
+            np.clip(np.rint(pcm * 32768.0), -32768, 32767).astype(np.int16),
+            f0.sample_rate,
+        )
 
     S = np.zeros((12 * len(frames), 32, ch))
     for fi, fr in enumerate(frames):
