@@ -1168,6 +1168,83 @@ def q_stream_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup under an exact oracle: the images catalog
+    streams in with a deterministic synthetic phash (pk % 251, NULL on
+    every 10th pk), dropDuplicatesWithinWatermark keeps the first
+    arrival per hash, null-phash rows bypass dedup
+    (streaming/stream.py stream_dedup_images).  WHICH duplicate
+    survives is scheduler-dependent, so the gate compares the
+    deterministic projection: one row per distinct surviving phash with
+    its row count (1 for every hash, #nulls for the NULL group)."""
+    import tempfile
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming.stream import stream_dedup_images
+
+    meta = derived.images_meta(spark, sf_dir).select(
+        "image_id",
+        F.lit(None).cast("binary").alias("bytes"),
+        "w", "h",
+        F.lit("png").alias("fmt"),
+        F.lit(None).cast("string").alias("caption"),
+        F.substring("image_id", 5, 18).cast("long").alias("pk"),
+        "ulx", "uly",
+        F.lit("EPSG:32643").alias("crs"),
+    ).withColumn(
+        "phash",
+        F.when(F.col("pk") % 10 == 0, F.lit(None).cast("long")).otherwise(
+            (F.col("pk") % 251).cast("long")
+        ),
+    ).drop("pk").select(  # IMAGES_SCHEMA column order
+        "image_id", "bytes", "w", "h", "fmt", "caption", "phash", "ulx",
+        "uly", "crs",
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_gate_")
+    src, out, cp = f"{tmp}/src", f"{tmp}/out", f"{tmp}/cp"
+    meta.repartition(8).write.parquet(src)
+    q = stream_dedup_images(spark, src, out, cp)
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("phash")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_stream_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState) under
+    an exact oracle: the full tile grid streams in out of order across
+    microbatches, per-image state counts tiles seen, and one
+    (image_id, n_tiles, complete=true) row is emitted the moment the
+    image's grid is complete (streaming/stream.py
+    stream_image_completion; availableNow runs under NoTimeout — the
+    non-termination this gate originally caught is documented there).
+    The backlog is complete, so exactly one row per image emerges with
+    n_tiles = nx*ny — the same closed-form grid arithmetic as the
+    gen_tiles oracle."""
+    import tempfile
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.streaming.stream import stream_image_completion
+
+    # pk cap: the gate's cost is stateful-shuffle bound, not insight
+    # bound — 500 images (~19k tiles) still split across microbatches
+    # and accumulate state across them at every SF
+    imgs = derived.images_meta(spark, sf_dir).filter(
+        F.substring("image_id", 5, 18).cast("long") <= 500
+    )
+    tiles = grid.gen_tiles(imgs, CFG, with_geo=False).select(
+        "image_id", "tile_id", "tiy", "tix", "w", "h"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_completion_gate_")
+    src, out, cp = f"{tmp}/src", f"{tmp}/out", f"{tmp}/cp"
+    # many files -> several microbatches (maxFilesPerTrigger=4), so most
+    # images genuinely accumulate state across batches before completing
+    tiles.repartition(16).write.parquet(src)
+    q = stream_image_completion(spark, src, out, cp, CFG)
+    q.awaitTermination()
+    return spark.read.parquet(out).select("image_id", "n_tiles", "complete")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -1221,6 +1298,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp3_audio_l2": q_mp3_audio_l2,
     "stream_ingest_stats": q_stream_ingest_stats,
     "stream_tiles": q_stream_tiles,
+    "stream_dedup": q_stream_dedup,
+    "stream_completion": q_stream_completion,
 }
 
 
@@ -1361,6 +1440,8 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "mp3_audio": _mp3_audio_sql(),
         "mp3_audio_l2": _mp3_audio_l2_sql(),
         "stream_ingest_stats": _stream_ingest_stats_sql(),
+        "stream_dedup": _stream_dedup_sql(),
+        "stream_completion": _stream_completion_sql(),
         # the streamed grid must equal the batch grid bit-for-bit, so the
         # streaming gate reuses gen_tiles' exact closed-form oracle
         "stream_tiles": derived.with_ctes(
@@ -2109,6 +2190,42 @@ def _skeletonize_sql() -> str:
     return f"""
 SELECT image_id, skeleton_px
 FROM read_parquet('{_SKELETON_FIXTURE}')"""
+
+
+def _stream_dedup_sql() -> str:
+    """Twin of q_stream_dedup: dedup of a complete backlog is DISTINCT —
+    one row per non-null phash (n=1) plus the NULL group carrying every
+    null-phash input row."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import IMAGES_META_PK_SQL
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + """
+SELECT phash, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT DISTINCT pk % 251 AS phash FROM images_meta_pk WHERE pk % 10 <> 0
+  UNION ALL
+  SELECT CAST(NULL AS BIGINT) AS phash FROM images_meta_pk WHERE pk % 10 = 0
+) GROUP BY phash"""
+    )
+
+
+def _stream_completion_sql() -> str:
+    """Twin of q_stream_completion: a complete backlog completes every
+    image exactly once with n_tiles = nx*ny (the gen_tiles grid
+    arithmetic, shared with the other tile oracles)."""
+    t, step = CFG.tile_size, CFG.tile_size - CFG.overlap_px
+    nx = f"(1 + FLOOR((greatest(w - {t}, 0) + {step - 1}) / {step}))"
+    ny = f"(1 + FLOOR((greatest(h - {t}, 0) + {step - 1}) / {step}))"
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import IMAGES_META_PK_SQL
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + f"""
+SELECT image_id, CAST({nx} * {ny} AS BIGINT) AS n_tiles, TRUE AS complete
+FROM images_meta_pk WHERE pk <= 500"""
+    )
 
 
 def _stream_ingest_stats_sql() -> str:

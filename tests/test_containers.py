@@ -383,6 +383,15 @@ def _valid_mp3() -> bytes:
     return codec_mp3.encode_mp3(sig, 32000, bitrate_idx=7)
 
 
+def _valid_mp3_l2() -> bytes:
+    # Layer II blob: hostile bytes must also walk the table-driven
+    # allocation/scfsi/grouped-codeword parse path cleanly
+    sig = np.rint(
+        8000 * np.sin(np.arange(2500) * 0.05)
+    ).astype(np.int16)
+    return codec_mp3.encode_mp3(sig, 48000, bitrate_idx=8, layer=2)
+
+
 @settings(max_examples=120, deadline=None)
 @given(st.data())
 def test_fuzz_truncations_of_valid_files(data):
@@ -390,6 +399,7 @@ def test_fuzz_truncations_of_valid_files(data):
         (_valid_mp4(), [container_mp4.probe_mp4]),
         (_valid_webm(), [container_webm.probe_webm]),
         (_valid_mp3(), [codec_mp3.probe_mp3, codec_mp3.decode_mp3]),
+        (_valid_mp3_l2(), [codec_mp3.probe_mp3, codec_mp3.decode_mp3]),
     ):
         cut = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
         for fn in fns:
@@ -403,6 +413,7 @@ def test_fuzz_byte_flips_of_valid_files(data):
         (_valid_mp4(), [container_mp4.probe_mp4]),
         (_valid_webm(), [container_webm.probe_webm]),
         (_valid_mp3(), [codec_mp3.probe_mp3, codec_mp3.decode_mp3]),
+        (_valid_mp3_l2(), [codec_mp3.probe_mp3, codec_mp3.decode_mp3]),
     ):
         mut = bytearray(blob)
         for _ in range(data.draw(st.integers(min_value=1, max_value=8))):

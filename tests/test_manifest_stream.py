@@ -160,7 +160,11 @@ def test_stream_image_completion_stateful(spark, tmp):
     tiles.filter(F.col("tix") % 2 == 0).write.parquet(src)
     tiles.filter(F.col("tix") % 2 == 1).write.mode("append").parquet(src)
     q = stream_image_completion(spark, src, out, cp)
-    q.awaitTermination(120)
+    # must TERMINATE, not just drain: under ProcessingTimeTimeout Spark
+    # schedules another batch unconditionally and availableNow never stops
+    # (the stream.py NoTimeout rationale) — a bare awaitTermination(120)
+    # used to mask exactly that
+    assert q.awaitTermination(120), "availableNow completion never terminated"
     got = spark.read.parquet(out)
     done = {r["image_id"]: r["n_tiles"] for r in got.filter("complete").collect()}
     exp = {

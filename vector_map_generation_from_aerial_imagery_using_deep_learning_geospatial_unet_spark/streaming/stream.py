@@ -128,14 +128,26 @@ def stream_image_completion(
 
     State per image: (tiles_seen, tiles_expected).  Expected count comes
     from the tile rows themselves (nx*ny is derivable from (w, h)); state
-    is dropped on emission, and a processing-time timeout emits stragglers
-    as ``complete = false`` so abandoned uploads can't pin state forever.
+    is dropped on emission, and — in continuous mode — a processing-time
+    timeout emits stragglers as ``complete = false`` so abandoned uploads
+    can't pin state forever.
+
+    ``available_now=True`` runs with ``NoTimeout`` instead: a
+    drain-the-backlog run has no meaningful processing-time horizon, and
+    Spark's FlatMapGroupsWithStateExec.shouldRunAnotherBatch returns true
+    UNCONDITIONALLY under ProcessingTimeTimeout, so an availableNow
+    trigger would keep scheduling empty microbatches and never terminate
+    (observed: 486 empty batches before this was caught by the driver
+    gate).  Images still incomplete when the backlog drains simply stay
+    out of the output — the batch-mode analogue of "not yet complete".
     """
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     from ..operators.grid import tile_counts
+
+    use_timeout = not available_now
 
     tile_schema = (
         "image_id string, tile_id string, tiy int, tix int, w int, h int"
@@ -172,14 +184,19 @@ def stream_image_completion(
             )
         else:
             state.update((seen, expected))
-            state.setTimeoutDuration(timeout_ms)
+            if use_timeout:
+                state.setTimeoutDuration(timeout_ms)
 
     done = src.groupBy("image_id").applyInPandasWithState(
         track,
         outputStructType="image_id string, n_tiles long, complete boolean",
         stateStructType="seen long, expected long",
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )
     writer = (
         done.writeStream.format("parquet")
