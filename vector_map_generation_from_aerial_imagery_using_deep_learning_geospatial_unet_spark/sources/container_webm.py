@@ -15,6 +15,7 @@ there; implemented from the spec here).
 
 from __future__ import annotations
 
+import math
 import struct
 from dataclasses import dataclass, field
 
@@ -154,8 +155,15 @@ def _probe_webm(data: bytes) -> WebmInfo:
             for e2, p2, q2 in walk_elements(data, ps, pe):
                 if e2 == TIMESTAMP_SCALE:
                     scale = _uint(data, p2, q2)
+                    if scale == 0:
+                        raise ValueError("webm: TimestampScale of zero")
                 elif e2 == DURATION:
                     duration_ticks = _float(data, p2, q2)
+                    # hostile bytes: an EBML float is trivially inf/nan,
+                    # and int(inf) below would leak OverflowError past the
+                    # clean-ValueError parser contract
+                    if not math.isfinite(duration_ticks) or duration_ticks < 0:
+                        raise ValueError("webm: non-finite or negative Duration")
         elif eid == TRACKS:
             for e2, p2, q2 in walk_elements(data, ps, pe):
                 if e2 != TRACK_ENTRY:
@@ -200,10 +208,15 @@ def _probe_webm(data: bytes) -> WebmInfo:
                             payload=data[bp + 3 : q2],
                         )
                     )
+    # the PRODUCT can still overflow to inf with finite operands (lying
+    # Duration x lying TimestampScale), so validate the final value too
+    dur_ms = duration_ticks * scale / 1_000_000
+    if not math.isfinite(dur_ms):
+        raise ValueError("webm: Duration * TimestampScale overflows")
     return WebmInfo(
         doctype=doctype,
         timestamp_scale=scale,
-        duration_ms=int(duration_ticks * scale / 1_000_000),
+        duration_ms=int(dur_ms),
         tracks=tracks,
         blocks=blocks,
     )
