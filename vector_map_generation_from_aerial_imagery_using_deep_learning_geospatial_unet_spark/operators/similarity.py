@@ -202,10 +202,27 @@ def ivf_centroids(
     across runs, platforms, and parallelism — which is what lets the
     frozen copy (tools/build_ivf_fixture.py) serve as the DuckDB oracle's
     side table.  Returns (cent_id, cvec)."""
+    ids, C = _train_ivf(corpus, n_centroids, iters, c_cols, train_cap)
+    return corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in zip(ids, C)],
+        "cent_id int, cvec array<double>",
+    )
+
+
+def _train_ivf(
+    corpus: DataFrame,
+    n_centroids: int,
+    iters: int = 2,
+    c_cols: tuple[str, str] = ("vec_id", "embedding"),
+    train_cap: int = 65536,
+) -> tuple[list[int], list[list[float]]]:
+    """Driver-side Lloyd trainer behind :func:`ivf_centroids`; returns
+    (cent_ids ascending, centroid components) as plain Python values so
+    :func:`ann_ivf_topk` can fold the tiny quantizer into literal column
+    expressions (n_centroids x dim doubles) instead of a join relation."""
     import numpy as np
 
     cid, cvec = c_cols
-    spark = corpus.sparkSession
     sample = (
         corpus.select(F.col(cvec).alias("cvec"), F.xxhash64(F.col(cid)).alias("_h"))
         .orderBy("_h")
@@ -225,9 +242,9 @@ def ivf_centroids(
                 keep.append(ids[pos])
                 new_c.append(np.round(members.mean(axis=0), 6))
         ids, C = np.array(keep), np.array(new_c)
-    return spark.createDataFrame(
-        [(int(i), [float(v) for v in c]) for i, c in zip(ids, C)],
-        "cent_id int, cvec array<double>",
+    return (
+        [int(i) for i in ids],
+        [[float(v) for v in c] for c in C],
     )
 
 
@@ -243,27 +260,50 @@ def ann_ivf_topk(
     """IVF approximate top-k — the inverted-list scale path: the corpus is
     partitioned into n_centroids lists by nearest coarse centroid; each
     query scores only its ``nprobe`` nearest lists (~nprobe/n_centroids of
-    the corpus).  (qid, rank, vec_id, cos)."""
+    the corpus).  (qid, rank, vec_id, cos).
+
+    The quantizer is TINY (n_centroids x dim doubles, trained driver-side
+    on a bounded sample), so both list assignment and probe selection
+    fold it into literal column expressions — one shuffle-free projection
+    per side, evaluated inside the scan.  The previous formulation spent
+    a corpus x centroids broadcast join + a full-corpus groupBy shuffle
+    on assignment and a window exchange on probe selection; the only
+    exchange left is the candidate join itself (plus the final per-query
+    rank).  Ties keep the contract: equal cosine -> smallest cent_id
+    (array_position returns the FIRST maximum; the sort comparator breaks
+    equal scores by ascending id)."""
     qid, qvec = q_cols
     cid, cvec = c_cols
-    # the quantizer is a local relation (n_centroids x dim, trained on a
-    # bounded sample driver-side) — the lists join and the probes join
-    # below broadcast it without recomputing anything
-    cents = ivf_centroids(corpus, n_centroids, c_cols=c_cols)
-    lists = (
-        corpus.join(F.broadcast(cents))
-        .withColumn("ccos", cosine(F.col(cvec), F.col("cvec")))
-        .groupBy(cid, cvec)
-        .agg(F.max_by("cent_id", F.struct("ccos", F.col("cent_id").cast("double") * -1)).alias("cent_id"))
+    ids, C = _train_ivf(corpus, n_centroids, c_cols=c_cols)
+    cent_lits = [F.array(*[F.lit(x) for x in c]) for c in C]
+    id_arr = F.array(*[F.lit(i) for i in ids])
+
+    def cent_scores(vec) -> list:
+        return [cosine(vec, cl) for cl in cent_lits]
+
+    sc = F.array(*cent_scores(F.col(cvec)))
+    lists = corpus.withColumn(
+        "cent_id",
+        F.element_at(
+            id_arr, F.array_position(sc, F.array_max(sc)).cast("int")
+        ),
     )
-    wq = Window.partitionBy(qid).orderBy(F.desc("ccos"), "cent_id")
-    probes = (
-        queries.join(F.broadcast(cents))
-        .withColumn("ccos", cosine(F.col(qvec), F.col("cvec")))
-        .withColumn("_pr", F.row_number().over(wq))
-        .filter(F.col("_pr") <= nprobe)
-        .select(qid, qvec, "cent_id")
+    pairs = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(i).alias("i"))
+            for s, i in zip(cent_scores(F.col(qvec)), ids)
+        ]
     )
+    ranked = F.array_sort(
+        pairs,
+        lambda l, r: F.when(l["s"] > r["s"], F.lit(-1))
+        .when(l["s"] < r["s"], F.lit(1))
+        .otherwise(l["i"] - r["i"]),
+    )
+    probes = queries.withColumn(
+        "cent_id",
+        F.explode(F.slice(ranked, 1, min(nprobe, len(ids))).getField("i")),
+    ).select(qid, qvec, "cent_id")
     scored = probes.join(lists, "cent_id").withColumn(
         "cos", cosine(F.col(qvec), F.col(cvec))
     )
