@@ -169,7 +169,32 @@ def test_ann_lsh_topk_single_exchange_for_both_windows(spark):
     assert "Exchange" not in p[w1:w2]
 
 
-def test_video_synth_single_arrow_hop_per_stage(spark):
+def test_ann_ivf_no_assignment_shuffle(spark):
+    """IVF folds the literal quantizer into scan-side projections: list
+    assignment and probe selection add NO join and NO exchange of their
+    own — the plan's only joins/exchanges serve the candidate equi-join
+    and the final per-query rank window.  (The previous formulation paid
+    a corpus x centroids BroadcastHashJoin plus a full-corpus
+    HashAggregate exchange before any candidate was scored.)"""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.limit(4).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    import re
+
+    p = plan(SIM.ann_ivf_topk(qs, emb, k=5, n_centroids=4, nprobe=2))
+    # exactly one join in the whole plan: probes x lists on cent_id
+    # (formatted mode prints each op once in the tree and once in the
+    # numbered detail section — count the numbered entries)
+    joins_total = len(re.findall(
+        r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p
+    ))
+    assert joins_total == 1, p
+    # assignment is a projection, not an aggregation over the corpus
+    assert "HashAggregate" not in p, p
+    assert "max_by" not in p, p
     """The media fixture pipeline is exactly two Python stages (synth,
     probe/decode) with no exchange between them — the encoded payloads
     flow straight from the synth stage into the decode stage."""
