@@ -333,6 +333,28 @@ class _BitWriter:
         return bytes(self.buf) + b"\x00" * (total_bytes - len(self.buf))
 
 
+def _finish_frame(w: _BitWriter, sec: np.ndarray, payload_bytes: int) -> bytes:
+    """Join a frame's header fields (written bit-serially into ``w``)
+    with its vectorized sample-section bit array ``sec``, zero-pad to the
+    spec frame length, and pack to bytes."""
+    head = (
+        np.unpackbits(np.frombuffer(bytes(w.buf), dtype=np.uint8))
+        if w.buf
+        else np.zeros(0, dtype=np.uint8)
+    )
+    if w._nacc:
+        acc = np.array(
+            [(w._acc >> (w._nacc - 1 - j)) & 1 for j in range(w._nacc)],
+            dtype=np.uint8,
+        )
+        head = np.concatenate([head, acc])
+    allbits = np.concatenate([head, sec])
+    if -(-len(allbits) // 8) > payload_bytes:
+        raise ValueError("mp3: frame bit budget overflow")
+    packed = np.packbits(allbits).tobytes()
+    return packed + b"\x00" * (payload_bytes - len(packed))
+
+
 class _FrameBits:
     """MSB-first reader over one frame's payload bytes."""
 
@@ -348,6 +370,18 @@ class _FrameBits:
             val = (val << 1) | int(b)
         self.pos += nbits
         return val
+
+    def read_matrix(self, offsets: np.ndarray, width: int) -> np.ndarray:
+        """Vectorized fixed-width extraction: unsigned ``width``-bit
+        integers starting at ``self.pos + offsets`` (any shape), MSB
+        first — the whole sample section of a frame in a few numpy ops
+        instead of one Python loop iteration per coded sample."""
+        pos = self.pos + np.asarray(offsets, dtype=np.int64)
+        if pos.size and (pos.min() < 0 or pos.max() + width > len(self.bits)):
+            raise ValueError("mp3: frame payload truncated")
+        idx = pos[..., None] + np.arange(width, dtype=np.int64)
+        weights = 1 << np.arange(width - 1, -1, -1, dtype=np.int64)
+        return self.bits[idx].astype(np.int64) @ weights
 
 
 _SR_IDX_V1 = {44100: 0, 48000: 1, 32000: 2}
@@ -444,23 +478,26 @@ def encode_mp3(
             for c in range(ch):
                 if nb[sb, c]:
                     w.write(int(scf_idx[sb, c]), 6)
-        for s in range(12):
-            for sb in range(32):
-                for c in range(ch):
-                    b = int(nb[sb, c])
-                    if not b:
-                        continue
-                    lv = (1 << b) - 1
-                    xq = Sf[s, sb, c] / scf_val[sb, c]
-                    code = int(
-                        np.rint(
-                            (xq * lv / (1 << b) + 1.0 - 2.0 ** (1 - b))
-                            * 2.0 ** (b - 1)
-                        )
-                    )
-                    code = min(max(code, 0), lv - 1)
-                    w.write(code ^ (1 << (b - 1)), b)
-        out += hdr + w.padded_to(frame_len - 4)
+        # vectorized sample section (same fixed layout the decoder
+        # gathers from): each coded subband quantizes its 12 samples and
+        # scatters their bits in one shot
+        nb_flat = nb.reshape(-1)
+        ends = np.cumsum(nb_flat)
+        offs, stride = ends - nb_flat, int(ends[-1])
+        srange = stride * np.arange(12, dtype=np.int64)
+        sec = np.zeros(12 * stride, dtype=np.uint8)
+        for k in np.flatnonzero(nb_flat):
+            b = int(nb_flat[k])
+            sb, c = divmod(int(k), ch)
+            lv = (1 << b) - 1
+            xq = Sf[:, sb, c] / scf_val[sb, c]
+            codes = np.rint(
+                (xq * lv / (1 << b) + 1.0 - 2.0 ** (1 - b)) * 2.0 ** (b - 1)
+            ).astype(np.int64)
+            codes = np.clip(codes, 0, lv - 1) ^ (1 << (b - 1))
+            pos = (offs[k] + srange)[:, None] + np.arange(b)
+            sec[pos] = (codes[:, None] >> np.arange(b - 1, -1, -1)) & 1
+        out += hdr + _finish_frame(w, sec, frame_len - 4)
     return bytes(out)
 
 
@@ -615,35 +652,56 @@ def _encode_layer2(
                 if idx[sb, c]:
                     for p in range(3):
                         w.write(int(scf_idx[p, sb, c]), 6)
-        for g in range(12):
-            p = g // 4  # scalefactor part this granule sits in
-            for sb in range(sblimit):
-                for c in range(ch):
-                    L = table[sb][idx[sb, c]]
-                    if not L:
-                        continue
-                    C, D = _l2_cd(L)
-                    sv = scf_val[p, sb, c]
-                    if L in _L2_GROUP_BITS:
-                        v = 0
-                        for s in (2, 1, 0):  # first sample = lowest digit
-                            xq = Sf[3 * g + s, sb, c] / sv
-                            code = int(np.rint((xq / C - D + 1.0) * (L - 1)))
-                            v = v * L + min(max(code, 0), L - 1)
-                        w.write(v, _L2_GROUP_BITS[L])
-                    else:
-                        b = L.bit_length()
-                        for s in range(3):
-                            xq = Sf[3 * g + s, sb, c] / sv
-                            code = int(
-                                np.rint(
-                                    (xq * L / (1 << b) + 1.0 - 2.0 ** (1 - b))
-                                    * 2.0 ** (b - 1)
-                                )
-                            )
-                            code = min(max(code, 0), L - 1)
-                            w.write(code ^ (1 << (b - 1)), b)
-        out += hdr + w.padded_to(frame_len - 4)
+        # vectorized sample section (the decoder gathers from the same
+        # fixed layout): per coded subband, quantize all 12 granules and
+        # scatter codeword bits in one shot
+        lev_flat = np.array(
+            [
+                table[sb][idx[sb, c]]
+                for sb in range(sblimit)
+                for c in range(ch)
+            ],
+            dtype=np.int64,
+        )
+        widths = np.array(
+            [_l2_width(int(L)) if L else 0 for L in lev_flat], dtype=np.int64
+        )
+        ends = np.cumsum(widths)
+        offs, stride = ends - widths, int(ends[-1])
+        grange = stride * np.arange(12, dtype=np.int64)
+        scf_g = np.repeat(scf_val, 4, axis=0)  # part p covers granules 4p..
+        sec = np.zeros(12 * stride, dtype=np.uint8)
+        for k in np.flatnonzero(lev_flat):
+            L = int(lev_flat[k])
+            sb, c = divmod(int(k), ch)
+            C, D = _l2_cd(L)
+            xq = Sf[:, sb, c].reshape(12, 3) / scf_g[:, sb, c][:, None]
+            if L in _L2_GROUP_BITS:
+                gw = _L2_GROUP_BITS[L]
+                codes = np.clip(
+                    np.rint((xq / C - D + 1.0) * (L - 1)).astype(np.int64),
+                    0, L - 1,
+                )
+                # first sample = lowest base-L digit
+                v = codes[:, 0] + L * codes[:, 1] + L * L * codes[:, 2]
+                pos = (offs[k] + grange)[:, None] + np.arange(gw)
+                sec[pos] = (v[:, None] >> np.arange(gw - 1, -1, -1)) & 1
+            else:
+                b = L.bit_length()
+                codes = np.clip(
+                    np.rint(
+                        (xq * L / (1 << b) + 1.0 - 2.0 ** (1 - b))
+                        * 2.0 ** (b - 1)
+                    ).astype(np.int64),
+                    0, L - 1,
+                ) ^ (1 << (b - 1))
+                pos = (
+                    (offs[k] + grange)[:, None, None]
+                    + (b * np.arange(3))[None, :, None]
+                    + np.arange(b)[None, None, :]
+                )
+                sec[pos] = (codes[:, :, None] >> np.arange(b - 1, -1, -1)) & 1
+        out += hdr + _finish_frame(w, sec, frame_len - 4)
     return bytes(out)
 
 
@@ -689,32 +747,47 @@ def _decode_layer2(data: bytes, frames: list[Mp3Frame], ch: int) -> np.ndarray:
                 else:  # 3: second covers parts 1+2
                     parts = [vals[0], vals[1], vals[1]]
                 scf[:, sb, c] = parts
-        for g in range(12):
-            p = g // 4
-            for sb in range(sblimit):
-                for c in range(ch):
-                    a = int(alloc[sb, c])
-                    if not a:
-                        continue
-                    L = table[sb][a]
-                    C, D = _l2_cd(L)
-                    if L in _L2_GROUP_BITS:
-                        v = bits.read(_L2_GROUP_BITS[L])
-                        if v >= L * L * L:
-                            raise ValueError("mp3: grouped code out of range")
-                        codes = []
-                        for _ in range(3):  # first sample = lowest digit
-                            codes.append(v % L)
-                            v //= L
-                        for s in range(3):
-                            sq = C * ((codes[s] - (L - 1)) / (L - 1) + D)
-                            S[36 * fi + 3 * g + s, sb, c] = sq * scf[p, sb, c]
-                    else:
-                        b = L.bit_length()
-                        for s in range(3):
-                            code = bits.read(b) ^ (1 << (b - 1))
-                            sq = C * (code * 2.0 ** (1 - b) - 1.0 + D)
-                            S[36 * fi + 3 * g + s, sb, c] = sq * scf[p, sb, c]
+        # sample section: granule (g, sb, c) sits at off(sb, c) +
+        # g * stride with per-(sb, c) width gw (grouped codeword) or
+        # 3*nb (three consecutive codes) — each coded subband extracts
+        # its 12 granules in one numpy gather
+        levels = np.array(
+            [
+                [table[sb][alloc[sb, c]] if alloc[sb, c] else 0
+                 for c in range(ch)]
+                for sb in range(sblimit)
+            ],
+            dtype=np.int64,
+        )
+        widths = np.array(
+            [[_l2_width(int(L)) if L else 0 for L in row] for row in levels],
+            dtype=np.int64,
+        ).reshape(-1)
+        ends = np.cumsum(widths)
+        offs, stride = ends - widths, int(ends[-1])
+        grange = stride * np.arange(12, dtype=np.int64)
+        scf_g = np.repeat(scf, 4, axis=0)  # part p covers granules 4p..4p+3
+        lev_flat = levels.reshape(-1)
+        for k in np.flatnonzero(lev_flat):
+            L = int(lev_flat[k])
+            sb, c = divmod(int(k), ch)
+            C, D = _l2_cd(L)
+            if L in _L2_GROUP_BITS:
+                v = bits.read_matrix(offs[k] + grange, _L2_GROUP_BITS[L])
+                if int(v.max()) >= L * L * L:
+                    raise ValueError("mp3: grouped code out of range")
+                # first sample = lowest base-L digit
+                codes = np.stack([v % L, (v // L) % L, v // (L * L)], axis=1)
+                sq = C * ((codes - (L - 1)) / (L - 1) + D)
+            else:
+                b = L.bit_length()
+                pos = (offs[k] + grange)[:, None] + b * np.arange(3)
+                codes = bits.read_matrix(pos, b) ^ (1 << (b - 1))
+                sq = C * (codes * 2.0 ** (1 - b) - 1.0 + D)
+            S[36 * fi : 36 * (fi + 1), sb, c] = (
+                sq * scf_g[:, sb, c][:, None]
+            ).reshape(-1)
+        bits.pos += 12 * stride
     return S
 
 
@@ -778,18 +851,23 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
                     if idx > 62:
                         raise ValueError("mp3: forbidden scalefactor 63")
                     scf[sb, c] = _SCF_LAYER1[idx]
-        for s in range(12):
-            for sb in range(32):
-                for c in range(ch):
-                    b = int(nb[sb, c])
-                    if not b:
-                        continue
-                    code = bits.read(b) ^ (1 << (b - 1))
-                    lv = (1 << b) - 1
-                    sq = (1 << b) / lv * (
-                        code * 2.0 ** (1 - b) - 1.0 + 2.0 ** (1 - b)
-                    )
-                    S[12 * fi + s, sb, c] = sq * scf[sb, c]
+        # sample section: fixed layout once the allocation is known —
+        # sample (s, sb, c) sits at off(sb, c) + s * stride, so every
+        # coded subband extracts its 12 samples in one numpy gather
+        nb_flat = nb.reshape(-1)  # (sb, c) row-major = the spec's order
+        ends = np.cumsum(nb_flat)
+        offs, stride = ends - nb_flat, int(ends[-1])
+        srange = stride * np.arange(12, dtype=np.int64)
+        for k in np.flatnonzero(nb_flat):
+            b = int(nb_flat[k])
+            sb, c = divmod(int(k), ch)
+            codes = bits.read_matrix(offs[k] + srange, b) ^ (1 << (b - 1))
+            lv = (1 << b) - 1
+            sq = (1 << b) / lv * (
+                codes * 2.0 ** (1 - b) - 1.0 + 2.0 ** (1 - b)
+            )
+            S[12 * fi : 12 * (fi + 1), sb, c] = sq * scf[sb, c]
+        bits.pos += 12 * stride
 
     _A, G, _d = _filterbank()
     n_out = 12 * len(frames) * 32
