@@ -500,6 +500,25 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(jpeg_tiles, resize_to=64)
 
 
+def _await_stream(spark: SparkSession, start_fn, state_partitions: int = 8):
+    """Run an availableNow stateful stream to completion with a bounded
+    state-partition count.  The state store spawns one task per shuffle
+    partition per microbatch, and at gate-scale state (a few thousand
+    keys) those tasks are pure overhead: 64 -> 8 partitions measured
+    4.7 -> 2.1 s warm on stream_ingest_stats at sf0.1.  The partition
+    count is pinned by the query's FIRST run into its checkpoint — a
+    deployment sizes it to state volume, exactly like
+    spark.sql.shuffle.partitions for batch — so it must stay set until
+    the run completes (restoring right after start() would race the
+    stream thread's planning)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        start_fn().awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _capped_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(image_id, pk) for pk <= 60 — the shared driver of every per-pk
     media fixture (wav/gif/mp3/mp4/webm synth).  The filtered meta arrives
@@ -1122,12 +1141,14 @@ def q_stream_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("event_ts", TimestampType()),
         ]
     )
-    q = stream_ingest_stats(
-        spark, src, out, cp,
-        window="5 seconds", watermark="0 seconds",
-        event_time_col="event_ts", schema=sch,
+    _await_stream(
+        spark,
+        lambda: stream_ingest_stats(
+            spark, src, out, cp,
+            window="5 seconds", watermark="0 seconds",
+            event_time_col="event_ts", schema=sch,
+        ),
     )
-    q.awaitTermination()
     res = spark.read.parquet(out)
     base_s = F.unix_timestamp(F.to_timestamp(F.lit(base)))
     return res.select(
@@ -1202,8 +1223,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_dedup_gate_")
     src, out, cp = f"{tmp}/src", f"{tmp}/out", f"{tmp}/cp"
     meta.repartition(8).write.parquet(src)
-    q = stream_dedup_images(spark, src, out, cp)
-    q.awaitTermination()
+    _await_stream(spark, lambda: stream_dedup_images(spark, src, out, cp))
     return (
         spark.read.parquet(out)
         .groupBy("phash")
@@ -1240,8 +1260,7 @@ def q_stream_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # many files -> several microbatches (maxFilesPerTrigger=4), so most
     # images genuinely accumulate state across batches before completing
     tiles.repartition(16).write.parquet(src)
-    q = stream_image_completion(spark, src, out, cp, CFG)
-    q.awaitTermination()
+    _await_stream(spark, lambda: stream_image_completion(spark, src, out, cp, CFG))
     return spark.read.parquet(out).select("image_id", "n_tiles", "complete")
 
 

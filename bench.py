@@ -181,11 +181,7 @@ def main() -> None:
         "mp3_audio_l2",
         "stream_ingest_stats",
         "stream_dedup",
-        # stream_completion is driver-gated (exact oracle) but not timed
-        # here: its wall is ~40 s of fixed microbatch/state-store overhead
-        # at every SF, which would measure Structured Streaming's trigger
-        # machinery, not this engine (stream_ingest_stats + stream_dedup
-        # already time the streaming path)
+        "stream_completion",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}
