@@ -99,6 +99,21 @@ def test_ann_ivf_recall_and_determinism(spark, emb):
     assert again == {(r["qid"], r["rank"], r["vec_id"]) for r in ivf_rows}
 
 
+def test_ann_ivf_join_fallback_identical(spark, emb, monkeypatch):
+    """Past _IVF_LITERAL_CAP the literal plan falls back to the
+    broadcast-join formulation; the two plans must return the identical
+    ranked result set (same assignment, probing, and tie-breaks)."""
+    q = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select("vec_id", "embedding")
+    key = lambda r: (r["qid"], r["rank"], r["vec_id"])
+    lit = {key(r) for r in S.ann_ivf_topk(q, corpus, k=7, n_centroids=8, nprobe=3).collect()}
+    monkeypatch.setattr(S, "_IVF_LITERAL_CAP", 1)  # force the join plan
+    joined = {key(r) for r in S.ann_ivf_topk(q, corpus, k=7, n_centroids=8, nprobe=3).collect()}
+    assert joined == lit
+
+
 def test_ann_ivf_recall_monotone_in_nprobe(spark, emb):
     """Multiprobe contract: widening the probe set can only add candidate
     lists, so per-query recall vs brute force is monotone nondecreasing in

@@ -248,6 +248,62 @@ def _train_ivf(
     )
 
 
+# literal-plan size cap for ann_ivf_topk: n_centroids * dim double
+# literals beyond this fall back to the broadcast-join plan (a 16x64
+# bench quantizer is 1k literals; 1024x768 would be ~800k)
+_IVF_LITERAL_CAP = 32_768
+
+
+def _ann_ivf_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    nprobe: int,
+    q_cols: tuple[str, str],
+    c_cols: tuple[str, str],
+    ids: list[int],
+    C: list[list[float]],
+) -> DataFrame:
+    """Large-quantizer IVF plan: the trained centroids become a broadcast
+    relation; assignment is a broadcast join + max_by aggregation and
+    probe selection a per-query window.  Same semantics and tie-breaks
+    as the literal plan, one extra exchange each side — used when the
+    quantizer is too big to inline (see ``_IVF_LITERAL_CAP``)."""
+    qid, qvec = q_cols
+    cid, cvec = c_cols
+    cents = corpus.sparkSession.createDataFrame(
+        [(i, c) for i, c in zip(ids, C)], "cent_id int, cvec array<double>"
+    )
+    lists = (
+        corpus.join(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col(cvec), F.col("cvec")))
+        .groupBy(cid, cvec)
+        .agg(
+            F.max_by(
+                "cent_id",
+                F.struct("ccos", F.col("cent_id").cast("double") * -1),
+            ).alias("cent_id")
+        )
+    )
+    wq = Window.partitionBy(qid).orderBy(F.desc("ccos"), "cent_id")
+    probes = (
+        queries.join(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col(qvec), F.col("cvec")))
+        .withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select(qid, qvec, "cent_id")
+    )
+    scored = probes.join(lists, "cent_id").withColumn(
+        "cos", cosine(F.col(qvec), F.col(cvec))
+    )
+    w = Window.partitionBy(qid).orderBy(F.desc("cos"), F.col(cid))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid, "rank", cid, "cos")
+    )
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -262,19 +318,25 @@ def ann_ivf_topk(
     query scores only its ``nprobe`` nearest lists (~nprobe/n_centroids of
     the corpus).  (qid, rank, vec_id, cos).
 
-    The quantizer is TINY (n_centroids x dim doubles, trained driver-side
-    on a bounded sample), so both list assignment and probe selection
-    fold it into literal column expressions — one shuffle-free projection
-    per side, evaluated inside the scan.  The previous formulation spent
-    a corpus x centroids broadcast join + a full-corpus groupBy shuffle
-    on assignment and a window exchange on probe selection; the only
-    exchange left is the candidate join itself (plus the final per-query
-    rank).  Ties keep the contract: equal cosine -> smallest cent_id
-    (array_position returns the FIRST maximum; the sort comparator breaks
-    equal scores by ascending id)."""
+    When the quantizer is small (n_centroids x dim literals under
+    ``_IVF_LITERAL_CAP``), both list assignment and probe selection fold
+    it into literal column expressions — one shuffle-free projection per
+    side, evaluated inside the scan; the only exchanges left are the
+    candidate join and the final per-query rank.  A LARGE quantizer
+    (say 1024 lists x 768 dims) would bloat that plan with ~800k
+    literals, so past the cap the same semantics run as a broadcast join
+    + max_by aggregation instead — the knob trades plan size for one
+    extra exchange, never correctness.  Ties keep one contract in both
+    plans: equal cosine -> smallest cent_id (array_position returns the
+    FIRST maximum / max_by breaks ties on negated id; the probe sort
+    comparator breaks equal scores by ascending id)."""
     qid, qvec = q_cols
     cid, cvec = c_cols
     ids, C = _train_ivf(corpus, n_centroids, c_cols=c_cols)
+    if len(ids) * len(C[0]) > _IVF_LITERAL_CAP:
+        return _ann_ivf_topk_join(
+            queries, corpus, k, nprobe, q_cols, c_cols, ids, C
+        )
     cent_lits = [F.array(*[F.lit(x) for x in c]) for c in C]
     id_arr = F.array(*[F.lit(i) for i in ids])
 
