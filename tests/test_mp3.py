@@ -174,6 +174,47 @@ def test_l2_low_rate_tables_guarded():
         codec_mp3._l2_table(44100, 48)
 
 
+def _l2_single_frame(scfsi: int, scfs: list[int]) -> bytes:
+    """Hand-build one mono 48 kHz / 128 kbps Layer II frame coding only
+    subband 0 (allocation index 1 -> 3 grouped levels), with the given
+    scfsi and transmitted scalefactors — the decode paths our encoder
+    (always scfsi=0) never produces."""
+    table = codec_mp3._L2_TABLE_A
+    nbal = [len(lst).bit_length() - 1 for lst in table]
+    frame_len = 144 * 128000 // 48000
+    w = codec_mp3._BitWriter()
+    w.write(1, nbal[0])  # subband 0: allocation index 1
+    for sb in range(1, len(table)):
+        w.write(0, nbal[sb])
+    w.write(scfsi, 2)
+    for s in scfs:
+        w.write(s, 6)
+    for g in range(12):  # grouped codeword per granule, deterministic
+        w.write((g * 7) % 27, 5)
+    hdr = bytes([0xFF, 0xFD, (8 << 4) | (1 << 2), 0xC0])
+    return hdr + w.padded_to(frame_len - 4)
+
+
+def test_l2_scfsi_variants_decode_as_their_expansion():
+    """scfsi 1/2/3 compress the three per-part scalefactors; decoding
+    them must equal decoding the scfsi=0 frame carrying the expanded
+    triple (the spec's sharing table)."""
+    for scfsi, sent, expanded in (
+        (1, [5, 30], [5, 5, 30]),    # first covers parts 0+1
+        (2, [12], [12, 12, 12]),     # one for the whole frame
+        (3, [5, 30], [5, 30, 30]),   # second covers parts 1+2
+    ):
+        got, r1 = codec_mp3.decode_mp3(_l2_single_frame(scfsi, sent))
+        want, r2 = codec_mp3.decode_mp3(_l2_single_frame(0, expanded))
+        assert r1 == r2 == 48000
+        assert np.array_equal(got, want), scfsi
+    # and the three parts genuinely differ when the scfs differ, so the
+    # equality above cannot pass via an all-parts-identical accident
+    a, _ = codec_mp3.decode_mp3(_l2_single_frame(0, [5, 30, 50]))
+    b, _ = codec_mp3.decode_mp3(_l2_single_frame(2, [5]))
+    assert not np.array_equal(a, b)
+
+
 def test_l2_quant_class_constants():
     """C/D must match the published Table 3-B.4 decimals."""
     for levels, c_exp, d_exp in (
