@@ -19,6 +19,8 @@ import zlib
 
 import numpy as np
 
+from ._hardening import malformed_guard
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _COLOR_TYPE = {1: 0, 3: 2, 4: 6}           # channels -> PNG color type
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}        # PNG color type -> channels
@@ -94,6 +96,7 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+@malformed_guard("png")
 def decode_png(data: bytes) -> np.ndarray:
     """Decode 8-bit gray/GA/RGB/RGBA plus palette (type 3) PNGs; palettes
     support depths 1/2/4/8 and tRNS transparency — the common web-PNG
@@ -103,12 +106,22 @@ def decode_png(data: bytes) -> np.ndarray:
     pos, idat, w = 8, [], None
     plte = trns = None
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("png: truncated chunk header")
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length:
+            raise ValueError("png: truncated chunk payload")
         pos += 12 + length
         if tag == b"IHDR":
-            w, h, depth, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            if len(payload) < 13:
+                raise ValueError("png: short IHDR")
+            w, h, depth, ctype, _, _, interlace = struct.unpack(
+                ">IIBBBBB", payload[:13]
+            )
+            if w == 0 or h == 0:
+                raise ValueError("png: zero dimension")
             if interlace != 0 or (ctype in _CHANNELS and depth != 8):
                 raise ValueError("unsupported PNG variant")
             if ctype == 3:
@@ -129,11 +142,24 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    stride = (w * depth + 7) // 8 if ctype == 3 else w * c
+    # Decompression-bomb guard: the pixel-data size is fully determined
+    # by the header (h scanlines of 1 filter byte + stride), so cap the
+    # inflate at that size — a hostile IDAT can claim a 1032:1 DEFLATE
+    # ratio and a 100 MB chunk must not inflate to 100 GB on an executor.
+    expected = h * (1 + stride)
+    d = zlib.decompressobj()
+    buf = d.decompress(b"".join(idat), expected + 1)
+    if len(buf) > expected:
+        raise ValueError("png: pixel data exceeds declared dimensions")
+    if len(buf) < expected:
+        raise ValueError(
+            f"png: pixel data {len(buf)} bytes < declared {expected}"
+        )
+    raw = np.frombuffer(buf, dtype=np.uint8)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
-        stride = (w * depth + 7) // 8
         packed = _unfilter(raw, h, stride, 1)
         if depth == 8:
             idx = packed[:, :w]
@@ -142,6 +168,8 @@ def decode_png(data: bytes) -> np.ndarray:
             idx = bits.reshape(h, w, depth)
             weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
             idx = (idx * weights).sum(axis=2).astype(np.uint8)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("png: palette index out of range")
         rgb = plte[idx]  # (h, w, 3)
         if trns is not None:
             alpha = np.full(len(plte), 255, dtype=np.uint8)
@@ -161,6 +189,8 @@ def encode_raw(arr: np.ndarray) -> bytes:
 
 
 def decode_raw(data: bytes, w: int, h: int) -> np.ndarray:
+    if w <= 0 or h <= 0:
+        raise ValueError(f"raw: non-positive dims ({w}x{h})")
     n = len(data)
     c = n // (w * h)
     if c * w * h != n or c not in (1, 3, 4):

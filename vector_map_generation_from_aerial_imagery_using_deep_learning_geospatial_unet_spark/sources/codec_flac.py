@@ -41,6 +41,8 @@ import struct
 
 import numpy as np
 
+from ._hardening import malformed_guard
+
 _SYNC = 0b11111111111110
 
 # CRC tables generated from the spec polynomials (x^8+x^2+x+1 and
@@ -414,6 +416,7 @@ def _decode_subframe(br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
     return x << wasted
 
 
+@malformed_guard("flac")
 def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     """FLAC bytes -> (int32 samples (n, ch), sample_rate).  Verifies magic,
     CRC-8 per frame header, CRC-16 per frame."""

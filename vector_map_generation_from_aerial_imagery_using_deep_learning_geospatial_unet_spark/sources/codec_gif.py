@@ -15,6 +15,8 @@ import struct
 
 import numpy as np
 
+from ._hardening import malformed_guard
+
 
 # --------------------------------------------------------------------------- #
 # LZW
@@ -161,6 +163,7 @@ def _lzw_encode(min_code_size: int, indices: np.ndarray) -> bytes:
 _DEINTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+@malformed_guard("gif")
 def decode_gif(data: bytes):
     """-> (frames, delays_cs): frames are (h, w, 4) uint8 RGBA canvases
     after disposal compositing; delays in centiseconds (0 if absent)."""

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ._hardening import malformed_guard
+
 # --------------------------------------------------------------------------- #
 # constant tables (ITU T.81 Annex K)
 # --------------------------------------------------------------------------- #
@@ -444,6 +446,7 @@ def _decode_symbol(br: _BitReader, table: dict) -> int:
     raise ValueError("invalid huffman code in jpeg stream")
 
 
+@malformed_guard("jpeg")
 def decode_jpeg(data: bytes) -> np.ndarray:
     """Baseline JFIF bytes -> uint8 (h, w) or (h, w, 3)."""
     if data[:2] != b"\xff\xd8":

@@ -13,6 +13,8 @@ import struct
 
 import numpy as np
 
+from ._hardening import malformed_guard
+
 _DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
 
 
@@ -32,6 +34,7 @@ def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     return out
 
 
+@malformed_guard("wav")
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM bytes -> ((n, ch) int array, sample_rate)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -50,6 +53,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     if fmt_chunk is None or raw is None:
         raise ValueError("wav stream missing fmt/data chunk")
     audio_format, ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt_chunk[:16])
+    if ch == 0 or rate == 0:
+        # zeroed header fields divide downstream (frames//ch, n/rate)
+        raise ValueError(f"wav: zero channels/rate (ch={ch}, rate={rate})")
     if audio_format != 1:
         raise NotImplementedError(
             f"non-PCM wav (format {audio_format}) unsupported — stub territory"

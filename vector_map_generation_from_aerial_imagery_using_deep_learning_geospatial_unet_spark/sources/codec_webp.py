@@ -28,6 +28,8 @@ import struct
 
 import numpy as np
 
+from ._hardening import malformed_guard
+
 # code-length symbols are transmitted in this fixed order (spec 5.2.2)
 CODE_LENGTH_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
@@ -580,6 +582,7 @@ def _apply_color_indexing_inverse(
 # top-level decode
 # --------------------------------------------------------------------------- #
 
+@malformed_guard("vp8l")
 def decode_vp8l(payload: bytes) -> np.ndarray:
     """Decode a VP8L chunk payload -> (h, w, 3|4) uint8 (4 iff the header's
     alpha-hint bit is set)."""
@@ -669,6 +672,7 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
+@malformed_guard("webp")
 def decode_webp(data: bytes) -> np.ndarray:
     """Decode a WebP file (lossless/VP8L only — VP8 lossy is DCT-codec
     territory, documented out of scope like mp3/mp4)."""
