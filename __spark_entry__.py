@@ -665,6 +665,35 @@ def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.pixel_sums(imgs)
 
 
+def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row error-policy gate (operators/multimodal.py on_error):
+    every 4th image's payload is replaced with a hostile blob (valid PNG
+    magic, garbage body — exercising the hardened decoder, sources/
+    _hardening.py), then ``pixel_sums(on_error='quarantine')`` must
+    return the EXACT closed-form channel sums for every intact row and a
+    NULL-feature quarantine row (ok=false) for every corrupted one — one
+    bad payload never costs a good row, and never a task.  At 100 TB
+    this is the ingest posture: Spark's default exception->task-retry->
+    job-death path is not an option against a corpus that certainly
+    contains hostile bytes."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="rgb", limit=80)
+    pk = F.substring("image_id", 5, 18).cast("long")
+    corrupted = imgs.withColumn(
+        "bytes",
+        F.when(
+            pk % 4 == 0, F.lit(b"\x89PNG\r\n\x1a\nhostile-bytes")
+        ).otherwise(F.col("bytes")),
+    )
+    out = MM.pixel_sums(corrupted, on_error="quarantine")
+    return out.select(
+        "image_id", "n_px", "sum_r", "sum_g", "sum_b",
+        F.col("error").isNull().alias("ok"),
+    )
+
+
 def q_training_tensors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1-M5 tensor prep, exact-gated (round-3): the rgb x-side resizes
     from native dims through the real bilinear kernel (M3); the label
@@ -1301,6 +1330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_pixel_sums": q_multimodal_pixel_sums,
     "multimodal_webp": q_multimodal_webp,
+    "multimodal_quarantine": q_multimodal_quarantine,
     "cc_distributed": q_cc_distributed,
     "audio_features": q_audio_features,
     "gif_frames": q_gif_frames,
@@ -1444,6 +1474,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "skeletonize_bars": _skeletonize_bars_sql(),
         "skeletonize": _skeletonize_sql(),
         "multimodal_pixel_sums": _multimodal_pixel_sums_sql(),
+        "multimodal_quarantine": _multimodal_quarantine_sql(),
         "multimodal_webp": _multimodal_webp_sql(),
         "multimodal_features": _multimodal_features_sql(),
         "multimodal_jpeg": _multimodal_jpeg_sql(),
@@ -2168,6 +2199,35 @@ SELECT i.image_id,
   40 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 180 * bl.a - bl.b AS sum_r,
   57 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 153 * bl.a - bl.b AS sum_g,
   71 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 129 * bl.a - bl.b AS sum_b
+FROM imgs i
+JOIN rowsums rs USING (image_id)
+JOIN colsums cs USING (image_id)
+JOIN blob bl USING (image_id)"""
+    )
+
+
+def _multimodal_quarantine_sql() -> str:
+    """Twin of q_multimodal_quarantine: same closed-form sums as
+    _multimodal_pixel_sums_sql for intact rows (pk % 4 != 0), NULL
+    features + ok=false for the corrupted ones — the corruption rule is
+    pure arithmetic on pk, so the quarantine split is fully
+    oracle-checkable."""
+    return (
+        _rgb_sums_ctes(80)
+        + """
+SELECT i.image_id,
+  CASE WHEN i.pk % 4 = 0 THEN NULL
+       ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+  CASE WHEN i.pk % 4 = 0 THEN NULL
+       ELSE 40 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 180 * bl.a - bl.b
+       END AS sum_r,
+  CASE WHEN i.pk % 4 = 0 THEN NULL
+       ELSE 57 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 153 * bl.a - bl.b
+       END AS sum_g,
+  CASE WHEN i.pk % 4 = 0 THEN NULL
+       ELSE 71 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 129 * bl.a - bl.b
+       END AS sum_b,
+  (i.pk % 4 <> 0) AS ok
 FROM imgs i
 JOIN rowsums rs USING (image_id)
 JOIN colsums cs USING (image_id)

@@ -1,0 +1,151 @@
+"""Per-row error policy (on_error='fail'|'skip'|'quarantine') for the
+decode-stage operators (operators/multimodal.py).
+
+At 100 TB one hostile payload must not kill the job: Spark's default is
+UDF exception -> task failure -> retries -> job death.  The codecs
+guarantee bad bytes surface as ValueError/NotImplementedError
+(sources/_hardening.py, tests/test_codec_fuzz.py), which is what makes a
+precise per-row catch possible — anything else (a TypeError from an
+operator bug) still fails the task loudly under every policy.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import (
+    multimodal as MM,
+)
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import (
+    codec,
+    codec_wav,
+)
+
+pytestmark = pytest.mark.usefixtures("spark")
+
+
+def _images_df(spark, n_bad=2, n_good=3):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(n_good):
+        arr = rng.integers(0, 256, (10, 8, 3), dtype=np.uint8)
+        rows.append((f"good-{i}", codec.encode_png(arr), 8, 10, "png"))
+    for i in range(n_bad):
+        rows.append((f"bad-{i}", b"\x89PNG\r\n\x1a\ngarbage", 8, 10, "png"))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+    )
+
+
+def test_pixel_sums_fail_is_default(spark):
+    from pyspark.errors.exceptions.base import PySparkException
+
+    df = _images_df(spark)
+    with pytest.raises(PySparkException, match="truncated chunk"):
+        MM.pixel_sums(df).collect()
+
+
+def test_pixel_sums_skip(spark):
+    out = MM.pixel_sums(_images_df(spark), on_error="skip").collect()
+    assert sorted(r.image_id for r in out) == ["good-0", "good-1", "good-2"]
+
+
+def test_pixel_sums_quarantine(spark):
+    out = MM.pixel_sums(_images_df(spark), on_error="quarantine").collect()
+    assert len(out) == 5
+    by_id = {r.image_id: r for r in out}
+    for i in range(3):
+        r = by_id[f"good-{i}"]
+        assert r.error is None and r.sum_r is not None
+    for i in range(2):
+        r = by_id[f"bad-{i}"]
+        assert r.error is not None and r.error.startswith("ValueError")
+        assert r.n_px is None and r.sum_r is None
+
+
+def test_quarantine_sums_stay_exact_int(spark):
+    """int64 feature values must survive the nullable (object-dtype)
+    quarantine path bit-exactly — no float64 round trip."""
+    df = _images_df(spark, n_bad=1, n_good=3)
+    strict = {
+        r.image_id: (r.sum_r, r.sum_g, r.sum_b)
+        for r in MM.pixel_sums(df.filter("image_id like 'good%'")).collect()
+    }
+    quar = {
+        r.image_id: (r.sum_r, r.sum_g, r.sum_b)
+        for r in MM.pixel_sums(df, on_error="quarantine").collect()
+        if r.error is None
+    }
+    assert strict == quar
+
+
+def test_decode_features_quarantine(spark):
+    out = MM.decode_features(
+        _images_df(spark), on_error="quarantine"
+    ).collect()
+    bad = [r for r in out if r.error is not None]
+    assert len(bad) == 2 and all(r.mean_r is None for r in bad)
+
+
+def test_audio_features_skip_and_quarantine(spark):
+    pcm = np.rint(500 * np.sin(np.arange(800) * 0.1)).astype(np.int16)
+    rows = [
+        ("a-ok", codec_wav.encode_wav(pcm, 8000), "wav"),
+        ("a-bad", b"RIFF\x00\x00\x00\x00WAVEgarbage", "wav"),
+        ("a-unsup", b"whatever", "ogg"),  # NotImplementedError path
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+    )
+    skip = MM.audio_features(df, on_error="skip").collect()
+    assert [r.audio_id for r in skip] == ["a-ok"]
+    quar = {r.audio_id: r for r in MM.audio_features(df, on_error="quarantine").collect()}
+    assert quar["a-ok"].error is None
+    assert quar["a-bad"].error.startswith("ValueError")
+    assert quar["a-unsup"].error.startswith("NotImplementedError")
+
+
+def test_container_meta_quarantine(spark):
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import (
+        container_mp4,
+    )
+
+    samples = [bytes([i]) * 20 for i in range(5)]
+    good = container_mp4.build_mp4(samples, 32, 24, codec="avc1")
+    rows = [
+        ("m-ok", good, "mp4"),
+        ("m-bad", b"\x00\x00\x00\x08ftyp", "mp4"),
+        ("m-unk", b"x", "flv"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "bytes", "fmt"])
+    )
+    out = {r.media_id: r for r in MM.container_meta(df, on_error="quarantine").collect()}
+    assert out["m-ok"].error is None and out["m-ok"].n_samples == 5
+    assert out["m-bad"].error is not None
+    assert out["m-unk"].error is not None
+
+
+def test_frame_sample_skip_drops_bad_video(spark):
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import (
+        codec_gif,
+    )
+
+    pal = np.arange(256 * 3, dtype=np.uint8).reshape(256, 3)
+    fr = np.zeros((6, 7), dtype=np.uint8)
+    rows = [
+        ("v-ok", codec_gif.encode_gif([fr, fr], pal), "gif"),
+        ("v-bad", b"GIF89agarbage", "gif"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["video_id", "bytes", "fmt"])
+    )
+    out = MM.frame_sample(df, every_n=1, on_error="skip").collect()
+    assert {r.video_id for r in out} == {"v-ok"}
+    with pytest.raises(ValueError, match="on_error"):
+        MM.frame_sample(df, on_error="quarantine")
+
+
+def test_bad_mode_rejected_eagerly(spark):
+    with pytest.raises(ValueError, match="on_error"):
+        MM.pixel_sums(_images_df(spark), on_error="ignore")

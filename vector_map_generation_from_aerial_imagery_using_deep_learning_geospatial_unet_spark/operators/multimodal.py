@@ -40,6 +40,62 @@ REAL_FORMATS = {"png", "raw", "jpeg", "jpg", "gif", "webp"}  # sources/codec_*.p
 # :func:`container_meta` and the mp4/webm branch of :func:`frame_sample`.
 STUB_FORMATS = {"mp3", "mp4", "webm"}
 
+# Per-row error policy for the decode-stage operators.  At 100 TB ingest
+# a handful of hostile/corrupt payloads are certain, and the default
+# Spark behavior (UDF exception -> task failure -> 4 retries -> job
+# death) lets ONE bad row kill the whole job.  The codecs guarantee bad
+# bytes surface as exactly ValueError / NotImplementedError
+# (sources/_hardening.py + tests/test_codec_fuzz.py), so the policy can
+# catch precisely those and let genuine operator bugs stay loud:
+#
+# - 'fail'        (default) propagate — exact-oracle gates stay strict;
+# - 'skip'        drop the bad row from the output;
+# - 'quarantine'  append an ``error string`` column: bad rows carry
+#                 NULL features + "ExcType: message", good rows NULL
+#                 error — filter on it to route rows to a dead-letter
+#                 sink without a second decode pass.
+_ON_ERROR = ("fail", "skip", "quarantine")
+_ROW_ERRORS = (ValueError, NotImplementedError)
+
+
+def _check_on_error(on_error: str, allowed: tuple = _ON_ERROR) -> None:
+    if on_error not in allowed:
+        raise ValueError(
+            f"on_error must be one of {allowed}, got {on_error!r}"
+        )
+
+
+def _guarded_rows(pdf, one_row, id_col: str, n_pad: int, on_error: str):
+    """Run ``one_row`` per input row under the error policy.  Returns the
+    list of output tuples; in quarantine mode every tuple gains a final
+    error field (None for good rows)."""
+    rows = []
+    for r in pdf.itertuples(index=False):
+        try:
+            out = one_row(r)
+        except _ROW_ERRORS as e:
+            if on_error == "fail":
+                raise
+            if on_error == "skip":
+                continue
+            rows.append(
+                (getattr(r, id_col),)
+                + (None,) * n_pad
+                + (f"{type(e).__name__}: {e}",)
+            )
+            continue
+        rows.append(out + (None,) if on_error == "quarantine" else out)
+    return rows
+
+
+def _rows_frame(rows, columns, on_error: str) -> pd.DataFrame:
+    """Quarantined frames need object dtype: int columns with interleaved
+    None must reach Arrow as nullable ints, not float64 NaN (which loses
+    exactness for int64 sums and can refuse the long cast)."""
+    if on_error == "quarantine":
+        return pd.DataFrame(rows, columns=columns + ["error"], dtype=object)
+    return pd.DataFrame(rows, columns=columns)
+
 
 def _decode_payload(data: bytes, fmt: str, w: int, h: int, stub_ok: bool) -> np.ndarray:
     if fmt == "gif":  # still image = first frame (sources/codec_gif.py)
@@ -62,48 +118,51 @@ def _decode_payload(data: bytes, fmt: str, w: int, h: int, stub_ok: bool) -> np.
 
 
 def decode_features(
-    images: DataFrame, resize_to: int = 200, stub_ok: bool = False
+    images: DataFrame,
+    resize_to: int = 200,
+    stub_ok: bool = False,
+    on_error: str = "fail",
 ) -> DataFrame:
     """images -> per-row decoded features: resized thumbnail stats +
     channel means — the feature-extraction plumbing of a training-data
     pipeline (decode -> resize -> embed), with the embed step represented by
-    deterministic pixel statistics."""
+    deterministic pixel statistics.  ``on_error``: see module policy."""
+    _check_on_error(on_error)
+    cols = [
+        "image_id", "n_px", "mean_r", "mean_g", "mean_b",
+        "thumb_mean", "nonzero_frac",
+    ]
     schema = (
         "image_id string, n_px long, mean_r double, mean_g double, "
         "mean_b double, thumb_mean double, nonzero_frac double"
     )
+    if on_error == "quarantine":
+        schema += ", error string"
+
+    def one(r):
+        arr = _decode_payload(r.bytes, r.fmt, int(r.w), int(r.h), stub_ok)
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        thumb = resize_bilinear(arr, resize_to, resize_to)
+        return (
+            r.image_id,
+            int(arr.shape[0] * arr.shape[1]),
+            float(arr[:, :, 0].mean()),
+            float(arr[:, :, 1].mean()),
+            float(arr[:, :, 2].mean()),
+            float(thumb.mean()),
+            float((arr != 0).mean()),
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr = _decode_payload(r.bytes, r.fmt, int(r.w), int(r.h), stub_ok)
-                if arr.ndim == 2:
-                    arr = np.stack([arr] * 3, axis=-1)
-                thumb = resize_bilinear(arr, resize_to, resize_to)
-                rows.append(
-                    (
-                        r.image_id,
-                        int(arr.shape[0] * arr.shape[1]),
-                        float(arr[:, :, 0].mean()),
-                        float(arr[:, :, 1].mean()),
-                        float(arr[:, :, 2].mean()),
-                        float(thumb.mean()),
-                        float((arr != 0).mean()),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "image_id", "n_px", "mean_r", "mean_g", "mean_b",
-                    "thumb_mean", "nonzero_frac",
-                ],
-            )
+            rows = _guarded_rows(pdf, one, "image_id", 6, on_error)
+            yield _rows_frame(rows, cols, on_error)
 
     return images.mapInPandas(run, schema=schema)
 
 
-def pixel_sums(images: DataFrame) -> DataFrame:
+def pixel_sums(images: DataFrame, on_error: str = "fail") -> DataFrame:
     """Exact-decode gate: per-image integer channel sums.
 
     Every pixel of the decoded payload enters an int64 sum per channel, so
@@ -111,84 +170,86 @@ def pixel_sums(images: DataFrame) -> DataFrame:
     unfilter, channel order, blob overwrite) breaks the oracle — and the
     synthetic render_rgb content is closed-form, so the DuckDB twin
     computes the same sums from pure arithmetic (separable gradient +
-    rect overwrites)."""
+    rect overwrites).  ``on_error``: see module policy."""
+    _check_on_error(on_error)
+    cols = ["image_id", "n_px", "sum_r", "sum_g", "sum_b"]
     schema = (
         "image_id string, n_px long, sum_r long, sum_g long, sum_b long"
     )
+    if on_error == "quarantine":
+        schema += ", error string"
+
+    def one(r):
+        arr = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        s = arr.reshape(-1, arr.shape[2]).sum(axis=0, dtype=np.int64)
+        return (
+            r.image_id,
+            int(arr.shape[0] * arr.shape[1]),
+            int(s[0]), int(s[1]), int(s[2]),
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                arr = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
-                if arr.ndim == 2:
-                    arr = np.stack([arr] * 3, axis=-1)
-                s = arr.reshape(-1, arr.shape[2]).sum(axis=0, dtype=np.int64)
-                rows.append(
-                    (
-                        r.image_id,
-                        int(arr.shape[0] * arr.shape[1]),
-                        int(s[0]), int(s[1]), int(s[2]),
-                    )
-                )
-            yield pd.DataFrame(
-                rows, columns=["image_id", "n_px", "sum_r", "sum_g", "sum_b"]
-            )
+            rows = _guarded_rows(pdf, one, "image_id", 4, on_error)
+            yield _rows_frame(rows, cols, on_error)
 
     return images.mapInPandas(run, schema=schema)
 
 
-def audio_features(audio: DataFrame) -> DataFrame:
+def audio_features(audio: DataFrame, on_error: str = "fail") -> DataFrame:
     """Real audio path: per-row integer features — sample/channel counts,
     duration, sum|s|, strict zero-crossings of channel 0 — all exact ints
     so deterministic synth audio gets an exact SQL oracle.  An optional
     ``fmt`` column selects the codec: 'flac' (sources/codec_flac.py,
     lossless Rice/fixed-predictor decode) or PCM WAV (default) — both
     REAL from-scratch decoders, so the gate covers the full
-    encode -> shuffle -> decode path either way."""
+    encode -> shuffle -> decode path either way.  ``on_error``: see
+    module policy."""
     from ..sources import codec_flac, codec_mp3, codec_wav
 
+    _check_on_error(on_error)
     has_fmt = "fmt" in audio.columns
+    cols = [
+        "audio_id", "n_samples", "n_channels", "sample_rate",
+        "duration_ms", "sum_abs", "zero_crossings",
+    ]
     schema = (
         "audio_id string, n_samples long, n_channels int, sample_rate int, "
         "duration_ms long, sum_abs long, zero_crossings long"
     )
+    if on_error == "quarantine":
+        schema += ", error string"
+
+    def one(r):
+        fmt = r.fmt if has_fmt else "wav"
+        if fmt == "flac":
+            s, rate = codec_flac.decode_flac(bytes(r.bytes))
+        elif fmt == "mp3":
+            s, rate = codec_mp3.decode_mp3(bytes(r.bytes))
+        elif fmt == "wav":
+            s, rate = codec_wav.decode_wav(bytes(r.bytes))
+        else:
+            # explicit capability boundary: an unknown fmt must
+            # surface as such, not as a RIFF-magic error from the
+            # WAV decoder it silently fell into (round-3 ADVICE)
+            raise NotImplementedError(
+                f"audio_features: unsupported fmt {fmt!r} "
+                "(supported: wav, flac, mp3)"
+            )
+        c0 = s[:, 0].astype(np.int64)
+        zc = int(((c0[:-1] * c0[1:]) < 0).sum())
+        return (
+            r.audio_id, int(s.shape[0]), int(s.shape[1]), int(rate),
+            int(s.shape[0]) * 1000 // int(rate),
+            int(np.abs(s.astype(np.int64)).sum()), zc,
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                fmt = r.fmt if has_fmt else "wav"
-                if fmt == "flac":
-                    s, rate = codec_flac.decode_flac(bytes(r.bytes))
-                elif fmt == "mp3":
-                    s, rate = codec_mp3.decode_mp3(bytes(r.bytes))
-                elif fmt == "wav":
-                    s, rate = codec_wav.decode_wav(bytes(r.bytes))
-                else:
-                    # explicit capability boundary: an unknown fmt must
-                    # surface as such, not as a RIFF-magic error from the
-                    # WAV decoder it silently fell into (round-3 ADVICE)
-                    raise NotImplementedError(
-                        f"audio_features: unsupported fmt {fmt!r} "
-                        "(supported: wav, flac, mp3)"
-                    )
-                c0 = s[:, 0].astype(np.int64)
-                zc = int(((c0[:-1] * c0[1:]) < 0).sum())
-                rows.append(
-                    (
-                        r.audio_id, int(s.shape[0]), int(s.shape[1]), int(rate),
-                        int(s.shape[0]) * 1000 // int(rate),
-                        int(np.abs(s.astype(np.int64)).sum()), zc,
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "audio_id", "n_samples", "n_channels", "sample_rate",
-                    "duration_ms", "sum_abs", "zero_crossings",
-                ],
-            )
+            rows = _guarded_rows(pdf, one, "audio_id", 6, on_error)
+            yield _rows_frame(rows, cols, on_error)
 
     return audio.mapInPandas(run, schema=schema)
 
@@ -206,7 +267,9 @@ def _video_track_webm(info):
     return next((t for t in info.tracks if t.track_type == 1), info.tracks[0])
 
 
-def container_meta(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+def container_meta(
+    media: DataFrame, id_col: str = "media_id", on_error: str = "fail"
+) -> DataFrame:
     """REAL container-level metadata for mp3/mp4/webm payloads — the probe
     an ingest pipeline runs on every media blob before any decode: exact
     stream/sample counts, encoded byte totals, duration, dimensions or
@@ -219,69 +282,68 @@ def container_meta(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     mp4: first video track supplies codec/w/h/samples; duration from mvhd.
     webm: video TrackEntry + SimpleBlock walk.  mp3: frame walk (samples =
     frames, bytes = exact frame lengths).  Unknown fmt raises — silent
-    skips would undercount a corpus audit."""
+    skips would undercount a corpus audit (use ``on_error='quarantine'``
+    to keep the undercount VISIBLE: the probe stage is where a 100-TB
+    corpus audit should dead-letter its hostile blobs)."""
+    _check_on_error(on_error)
+    cols = [
+        id_col, "container", "codec", "n_streams", "w", "h",
+        "n_samples", "sum_sample_bytes", "duration_ms", "sample_rate",
+    ]
     schema = (
         f"{id_col} string, container string, codec string, n_streams int, "
         "w int, h int, n_samples long, sum_sample_bytes long, "
         "duration_ms long, sample_rate int"
     )
+    if on_error == "quarantine":
+        schema += ", error string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..sources import codec_mp3, container_mp4, container_webm
 
+        def one(r):
+            data, fmt = bytes(r.bytes), r.fmt
+            mid = getattr(r, id_col)
+            if fmt == "mp4":
+                info = container_mp4.probe_mp4(data)
+                vid = _video_track_mp4(info)
+                return (
+                    mid, "mp4", vid.codec, len(info.tracks),
+                    vid.width, vid.height, vid.n_samples,
+                    sum(vid.sample_sizes), info.duration_ms,
+                    vid.sample_rate,
+                )
+            if fmt == "webm":
+                info = container_webm.probe_webm(data)
+                vid = _video_track_webm(info)
+                blocks = [b for b in info.blocks if b.track == vid.number]
+                return (
+                    mid, "webm", vid.codec, len(info.tracks),
+                    vid.width, vid.height, len(blocks),
+                    sum(len(b.payload) for b in blocks),
+                    info.duration_ms, vid.sample_rate,
+                )
+            if fmt == "mp3":
+                info = codec_mp3.probe_mp3(data)
+                return (
+                    mid, "mp3", "mp3", 1, 0, 0, info.n_frames,
+                    info.total_bytes, info.duration_ms,
+                    info.sample_rate,
+                )
+            raise ValueError(f"container_meta: unsupported fmt {fmt!r}")
+
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                data, fmt = bytes(r.bytes), r.fmt
-                mid = getattr(r, id_col)
-                if fmt == "mp4":
-                    info = container_mp4.probe_mp4(data)
-                    vid = _video_track_mp4(info)
-                    rows.append(
-                        (
-                            mid, "mp4", vid.codec, len(info.tracks),
-                            vid.width, vid.height, vid.n_samples,
-                            sum(vid.sample_sizes), info.duration_ms,
-                            vid.sample_rate,
-                        )
-                    )
-                elif fmt == "webm":
-                    info = container_webm.probe_webm(data)
-                    vid = _video_track_webm(info)
-                    blocks = [b for b in info.blocks if b.track == vid.number]
-                    rows.append(
-                        (
-                            mid, "webm", vid.codec, len(info.tracks),
-                            vid.width, vid.height, len(blocks),
-                            sum(len(b.payload) for b in blocks),
-                            info.duration_ms, vid.sample_rate,
-                        )
-                    )
-                elif fmt == "mp3":
-                    info = codec_mp3.probe_mp3(data)
-                    rows.append(
-                        (
-                            mid, "mp3", "mp3", 1, 0, 0, info.n_frames,
-                            info.total_bytes, info.duration_ms,
-                            info.sample_rate,
-                        )
-                    )
-                else:
-                    raise ValueError(f"container_meta: unsupported fmt {fmt!r}")
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    id_col, "container", "codec", "n_streams", "w", "h",
-                    "n_samples", "sum_sample_bytes", "duration_ms",
-                    "sample_rate",
-                ],
-            )
+            rows = _guarded_rows(pdf, one, id_col, 9, on_error)
+            yield _rows_frame(rows, cols, on_error)
 
     return media.mapInPandas(run, schema=schema)
 
 
 def frame_sample(
-    videos: DataFrame, every_n: int = 10, stub_ok: bool = True
+    videos: DataFrame,
+    every_n: int = 10,
+    stub_ok: bool = True,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Video/animation rows -> one row per sampled frame.
 
@@ -292,61 +354,76 @@ def frame_sample(
     container_webm.py SimpleBlock walk; frame_bytes = the encoded codec
     payload, NOT pixels — pixel decode stays codec-library-bound).  A
     ``fmt`` column is optional; absent means the deterministic stub
-    (round-1 schema, keyed by payload+frame_idx)."""
+    (round-1 schema, keyed by payload+frame_idx).
+
+    ``on_error`` supports 'fail'/'skip' only: a multi-row-per-input
+    extractor has no single quarantine row shape — dead-letter at the
+    probe stage instead (``container_meta(on_error='quarantine')``),
+    then frame-sample the surviving rows with 'skip' as a belt."""
+    _check_on_error(on_error, allowed=("fail", "skip"))
     schema = "video_id string, frame_idx int, frame_bytes binary, w int, h int"
     has_fmt = "fmt" in videos.columns
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..sources import codec_gif, container_mp4, container_webm
 
+        def one(r) -> list:
+            fmt = getattr(r, "fmt", "") if has_fmt else ""
+            out = []
+            if fmt == "gif":
+                frames, _ = codec_gif.decode_gif(bytes(r.bytes))
+                for fi in range(0, len(frames), every_n):
+                    fr = frames[fi][:, :, :3]
+                    out.append(
+                        (
+                            r.video_id, fi,
+                            zlib.compress(np.ascontiguousarray(fr).tobytes(), 1),
+                            fr.shape[1], fr.shape[0],
+                        )
+                    )
+                return out
+            if fmt == "mp4":
+                info = container_mp4.probe_mp4(bytes(r.bytes))
+                vid = _video_track_mp4(info)
+                samples = container_mp4.extract_samples(bytes(r.bytes), vid)
+                for fi in range(0, len(samples), every_n):
+                    out.append(
+                        (r.video_id, fi, samples[fi], vid.width, vid.height)
+                    )
+                return out
+            if fmt == "webm":
+                info = container_webm.probe_webm(bytes(r.bytes))
+                vid = _video_track_webm(info)
+                blocks = [b for b in info.blocks if b.track == vid.number]
+                for fi in range(0, len(blocks), every_n):
+                    out.append(
+                        (
+                            r.video_id, fi, blocks[fi].payload,
+                            vid.width, vid.height,
+                        )
+                    )
+                return out
+            n_frames = int(r.n_frames)
+            for fi in range(0, n_frames, every_n):
+                seed = int.from_bytes(
+                    hashlib.md5(bytes(r.bytes) + fi.to_bytes(4, "big")).digest()[:4],
+                    "big",
+                )
+                rng = np.random.RandomState(seed)
+                frame = rng.randint(0, 256, size=(int(r.h), int(r.w), 3), dtype=np.uint8)
+                out.append(
+                    (r.video_id, fi, zlib.compress(frame.tobytes(), 1), int(r.w), int(r.h))
+                )
+            return out
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                fmt = getattr(r, "fmt", "") if has_fmt else ""
-                if fmt == "gif":
-                    frames, _ = codec_gif.decode_gif(bytes(r.bytes))
-                    for fi in range(0, len(frames), every_n):
-                        fr = frames[fi][:, :, :3]
-                        rows.append(
-                            (
-                                r.video_id, fi,
-                                zlib.compress(np.ascontiguousarray(fr).tobytes(), 1),
-                                fr.shape[1], fr.shape[0],
-                            )
-                        )
-                    continue
-                if fmt == "mp4":
-                    info = container_mp4.probe_mp4(bytes(r.bytes))
-                    vid = _video_track_mp4(info)
-                    samples = container_mp4.extract_samples(bytes(r.bytes), vid)
-                    for fi in range(0, len(samples), every_n):
-                        rows.append(
-                            (r.video_id, fi, samples[fi], vid.width, vid.height)
-                        )
-                    continue
-                if fmt == "webm":
-                    info = container_webm.probe_webm(bytes(r.bytes))
-                    vid = _video_track_webm(info)
-                    blocks = [b for b in info.blocks if b.track == vid.number]
-                    for fi in range(0, len(blocks), every_n):
-                        rows.append(
-                            (
-                                r.video_id, fi, blocks[fi].payload,
-                                vid.width, vid.height,
-                            )
-                        )
-                    continue
-                n_frames = int(r.n_frames)
-                for fi in range(0, n_frames, every_n):
-                    seed = int.from_bytes(
-                        hashlib.md5(bytes(r.bytes) + fi.to_bytes(4, "big")).digest()[:4],
-                        "big",
-                    )
-                    rng = np.random.RandomState(seed)
-                    frame = rng.randint(0, 256, size=(int(r.h), int(r.w), 3), dtype=np.uint8)
-                    rows.append(
-                        (r.video_id, fi, zlib.compress(frame.tobytes(), 1), int(r.w), int(r.h))
-                    )
+                try:
+                    rows.extend(one(r))
+                except _ROW_ERRORS:
+                    if on_error == "fail":
+                        raise
             yield pd.DataFrame(
                 rows, columns=["video_id", "frame_idx", "frame_bytes", "w", "h"]
             )
@@ -364,7 +441,10 @@ MJPEG_CODECS = {"jpeg", "mjpa", "V_MJPEG"}
 
 
 def video_decode_frames(
-    videos: DataFrame, every_n: int = 1, id_col: str = "video_id"
+    videos: DataFrame,
+    every_n: int = 1,
+    id_col: str = "video_id",
+    on_error: str = "fail",
 ) -> DataFrame:
     """REAL video PIXEL decode for Motion-JPEG tracks, mp4 and webm.
 
@@ -380,7 +460,10 @@ def video_decode_frames(
     boundary is per-track codec id, not container format.
 
     Output: (id, frame_idx, fw, fh, n_px, sum_px).
-    """
+
+    ``on_error`` supports 'fail'/'skip' (multi-row output — quarantine
+    belongs at the probe stage, see :func:`frame_sample`)."""
+    _check_on_error(on_error, allowed=("fail", "skip"))
     schema = (
         f"{id_col} string, frame_idx int, fw int, fh int, "
         "n_px long, sum_px long"
@@ -389,40 +472,49 @@ def video_decode_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..sources import codec_jpeg, container_mp4, container_webm
 
+        def one(r) -> list:
+            data, mid = bytes(r.bytes), getattr(r, id_col)
+            if r.fmt == "mp4":
+                info = container_mp4.probe_mp4(data)
+                vid = _video_track_mp4(info)
+                codec_id = vid.codec
+                samples = container_mp4.extract_samples(data, vid)
+            elif r.fmt == "webm":
+                winfo = container_webm.probe_webm(data)
+                wvid = _video_track_webm(winfo)
+                codec_id = wvid.codec
+                samples = [
+                    b.payload for b in winfo.blocks if b.track == wvid.number
+                ]
+            else:
+                raise ValueError(
+                    f"video_decode_frames: unsupported container {r.fmt!r}"
+                )
+            if codec_id not in MJPEG_CODECS:
+                raise NotImplementedError(
+                    f"pixel decode for codec {codec_id!r} is "
+                    "codec-library-bound; only Motion-JPEG tracks "
+                    f"({sorted(MJPEG_CODECS)}) decode for real"
+                )
+            out = []
+            for fi in range(0, len(samples), every_n):
+                arr = codec_jpeg.decode_jpeg(samples[fi])
+                out.append(
+                    (
+                        mid, fi, arr.shape[1], arr.shape[0],
+                        int(arr.size), int(arr.sum(dtype=np.int64)),
+                    )
+                )
+            return out
+
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                data, mid = bytes(r.bytes), getattr(r, id_col)
-                if r.fmt == "mp4":
-                    info = container_mp4.probe_mp4(data)
-                    vid = _video_track_mp4(info)
-                    codec_id = vid.codec
-                    samples = container_mp4.extract_samples(data, vid)
-                elif r.fmt == "webm":
-                    winfo = container_webm.probe_webm(data)
-                    wvid = _video_track_webm(winfo)
-                    codec_id = wvid.codec
-                    samples = [
-                        b.payload for b in winfo.blocks if b.track == wvid.number
-                    ]
-                else:
-                    raise ValueError(
-                        f"video_decode_frames: unsupported container {r.fmt!r}"
-                    )
-                if codec_id not in MJPEG_CODECS:
-                    raise NotImplementedError(
-                        f"pixel decode for codec {codec_id!r} is "
-                        "codec-library-bound; only Motion-JPEG tracks "
-                        f"({sorted(MJPEG_CODECS)}) decode for real"
-                    )
-                for fi in range(0, len(samples), every_n):
-                    arr = codec_jpeg.decode_jpeg(samples[fi])
-                    rows.append(
-                        (
-                            mid, fi, arr.shape[1], arr.shape[0],
-                            int(arr.size), int(arr.sum(dtype=np.int64)),
-                        )
-                    )
+                try:
+                    rows.extend(one(r))
+                except _ROW_ERRORS:
+                    if on_error == "fail":
+                        raise
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "frame_idx", "fw", "fh", "n_px", "sum_px"],
@@ -436,7 +528,9 @@ def video_decode_frames(
 PCM_CODECS = {"sowt": "<i2", "twos": ">i2"}
 
 
-def audio_track_pcm(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+def audio_track_pcm(
+    media: DataFrame, id_col: str = "media_id", on_error: str = "fail"
+) -> DataFrame:
     """REAL PCM audio-track decode out of MP4 containers.
 
     Walks the moov for the first ``soun`` handler track (exercising
@@ -446,48 +540,48 @@ def audio_track_pcm(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     raise — the honest capability boundary), and emits exact integer
     features per file: (id, sample_rate, n_samples, sum_s, min_s, max_s,
     sum_abs).  All-integer outputs make the gate byte-exact end-to-end.
-    """
+    ``on_error``: see module policy."""
+    _check_on_error(on_error)
+    cols = [
+        id_col, "sample_rate", "n_samples", "sum_s",
+        "min_s", "max_s", "sum_abs",
+    ]
     schema = (
         f"{id_col} string, sample_rate int, n_samples long, sum_s long, "
         "min_s int, max_s int, sum_abs long"
     )
+    if on_error == "quarantine":
+        schema += ", error string"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..sources import container_mp4
 
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                data, mid = bytes(r.bytes), getattr(r, id_col)
-                info = container_mp4.probe_mp4(data)
-                aud = next(
-                    (t for t in info.tracks if t.handler == "soun"), None
-                )
-                if aud is None:
-                    raise ValueError(f"audio_track_pcm: no soun track in {mid}")
-                if aud.codec not in PCM_CODECS:
-                    raise NotImplementedError(
-                        f"audio decode for codec {aud.codec!r} is "
-                        "codec-library-bound; only PCM sample entries "
-                        f"({sorted(PCM_CODECS)}) decode for real"
-                    )
-                pcm = b"".join(container_mp4.extract_samples(data, aud))
-                s = np.frombuffer(pcm, dtype=PCM_CODECS[aud.codec]).astype(
-                    np.int64
-                )
-                rows.append(
-                    (
-                        mid, aud.sample_rate, int(s.size),
-                        int(s.sum()), int(s.min()), int(s.max()),
-                        int(np.abs(s).sum()),
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    id_col, "sample_rate", "n_samples", "sum_s",
-                    "min_s", "max_s", "sum_abs",
-                ],
+        def one(r):
+            data, mid = bytes(r.bytes), getattr(r, id_col)
+            info = container_mp4.probe_mp4(data)
+            aud = next(
+                (t for t in info.tracks if t.handler == "soun"), None
             )
+            if aud is None:
+                raise ValueError(f"audio_track_pcm: no soun track in {mid}")
+            if aud.codec not in PCM_CODECS:
+                raise NotImplementedError(
+                    f"audio decode for codec {aud.codec!r} is "
+                    "codec-library-bound; only PCM sample entries "
+                    f"({sorted(PCM_CODECS)}) decode for real"
+                )
+            pcm = b"".join(container_mp4.extract_samples(data, aud))
+            s = np.frombuffer(pcm, dtype=PCM_CODECS[aud.codec]).astype(
+                np.int64
+            )
+            return (
+                mid, aud.sample_rate, int(s.size),
+                int(s.sum()), int(s.min()), int(s.max()),
+                int(np.abs(s).sum()),
+            )
+
+        for pdf in batches:
+            rows = _guarded_rows(pdf, one, id_col, 6, on_error)
+            yield _rows_frame(rows, cols, on_error)
 
     return media.mapInPandas(run, schema=schema)
