@@ -149,3 +149,32 @@ def test_frame_sample_skip_drops_bad_video(spark):
 def test_bad_mode_rejected_eagerly(spark):
     with pytest.raises(ValueError, match="on_error"):
         MM.pixel_sums(_images_df(spark), on_error="ignore")
+
+
+def test_slice_tiles_skip_drops_bad_image(spark):
+    """The tiling path (the north-star ingest) honors skip: a corrupt
+    image contributes zero tiles, intact images tile normally."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.config import (
+        EngineConfig,
+    )
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import (
+        raster,
+    )
+
+    cfg = EngineConfig(tile_size=8, overlap_px=0)
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 2, (16, 16), dtype=np.uint8)
+    rows = [
+        ("img-ok", codec.encode_png(arr), 16, 16, 0.0, 0.0, "png"),
+        ("img-bad", b"\x89PNG\r\n\x1a\nnope", 16, 16, 0.0, 0.0, "png"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            rows, columns=["image_id", "bytes", "w", "h", "ulx", "uly", "fmt"]
+        )
+    )
+    out = raster.slice_tiles(df, cfg, on_error="skip").collect()
+    assert {r.image_id for r in out} == {"img-ok"}
+    assert len(out) == 4  # 16/8 x 16/8
+    with pytest.raises(ValueError, match="on_error"):
+        raster.slice_tiles(df, cfg, on_error="quarantine")

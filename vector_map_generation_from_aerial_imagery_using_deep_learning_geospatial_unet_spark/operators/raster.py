@@ -22,6 +22,8 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import kernels_morph as km
 from ..functions import kernels_vector as kv
 from ..sources import codec
+from ._policy import ROW_ERRORS as _ROW_ERRORS
+from ._policy import check_on_error as _check_on_error
 
 TILE_SCHEMA = (
     "image_id string, tile_id string, tiy int, tix int, off_x int, off_y int, "
@@ -34,6 +36,7 @@ def slice_tiles(
     cfg: EngineConfig = DEFAULT_CONFIG,
     overlap: int | None = None,
     tile_fmt: str = "png",
+    on_error: str = "fail",
 ) -> DataFrame:
     """O2/O3 pixel path: decode each image once, emit one row per tile with
     the window's encoded pixels (createTile's ReadRaster window copy,
@@ -47,7 +50,15 @@ def slice_tiles(
     grid) — here each image crosses the JVM->Python pipe exactly once and the
     windows are sliced as numpy views.  Tile payloads are re-encoded at zlib
     level 1: lossless, and this is an intermediate hop, not a durable sink.
+
+    ``on_error='skip'`` drops images whose payload fails to decode
+    (ValueError/NotImplementedError per the codec contract,
+    operators/_policy.py) instead of failing the task — the tiling twin
+    of the multimodal dead-letter policy; quarantine the corpus first
+    with ``multimodal.pixel_sums(on_error='quarantine')`` when the bad
+    rows themselves must be accounted for.
     """
+    _check_on_error(on_error, allowed=("fail", "skip"))
     t = cfg.tile_size
     ov = cfg.overlap_px if overlap is None else overlap
     step = t - ov
@@ -75,7 +86,12 @@ def slice_tiles(
             }
             for r in pdf.itertuples(index=False):
                 w, h = int(r.w), int(r.h)
-                arr = codec.decode(r.bytes, r.fmt, w, h)
+                try:
+                    arr = codec.decode(r.bytes, r.fmt, w, h)
+                except _ROW_ERRORS:
+                    if on_error == "fail":
+                        raise
+                    continue  # decode precedes every append: no partial image
                 # O1 closed form (bf_gridding.py:104-120)
                 nx = 1 + (max(w - t, 0) + step - 1) // step
                 ny = 1 + (max(h - t, 0) + step - 1) // step
