@@ -182,6 +182,8 @@ def main() -> None:
         "stream_ingest_stats",
         "stream_dedup",
         "stream_completion",
+        # round-4 continuation: decode with per-row quarantine policy
+        "multimodal_quarantine",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -151,6 +151,22 @@ def test_bad_mode_rejected_eagerly(spark):
         MM.pixel_sums(_images_df(spark), on_error="ignore")
 
 
+def test_quarantine_stats_census(spark):
+    pcm = np.rint(500 * np.sin(np.arange(800) * 0.1)).astype(np.int16)
+    rows = [
+        ("a-ok", codec_wav.encode_wav(pcm, 8000), "wav"),
+        ("a-bad1", b"RIFF\x00\x00\x00\x00WAVEgarbage", "wav"),
+        ("a-bad2", b"RIFF\x00\x00\x00\x00WAVEgarbage2", "wav"),
+        ("a-unsup", b"whatever", "ogg"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+    )
+    quar = MM.audio_features(df, on_error="quarantine")
+    census = {r.error_type: r.n for r in MM.quarantine_stats(quar).collect()}
+    assert census == {"ValueError": 2, "NotImplementedError": 1}
+
+
 def test_slice_tiles_skip_drops_bad_image(spark):
     """The tiling path (the north-star ingest) honors skip: a corrupt
     image contributes zero tiles, intact images tile normally."""

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..functions.kernels_resample import resize_bilinear
 from ..sources import codec
@@ -48,6 +49,20 @@ from ._policy import (
     guarded_rows as _guarded_rows,
     rows_frame as _rows_frame,
 )
+
+
+def quarantine_stats(df: DataFrame) -> DataFrame:
+    """Dead-letter observability: (error_type, n) over a quarantined
+    output — the per-exception-type census an ingest audit reports
+    alongside its good-row counts.  Pure groupBy; the error column's
+    "ExcType: message" prefix is split JVM-side."""
+    return (
+        df.filter(F.col("error").isNotNull())
+        .groupBy(
+            F.substring_index(F.col("error"), ":", 1).alias("error_type")
+        )
+        .agg(F.count("*").alias("n"))
+    )
 
 
 def _decode_payload(data: bytes, fmt: str, w: int, h: int, stub_ok: bool) -> np.ndarray:
