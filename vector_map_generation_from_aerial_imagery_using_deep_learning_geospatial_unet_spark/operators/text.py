@@ -165,35 +165,61 @@ def minhash_signature_sql() -> str:
     return _minhash_ctes() + "\nSELECT * FROM sig"
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """Distinct (cid_a < cid_b) pairs sharing at least one LSH band."""
+def lsh_candidate_pairs(
+    sig: DataFrame, max_bucket: int | None = None
+) -> DataFrame:
+    """Distinct (cid_a < cid_b) pairs sharing at least one LSH band.
+
+    Plan shape matters here: the naive formulation (union of per-band
+    projections, self-joined on (band, bkey)) re-evaluates the ENTIRE
+    upstream signature aggregation — shingle explode + k-way min — once
+    per band per join side (8x at BANDS=4; Catalyst reuses neither
+    common subtrees nor, pre-AQE, their exchanges).  Instead: project
+    all band structs from ONE sig lineage and explode (one aggregation
+    total), bucket by (band, bkey) with a sorted collect_list, and
+    enumerate the i<j pairs inside each bucket array — the same
+    candidate set, one pass over the corpus, and one fewer shuffle than
+    the self-join (no join exchange, just the bucket groupBy).
+
+    ``max_bucket`` (optional) drops buckets larger than the cap before
+    pair expansion: a degenerate bucket of B near-identical docs emits
+    B(B-1)/2 pairs under EITHER formulation, and at corpus scale such
+    buckets are exact-dup clusters better handled by
+    :func:`exact_dedup`.  Default None preserves exact oracle parity.
+    """
     rows_per_band = N_MINHASH // BANDS
-    bands = []
+    band_structs = []
     for band in range(BANDS):
         cols = [f"mh_{band * rows_per_band + r}" for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "cid",
+        band_structs.append(
+            F.struct(
                 F.lit(band).alias("band"),
                 F.md5(F.concat_ws(",", *cols)).alias("bkey"),
             )
         )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
-    left = all_bands.alias("l")
-    right = all_bands.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bkey") == F.col("r.bkey"))
-            & (F.col("l.cid") < F.col("r.cid")),
+    bands = sig.select(
+        "cid", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("cid", "bb.band", "bb.bkey")
+    buckets = (
+        bands.groupBy("band", "bkey")
+        .agg(F.sort_array(F.collect_list("cid")).alias("cids"))
+        .filter(F.size("cids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("cids") <= max_bucket)
+    return (
+        buckets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(cids, (x, i) -> "
+                    "transform(slice(cids, i + 2, size(cids)), "
+                    "y -> struct(x AS cid_a, y AS cid_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("l.cid").alias("cid_a"), F.col("r.cid").alias("cid_b"))
+        .select("p.cid_a", "p.cid_b")
         .distinct()
     )
-    return pairs
 
 
 def _lsh_ctes() -> str:
