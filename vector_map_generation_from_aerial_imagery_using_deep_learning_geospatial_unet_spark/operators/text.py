@@ -21,7 +21,7 @@ reconstructs identically.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 P = 2147483647  # 2^31 - 1
@@ -93,17 +93,21 @@ def shingles(text: Column, n: int = SHINGLE) -> Column:
 # --------------------------------------------------------------------------- #
 
 def exact_dedup(c: DataFrame) -> DataFrame:
-    """(cid, content_hash, group_size, canonical_cid, is_dup)."""
-    h = c.withColumn("content_hash", F.md5("text"))
-    g = h.groupBy("content_hash").agg(
-        F.count("*").alias("group_size"), F.min("cid").alias("canonical_cid")
-    )
-    return h.join(g, "content_hash").select(
+    """(cid, content_hash, group_size, canonical_cid, is_dup).
+
+    Group stats ride a window over ``content_hash`` rather than a
+    groupBy + join-back: the join formulation evaluates the corpus
+    lineage twice (two full reads at cluster scale) and shuffles both
+    sides; the window is one read and one exchange, and the group's
+    count/min are computed in the same pass that annotates each row."""
+    w = Window.partitionBy("content_hash")
+    return c.withColumn("content_hash", F.md5("text")).select(
         "cid",
         "content_hash",
-        "group_size",
-        "canonical_cid",
-        (F.col("cid") != F.col("canonical_cid")).alias("is_dup"),
+        F.count("*").over(w).alias("group_size"),
+        F.min("cid").over(w).alias("canonical_cid"),
+    ).withColumn(
+        "is_dup", F.col("cid") != F.col("canonical_cid")
     )
 
 
