@@ -208,3 +208,41 @@ def test_ann_ivf_no_assignment_shuffle(spark):
     assert "Exchange" not in tree[first:second]
     # exactly the one deliberate spread shuffle below both Python stages
     assert tree.count("Exchange") == 1
+
+
+def test_lsh_pairs_single_corpus_pass(spark):
+    """LSH banding must NOT re-evaluate the signature aggregation per band
+    per join side (the union-self-join shape cost 8 corpus passes): one
+    sig lineage, band structs exploded from it, pairs enumerated inside
+    the (band, bkey) buckets.  Pinned: one FileScan of the documents
+    table, no join operator at all."""
+    import re
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    c = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id AS cid", "text"
+    )
+    p = plan(T.lsh_candidate_pairs(T.minhash_signature(c)))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert not re.findall(
+        r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p
+    ), p
+
+
+def test_exact_dedup_one_pass_one_exchange(spark):
+    """Group stats ride a window, not a groupBy + join-back: one scan of
+    the corpus, one exchange, no join."""
+    import re
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import text as T
+
+    c = spark.read.parquet(f"{SF}/documents.parquet").selectExpr(
+        "doc_id AS cid", "text"
+    )
+    p = plan(T.exact_dedup(c))
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert not re.findall(
+        r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p
+    ), p
