@@ -675,7 +675,10 @@ def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad payload never costs a good row, and never a task.  At 100 TB
     this is the ingest posture: Spark's default exception->task-retry->
     job-death path is not an option against a corpus that certainly
-    contains hostile bytes."""
+    contains hostile bytes.  Reference analogue: the ingest loop opens
+    every raster GDAL can parse (/root/reference/src/io.py:41-63) and a
+    single unreadable file aborts the run — the engine upgrades that to
+    an accounted-for dead-letter row."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
 
