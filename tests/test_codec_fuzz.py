@@ -245,3 +245,78 @@ def test_jpeg_truncated_entropy_segment():
     i = blob.find(b"\xff\xda")  # SOS
     assert i > 0
     _probe(codec_jpeg.decode_jpeg, blob[: i + 20])
+
+
+# ------------------------------------------------ shapefile reader fuzz
+# The .shp/.dbf reader is a binary parser like any codec here — and it
+# reads files a reference user's GIS tooling produced, i.e. bytes this
+# engine does not control.
+
+
+def _valid_shp(tmp_path) -> str:
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions import (
+        shapefile as shp,
+    )
+
+    ring = np.array(
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 3.0], [0.0, 3.0], [0.0, 0.0]]
+    )
+    base = str(tmp_path / "fz")
+    shp.write_polygon_shapefile(
+        base,
+        [([ring], {"id": 1, "area": 12.0}), ([ring + 10], {"id": 2, "area": 12.0})],
+    )
+    return base
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_fuzz_shapefile_reader(tmp_path_factory, data):
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions import (
+        shapefile as shp,
+    )
+
+    base = _valid_shp(tmp_path_factory.mktemp("shpfuzz"))
+    for ext in (".shp", ".dbf"):
+        blob = open(base + ext, "rb").read()
+        mode = data.draw(st.sampled_from(["trunc", "flip"]))
+        if mode == "trunc":
+            mut = blob[: data.draw(st.integers(0, len(blob) - 1))]
+        else:
+            b = bytearray(blob)
+            for _ in range(data.draw(st.integers(1, 8))):
+                i = data.draw(st.integers(0, len(b) - 1))
+                b[i] = data.draw(st.integers(0, 255))
+            mut = bytes(b)
+        open(base + ext, "wb").write(mut)
+        try:
+            list(shp.read_polygon_shapefile(base))
+        except _ALLOWED:
+            pass
+        open(base + ext, "wb").write(blob)  # restore for the other ext
+
+
+def test_shapefile_negative_record_length_no_hang(tmp_path):
+    """A forged non-positive record length must raise, not walk the
+    cursor backwards forever."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions import (
+        shapefile as shp,
+    )
+
+    base = _valid_shp(tmp_path)
+    blob = bytearray(open(base + ".shp", "rb").read())
+    # first record header at offset 100: words 4..8 are the content length
+    blob[104:108] = (0x80000000).to_bytes(4, "big")  # -2^31 big-endian
+    open(base + ".shp", "wb").write(bytes(blob))
+    with pytest.raises(ValueError, match="record length"):
+        list(shp.read_polygon_shapefile(base))
+
+
+def test_shapefile_valid_roundtrip_after_hardening(tmp_path):
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions import (
+        shapefile as shp,
+    )
+
+    base = _valid_shp(tmp_path)
+    got = list(shp.read_polygon_shapefile(base))
+    assert len(got) == 2 and got[0][1]["id"] == 1

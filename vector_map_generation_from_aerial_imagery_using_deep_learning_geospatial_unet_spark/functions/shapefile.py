@@ -21,6 +21,8 @@ from collections.abc import Iterable, Iterator
 
 import numpy as np
 
+from ..sources._hardening import malformed_guard
+
 SHAPE_POLYGON = 5
 
 
@@ -143,12 +145,19 @@ def write_polygon_shapefile(
     return n
 
 
+@malformed_guard("shapefile")
 def read_polygon_shapefile(path_base: str) -> Iterator[tuple[list, dict]]:
     """Inverse of :func:`write_polygon_shapefile` (round-trip testing +
-    reading reference-produced polygon shapefiles)."""
+    reading reference-produced polygon shapefiles).  Hardened like every
+    binary parser here (tests/test_codec_fuzz.py): hostile bytes raise
+    ValueError/NotImplementedError, never hang — record lengths must
+    strictly advance the cursor (a negative/zero length would otherwise
+    loop forever) and every count is bounds-checked before use."""
     with open(path_base + ".dbf", "rb") as f:
         dbf = f.read()
     n_records, hdr_size, rec_size = struct.unpack("<IHH", dbf[4:12])
+    if rec_size == 0:
+        raise ValueError("shapefile: zero dbf record size")
     fields = []
     off = 32
     while dbf[off] != 0x0D:
@@ -156,6 +165,8 @@ def read_polygon_shapefile(path_base: str) -> Iterator[tuple[list, dict]]:
         ln, dec = dbf[off + 16], dbf[off + 17]
         fields.append((name, ln, dec))
         off += 32
+    if n_records * rec_size > len(dbf):
+        raise ValueError("shapefile: dbf record count exceeds file size")
     attrs_list = []
     for i in range(n_records):
         rec = dbf[hdr_size + i * rec_size : hdr_size + (i + 1) * rec_size]
@@ -171,12 +182,22 @@ def read_polygon_shapefile(path_base: str) -> Iterator[tuple[list, dict]]:
     pos, i = 100, 0
     while pos < len(shp):
         _, content_words = struct.unpack(">2i", shp[pos : pos + 8])
+        if content_words <= 0:
+            raise ValueError(
+                f"shapefile: non-positive record length {content_words}"
+            )
         content = shp[pos + 8 : pos + 8 + content_words * 2]
+        if len(content) != content_words * 2:
+            raise ValueError("shapefile: truncated record")
         pos += 8 + content_words * 2
         stype = struct.unpack("<i", content[:4])[0]
         if stype != SHAPE_POLYGON:
             raise NotImplementedError(f"shape type {stype} unsupported")
         n_parts, n_points = struct.unpack("<2i", content[36:44])
+        if n_parts <= 0 or n_points < 0:
+            raise ValueError(
+                f"shapefile: bad part/point counts ({n_parts}, {n_points})"
+            )
         parts = struct.unpack(f"<{n_parts}i", content[44 : 44 + 4 * n_parts])
         pts = np.frombuffer(
             content[44 + 4 * n_parts :], dtype="<f8", count=n_points * 2

@@ -34,6 +34,7 @@ these codecs earn the same property explicitly.
 from __future__ import annotations
 
 import functools
+import inspect
 import struct
 import zlib
 
@@ -54,9 +55,27 @@ _MECHANICAL = (
 
 
 def malformed_guard(fmt: str):
-    """Decorator for a public ``decode_*``/``probe_*`` entry point."""
+    """Decorator for a public ``decode_*``/``probe_*`` entry point.
+
+    Generator functions get an iteration-aware wrapper: a plain
+    try/except would only cover creating the generator object, not the
+    lazy parse that runs per ``next()``."""
 
     def deco(fn):
+        if inspect.isgeneratorfunction(fn):
+
+            @functools.wraps(fn)
+            def gen_wrapper(*args, **kwargs):
+                try:
+                    yield from fn(*args, **kwargs)
+                except _MECHANICAL as e:
+                    raise ValueError(
+                        f"{fmt}: malformed stream "
+                        f"({type(e).__name__}: {e})"
+                    ) from e
+
+            return gen_wrapper
+
         @functools.wraps(fn)
         def wrapper(*args, **kwargs):
             try:
