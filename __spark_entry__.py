@@ -665,6 +665,72 @@ def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.pixel_sums(imgs)
 
 
+def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF decode gate: the reference's NATIVE raster format (GDAL
+    GeoTIFF, /root/reference/src/io.py:41-63), from-scratch strip
+    DEFLATE + horizontal-predictor codec (sources/codec_tiff.py).
+    Lossless, so the same exact closed-form per-image channel-sum oracle
+    as ``multimodal_pixel_sums`` holds bit-for-bit."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="tif", kind="rgb", limit=60)
+    return MM.pixel_sums(imgs)
+
+
+def q_geotiff_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 getGeodata through REAL GeoTIFF bytes: write_tif with the
+    ModelPixelScale/ModelTiepoint georeference tags, then recover the
+    affine geotransform by parsing the tags back (no pixel decode) and
+    project the footprint bbox — the reference's write_tif ->
+    getTileIndexFromFiles flow (/root/reference/src/io.py:55-90,
+    bf_gridding.py:304-332), whereas ``image_extents`` trusts catalog
+    columns.  Oracle: the same pure-arithmetic extents, plus crs_ok
+    asserting the citation string survived the tag round-trip."""
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_tiff, images
+
+    meta = derived.images_meta(spark, sf_dir).withColumn(
+        "pk", F.substring("image_id", 5, 18).cast("long")
+    ).filter(F.col("pk") <= 80)
+    meta = meta.repartition(spark.sparkContext.defaultParallelism * 2, "image_id")
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = images.render_mask(int(r.pk), int(r.w), int(r.h))
+                blob = codec_tiff.encode_tiff(
+                    arr,
+                    geo=(float(r.ulx), float(r.uly), 0.1, -0.1, images.CRS_TOKEN),
+                    level=1,
+                )
+                g = codec_tiff.geotiff_geodata(blob)
+                rows.append(
+                    (
+                        r.image_id,
+                        g["ulx"],
+                        g["uly"] + g["h"] * g["sy"],
+                        g["ulx"] + g["w"] * g["sx"],
+                        g["uly"],
+                        g["crs"] == images.CRS_TOKEN,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "minx", "miny", "maxx", "maxy", "crs_ok"],
+            )
+
+    return meta.mapInPandas(
+        roundtrip,
+        schema=(
+            "image_id string, minx double, miny double, "
+            "maxx double, maxy double, crs_ok boolean"
+        ),
+    )
+
+
 def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row error-policy gate (operators/multimodal.py on_error):
     every 4th image's payload is replaced with a hostile blob (valid PNG
@@ -1333,6 +1399,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_pixel_sums": q_multimodal_pixel_sums,
     "multimodal_webp": q_multimodal_webp,
+    "multimodal_tiff": q_multimodal_tiff,
+    "geotiff_extents": q_geotiff_extents,
     "multimodal_quarantine": q_multimodal_quarantine,
     "cc_distributed": q_cc_distributed,
     "audio_features": q_audio_features,
@@ -1479,6 +1547,8 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "multimodal_pixel_sums": _multimodal_pixel_sums_sql(),
         "multimodal_quarantine": _multimodal_quarantine_sql(),
         "multimodal_webp": _multimodal_webp_sql(),
+        "multimodal_tiff": _multimodal_tiff_sql(),
+        "geotiff_extents": _geotiff_extents_sql(),
         "multimodal_features": _multimodal_features_sql(),
         "multimodal_jpeg": _multimodal_jpeg_sql(),
         "cc_distributed": _cc_distributed_sql(),
@@ -2206,6 +2276,48 @@ FROM imgs i
 JOIN rowsums rs USING (image_id)
 JOIN colsums cs USING (image_id)
 JOIN blob bl USING (image_id)"""
+    )
+
+
+def _multimodal_tiff_sql() -> str:
+    """Closed-form twin of q_multimodal_tiff — identical arithmetic to
+    _multimodal_pixel_sums_sql (lossless codec => same sums), limit 60."""
+    return (
+        _rgb_sums_ctes(60)
+        + """
+SELECT i.image_id,
+  CAST(i.w * i.h AS BIGINT) AS n_px,
+  40 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 180 * bl.a - bl.b AS sum_r,
+  57 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 153 * bl.a - bl.b AS sum_g,
+  71 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 129 * bl.a - bl.b AS sum_b
+FROM imgs i
+JOIN rowsums rs USING (image_id)
+JOIN colsums cs USING (image_id)
+JOIN blob bl USING (image_id)"""
+    )
+
+
+def _geotiff_extents_sql() -> str:
+    """Twin of q_geotiff_extents: the image_extents bbox arithmetic
+    (float64 ulx + w * 1e-1 exactly matches the Python-side computation
+    from the decoded GeoTIFF tags — the doubles round-trip bit-exactly
+    through the tag encoding), restricted to pk <= 80, crs_ok constant
+    true when the ASCII citation survives."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + """
+SELECT image_id,
+  ulx               AS minx,
+  uly + h * (-1e-1) AS miny,
+  ulx + w * 1e-1    AS maxx,
+  uly               AS maxy,
+  TRUE              AS crs_ok
+FROM images_meta_pk WHERE pk <= 80"""
     )
 
 

@@ -184,6 +184,9 @@ def main() -> None:
         "stream_completion",
         # round-4 continuation: decode with per-row quarantine policy
         "multimodal_quarantine",
+        # round-4 continuation: native-format GeoTIFF ingest
+        "multimodal_tiff",
+        "geotiff_extents",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -27,6 +27,7 @@ from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_un
     codec_flac,
     codec_gif,
     codec_jpeg,
+    codec_tiff,
     codec_wav,
     codec_webp,
 )
@@ -62,6 +63,15 @@ _VALID = {
     "jpeg": (codec_jpeg.encode_jpeg(_IMG_RGB), codec_jpeg.decode_jpeg),
     "wav": (codec_wav.encode_wav(_PCM, 8000), codec_wav.decode_wav),
     "flac": (codec_flac.encode_flac(_PCM, 8000), codec_flac.decode_flac),
+    "tiff_deflate": (codec_tiff.encode_tiff(_IMG_RGB), codec_tiff.decode_tiff),
+    "tiff_lzw": (
+        codec_tiff.encode_tiff(_IMG_GRAY, compression="lzw"),
+        codec_tiff.decode_tiff,
+    ),
+    "tiff_packbits": (
+        codec_tiff.encode_tiff(_IMG_RGB, compression="packbits"),
+        codec_tiff.decode_tiff,
+    ),
 }
 
 # Magic prefixes splice random tails PAST the cheap signature checks so
@@ -73,6 +83,8 @@ _MAGICS = [
     b"\xff\xd8",
     b"RIFF\x20\x00\x00\x00WAVE",
     b"fLaC",
+    b"II\x2a\x00",
+    b"MM\x00\x2a",
     b"",
 ]
 
@@ -83,6 +95,8 @@ _DECODERS = [
     codec_jpeg.decode_jpeg,
     codec_wav.decode_wav,
     codec_flac.decode_flac,
+    codec_tiff.decode_tiff,
+    codec_tiff.geotiff_geodata,
 ]
 
 

@@ -1,0 +1,350 @@
+"""From-scratch TIFF/GeoTIFF codec (sources/codec_tiff.py).
+
+Covers the reference's native raster format (GDAL GeoTIFF,
+/root/reference/src/io.py:41-90): strip + tile organisation, both byte
+orders, all four supported compressions with/without the horizontal
+predictor, 8/16-bit samples, WhiteIsZero inversion, the GeoTIFF
+geotransform tags, and the malformed-stream contract (bounded
+allocation, ValueError/NotImplementedError only).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import (
+    codec,
+    codec_tiff as T,
+)
+
+RNG = np.random.default_rng(42)
+
+
+# ------------------------------------------------------------- LZW core
+def test_lzw_known_vector():
+    """Hand-packed bitstream for input 7x5: codes 256,7,258,258,257 at
+    9 bits MSB-first (the 258 re-use exercises the KwKwK decode path)."""
+    data = bytes([7, 7, 7, 7, 7])
+    enc = T.lzw_encode(data)
+    assert enc.hex() == "8001e0502808"
+    assert T.lzw_decode(enc, len(data)) == data
+
+
+def test_lzw_width_changes_and_clear():
+    """Incompressible input grows the table through the 511/1023/2047
+    early-change boundaries and past the 4094 writer reset."""
+    blob = RNG.integers(0, 256, size=20000, dtype=np.uint8).tobytes()
+    assert T.lzw_decode(T.lzw_encode(blob), len(blob)) == blob
+
+
+def test_lzw_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        T.lzw_decode(b"\xff\xff\xff\xff", 100)  # code beyond table
+    with pytest.raises(ValueError):
+        T.lzw_decode(b"\x80\x00", 100)  # ends without EOI
+
+
+def test_packbits_roundtrip():
+    blob = b"\x00" * 300 + bytes(range(256)) + b"\xaa" * 5
+    assert T.packbits_decode(T.packbits_encode(blob), len(blob)) == blob
+
+
+# --------------------------------------------------------- round-trips
+@pytest.mark.parametrize("comp", ["none", "deflate", "packbits", "lzw"])
+@pytest.mark.parametrize("pred", [False, True])
+def test_roundtrip_matrix(comp, pred):
+    for shape, dt in [
+        ((37, 53), np.uint8),
+        ((37, 53, 3), np.uint8),
+        ((20, 31, 4), np.uint8),
+        ((37, 53), np.uint16),
+    ]:
+        arr = RNG.integers(0, np.iinfo(dt).max + 1, size=shape, dtype=dt)
+        out = T.decode_tiff(T.encode_tiff(arr, compression=comp, predictor=pred))
+        assert out.shape == arr.shape and out.dtype == arr.dtype
+        assert (out == arr).all()
+
+
+def test_multi_strip_large_mask():
+    """>1 strip (256 KiB strip target) over a mask-like low-entropy image."""
+    m = np.zeros((1000, 1500, 3), np.uint8)
+    m[100:400, 200:900] = (220, 210, 200)
+    blob = T.encode_tiff(m)
+    # strip layout really engaged: 1000 rows at 4500 B/row >> 256 KiB
+    assert (T.decode_tiff(blob) == m).all()
+
+
+def test_codec_dispatch_tif():
+    arr = RNG.integers(0, 256, (30, 40, 3), dtype=np.uint8)
+    blob = codec.encode(arr, "tif")
+    assert (codec.decode(blob, "tif", 40, 30) == arr).all()
+    assert (codec.decode(blob, "tiff", 40, 30) == arr).all()
+
+
+# ------------------------------------------- hand-built foreign layouts
+def _be_tiled_gray(img: np.ndarray, tw: int = 16, th: int = 16) -> bytes:
+    """Minimal BIG-ENDIAN tiled writer (decode-only coverage: our encoder
+    emits little-endian strips, real GeoTIFFs are frequently MM/tiled)."""
+    h, w = img.shape
+    ntx, nty = -(-w // tw), -(-h // th)
+    tiles = []
+    for ty in range(nty):
+        for tx in range(ntx):
+            t = np.zeros((th, tw), np.uint8)
+            ch = min(th, h - ty * th)
+            cw = min(tw, w - tx * tw)
+            t[:ch, :cw] = img[ty * th : ty * th + ch, tx * tw : tx * tw + cw]
+            tiles.append(t.tobytes())
+    offs, pos = [], 8
+    for t in tiles:
+        offs.append(pos)
+        pos += len(t)
+    ifd_off = pos
+    entries = [
+        (256, 4, 1, w),
+        (257, 4, 1, h),
+        (258, 3, 1, 8),
+        (259, 3, 1, 1),
+        (262, 3, 1, 1),
+        (277, 3, 1, 1),
+        (322, 4, 1, tw),
+        (323, 4, 1, th),
+    ]
+    n_inline = len(entries) + 2  # + tile offsets/counts arrays
+    arrays_off = ifd_off + 2 + 12 * n_inline + 4
+    out = bytearray(b"MM\x00\x2a" + struct.pack(">I", ifd_off))
+    for t in tiles:
+        out += t
+    packed = []
+    for tag, typ, cnt, val in entries:
+        fmt = ">I" if typ == 4 else ">HH"
+        vraw = struct.pack(">I", val) if typ == 4 else struct.pack(">H2x", val)
+        packed.append(struct.pack(">HHI", tag, typ, cnt) + vraw)
+    packed.append(
+        struct.pack(">HHI", 324, 4, len(tiles)) + struct.pack(">I", arrays_off)
+    )
+    packed.append(
+        struct.pack(">HHI", 325, 4, len(tiles))
+        + struct.pack(">I", arrays_off + 4 * len(tiles))
+    )
+    packed.sort(key=lambda e: struct.unpack(">H", e[:2])[0])
+    out += struct.pack(">H", len(packed)) + b"".join(packed)
+    out += struct.pack(">I", 0)
+    out += struct.pack(f">{len(tiles)}I", *offs)
+    out += struct.pack(f">{len(tiles)}I", *[len(t) for t in tiles])
+    return bytes(out)
+
+
+def test_big_endian_tiled_decode():
+    img = RNG.integers(0, 256, (18, 21), dtype=np.uint8)
+    assert (T.decode_tiff(_be_tiled_gray(img)) == img).all()
+
+
+def test_white_is_zero_inversion():
+    """Photometric 0 means 0=white: decoded values must invert."""
+    img = RNG.integers(0, 256, (10, 12), dtype=np.uint8)
+    blob = bytearray(T.encode_tiff(img, compression="none"))
+    # our writer emits photometric tag 262 value 1; flip it to 0 in place
+    ifd_off = struct.unpack("<I", blob[4:8])[0]
+    (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] == 262:
+            blob[e + 8 : e + 10] = struct.pack("<H", 0)
+    assert (T.decode_tiff(bytes(blob)) == 255 - img).all()
+
+
+# ------------------------------------------------------------- GeoTIFF
+def test_geotiff_geodata_roundtrip():
+    img = np.zeros((200, 300), np.uint8)
+    blob = T.encode_tiff(img, geo=(420.0, 3990.0, 0.1, -0.1, "SYNTH:METRIC"))
+    g = T.geotiff_geodata(blob)
+    assert g == {
+        "ulx": 420.0,
+        "uly": 3990.0,
+        "sx": 0.1,
+        "sy": -0.1,
+        "w": 300,
+        "h": 200,
+        "crs": "SYNTH:METRIC",
+    }
+    assert (T.decode_tiff(blob) == img).all()
+
+
+def test_geotiff_tiepoint_offset_corner():
+    """A tiepoint anchored away from (0,0) still solves to the UL corner."""
+    img = np.zeros((8, 8), np.uint8)
+    blob = bytearray(T.encode_tiff(img, geo=(100.0, 50.0, 0.5, -0.5, "X")))
+    # rewrite the tiepoint to anchor raster (4, 6) instead of (0, 0)
+    ifd_off = struct.unpack("<I", blob[4:8])[0]
+    (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] == 33922:
+            (off,) = struct.unpack("<I", blob[e + 8 : e + 12])
+            struct.pack_into(
+                "<6d", blob, off, 4.0, 6.0, 0.0, 100.0 + 4 * 0.5, 50.0 - 6 * 0.5, 0.0
+            )
+    g = T.geotiff_geodata(bytes(blob))
+    assert g["ulx"] == 100.0 and g["uly"] == 50.0
+
+
+def test_geo_requires_negative_sy():
+    with pytest.raises(ValueError, match="sy"):
+        T.encode_tiff(np.zeros((4, 4), np.uint8), geo=(0.0, 0.0, 0.1, 0.1, "X"))
+
+
+def test_geodata_missing_tags_raises():
+    with pytest.raises(ValueError, match="georeference"):
+        T.geotiff_geodata(T.encode_tiff(np.zeros((4, 4), np.uint8)))
+
+
+# ------------------------------------------------- capability boundary
+def test_unsupported_variants_raise_notimplemented():
+    base = T.encode_tiff(np.zeros((6, 6), np.uint8), compression="none")
+
+    def patched(tag, val):
+        blob = bytearray(base)
+        ifd_off = struct.unpack("<I", blob[4:8])[0]
+        (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+        for i in range(n):
+            e = ifd_off + 2 + 12 * i
+            if struct.unpack("<H", blob[e : e + 2])[0] == tag:
+                blob[e + 8 : e + 10] = struct.pack("<H", val)
+        return bytes(blob)
+
+    with pytest.raises(NotImplementedError):
+        T.decode_tiff(b"II\x2b\x00" + base[4:])  # BigTIFF magic 43
+    with pytest.raises(NotImplementedError):
+        T.decode_tiff(patched(259, 7))  # JPEG-in-TIFF
+    with pytest.raises(NotImplementedError):
+        T.decode_tiff(patched(262, 3))  # palette
+    with pytest.raises(NotImplementedError):
+        T.decode_tiff(patched(258, 1))  # bilevel
+    with pytest.raises(NotImplementedError):
+        T.decode_tiff(patched(339, 3))  # float samples
+    with pytest.raises(NotImplementedError):
+        T.decode_tiff(patched(284, 2))  # planar
+
+    pred_base = T.encode_tiff(np.zeros((6, 6), np.uint8), compression="deflate")
+    blob = bytearray(pred_base)
+    ifd_off = struct.unpack("<I", blob[4:8])[0]
+    (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] == 317:
+            blob[e + 8 : e + 10] = struct.pack("<H", 3)
+    with pytest.raises(NotImplementedError):
+        T.decode_tiff(bytes(blob))  # floating-point predictor
+
+
+# ------------------------------------------------ malformed / hostile
+def test_lying_dims_never_allocate():
+    """A forged 2^30 x 2^30 header must fail the size cap, not allocate."""
+    blob = bytearray(T.encode_tiff(np.zeros((6, 6), np.uint8)))
+    ifd_off = struct.unpack("<I", blob[4:8])[0]
+    (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] in (256, 257):
+            blob[e + 8 : e + 12] = struct.pack("<I", 1 << 30)
+    with pytest.raises(ValueError, match="cap"):
+        T.decode_tiff(bytes(blob))
+
+
+def test_deflate_bomb_capped():
+    """A strip inflating past the declared rows*width size must raise
+    (capped inflate), not expand a hostile high-ratio stream."""
+    import zlib
+
+    img = np.zeros((4, 4), np.uint8)
+    blob = bytearray(T.encode_tiff(img, compression="deflate", predictor=False))
+    bomb = zlib.compress(b"\x00" * (1 << 20), 9)
+    # graft the bomb as strip 0's bytes (offsets point past the original
+    # data; counts lie accordingly)
+    ifd_off = struct.unpack("<I", blob[4:8])[0]
+    (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    grafted = bytes(blob) + bomb
+    g = bytearray(grafted)
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag = struct.unpack("<H", g[e : e + 2])[0]
+        if tag == 273:
+            g[e + 8 : e + 12] = struct.pack("<I", len(blob))
+        elif tag == 279:
+            g[e + 8 : e + 12] = struct.pack("<I", len(bomb))
+    with pytest.raises(ValueError):
+        T.decode_tiff(bytes(g))
+
+
+def test_truncated_and_flipped_raise_cleanly():
+    arr = RNG.integers(0, 256, (25, 30, 3), dtype=np.uint8)
+    for comp in ("none", "deflate", "packbits", "lzw"):
+        blob = T.encode_tiff(arr, compression=comp)
+        for cut in range(0, len(blob), max(1, len(blob) // 37)):
+            try:
+                T.decode_tiff(blob[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        rng = np.random.default_rng(cut)
+        for _ in range(40):
+            mut = bytearray(blob)
+            for _ in range(int(rng.integers(1, 8))):
+                mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+            try:
+                T.decode_tiff(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass
+
+
+# ------------------------------------------- raster-directory ingest
+def test_load_raster_dir(spark, tmp_path):
+    """binaryFile ingest of a GeoTIFF folder -> images-shaped table:
+    the reference's walk + read_tif on-ramp (io.py:10-63), ext filter
+    pushed to the file listing, tag-only parse (no pixel decode)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.catalog import (
+        load_raster_dir,
+    )
+
+    imgs = {}
+    for i in range(4):
+        arr = RNG.integers(0, 256, (20 + i, 30 + i), dtype=np.uint8)
+        geo = (
+            (100.0 * i, 50.0 * i, 0.1, -0.1, "SYNTH:METRIC")
+            if i % 2 == 0
+            else None
+        )
+        (tmp_path / f"img_{i}.tif").write_bytes(T.encode_tiff(arr, geo=geo))
+        imgs[f"img_{i}"] = (arr, geo)
+    (tmp_path / "notes.txt").write_bytes(b"not a raster")  # ext-filtered out
+
+    df = load_raster_dir(spark, str(tmp_path)).orderBy("image_id")
+    rows = df.collect()
+    assert [r.image_id for r in rows] == sorted(imgs)
+    for r in rows:
+        arr, geo = imgs[r.image_id]
+        assert (r.h, r.w) == arr.shape and r.fmt == "tif"
+        assert r.caption is None and r.phash is None
+        assert (T.decode_tiff(bytes(r.bytes)) == arr).all()
+        if geo:
+            assert (r.ulx, r.uly, r.sx, r.sy, r.crs) == geo
+        else:
+            assert r.ulx is None and r.crs is None
+
+
+def test_load_raster_dir_on_error_skip(spark, tmp_path):
+    (tmp_path / "good.tif").write_bytes(
+        T.encode_tiff(np.zeros((8, 8), np.uint8))
+    )
+    (tmp_path / "bad.tif").write_bytes(b"II\x2a\x00hostile")
+    import pytest as _pt
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.catalog import (
+        load_raster_dir,
+    )
+
+    got = load_raster_dir(spark, str(tmp_path), on_error="skip").collect()
+    assert [r.image_id for r in got] == ["good"]
+    with _pt.raises(Exception, match="malformed|truncated|IFD"):
+        load_raster_dir(spark, str(tmp_path)).collect()

@@ -215,6 +215,10 @@ def decode(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from . import codec_webp
 
         arr = codec_webp.decode_webp(bytes(data))
+    elif fmt in ("tif", "tiff"):
+        from . import codec_tiff
+
+        arr = codec_tiff.decode_tiff(bytes(data))
     else:
         raise ValueError(f"unknown fmt {fmt!r}")
     if arr.shape[0] != h or arr.shape[1] != w:
@@ -237,4 +241,9 @@ def encode(arr: np.ndarray, fmt: str, level: int = 6) -> bytes:
         from . import codec_webp
 
         return codec_webp.encode_webp(arr)
+    if fmt in ("tif", "tiff"):
+        from . import codec_tiff
+
+        # deflate + horizontal predictor; `level` rides through like png
+        return codec_tiff.encode_tiff(arr, level=level)
     raise ValueError(f"unknown fmt {fmt!r}")

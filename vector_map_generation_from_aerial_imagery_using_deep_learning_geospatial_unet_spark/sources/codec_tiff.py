@@ -1,0 +1,596 @@
+"""From-scratch baseline TIFF / GeoTIFF codec (pure numpy + stdlib zlib).
+
+The reference's native input format: every raster it touches goes through
+GDAL's GeoTIFF driver (``read_tif``/``write_tif``,
+/root/reference/src/io.py:41-90), and ``getGeodata`` reads the affine
+geotransform + projection straight from those tags
+(/root/reference/src/io.py:55-63).  This module earns that capability
+from the public TIFF 6.0 + GeoTIFF 1.1 specs, same posture as the
+PNG/VP8L/FLAC codecs here:
+
+decode — both byte orders, strip AND tile organisation, compression
+1 (none) / 5 (LZW, early-change) / 8 & 32946 (DEFLATE) / 32773
+(PackBits), horizontal-differencing predictor (317=2), photometric
+0 (WhiteIsZero, inverted) / 1 / 2 (RGB, incl. alpha via
+SamplesPerPixel=4), 8- and 16-bit unsigned samples.
+
+encode — little-endian, strip-based, chunky, compression none/deflate/
+packbits/lzw with optional predictor 2, plus the GeoTIFF georeference
+tags (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory
+34735, GeoAsciiParams 34737) so ``write_tif`` parity includes the
+geotransform, not just pixels.
+
+Out-of-scope variants raise loudly (``NotImplementedError`` for valid-
+but-unsupported: BigTIFF, palette, planar, JPEG-in-TIFF, CCITT,
+float/signed samples, sub-byte depths); hostile bytes raise
+``ValueError`` via the shared ``malformed_guard`` contract
+(tests/test_codec_fuzz.py).  Allocation is bounded BEFORE it happens:
+raster size is validated against a hard cap and every inflate is capped
+at the segment size the header declares (decompression-bomb posture,
+same as decode_png).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from ._hardening import malformed_guard
+
+# hard cap on the decoded raster (bytes) — a 4-byte dim field can claim
+# a 16-EiB image; per-row payloads in this engine are far below this
+_MAX_RASTER_BYTES = 1 << 31
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE_ADOBE = 1, 5, 8
+_COMP_PACKBITS, _COMP_DEFLATE_OLD = 32773, 32946
+
+# GeoTIFF tags (public GeoTIFF 1.1 spec / OGC 19-008r4)
+_TAG_PIXEL_SCALE = 33550
+_TAG_TIEPOINT = 33922
+_TAG_GEO_KEYS = 34735
+_TAG_GEO_ASCII = 34737
+
+
+# --------------------------------------------------------------------- #
+# IFD parsing
+# --------------------------------------------------------------------- #
+
+
+def _read_ifd(data: bytes) -> tuple[dict, str]:
+    """First IFD as {tag: (type, [values...])} plus the endian prefix."""
+    if len(data) < 8:
+        raise ValueError("tiff: truncated header")
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("tiff: bad byte-order mark")
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    if magic == 43:
+        raise NotImplementedError("tiff: BigTIFF not supported")
+    if magic != 42:
+        raise ValueError(f"tiff: bad magic {magic}")
+    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    if ifd_off + 2 > len(data):
+        raise ValueError("tiff: IFD offset beyond file")
+    (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    if n == 0 or n > 4096:
+        raise ValueError(f"tiff: implausible IFD entry count {n}")
+    if ifd_off + 2 + 12 * n > len(data):
+        raise ValueError("tiff: truncated IFD")
+    tags: dict[int, tuple[int, list]] = {}
+    for i in range(n):
+        e = data[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        size = _TYPE_SIZE.get(typ)
+        if size is None:
+            continue  # unknown type: spec says readers skip the entry
+        total = size * cnt
+        if total <= 4:
+            raw = e[8 : 8 + total]
+        else:
+            (off,) = struct.unpack(bo + "I", e[8:12])
+            raw = data[off : off + total]
+            if len(raw) != total:
+                raise ValueError(f"tiff: tag {tag} value beyond file")
+        if typ == 2:  # ASCII
+            vals = [raw.split(b"\x00", 1)[0].decode("ascii", "replace")]
+        elif typ in (5, 10):  # RATIONAL
+            parts = struct.unpack(bo + ("II" if typ == 5 else "ii") * cnt, raw)
+            vals = [
+                (parts[2 * j] / parts[2 * j + 1]) if parts[2 * j + 1] else 0.0
+                for j in range(cnt)
+            ]
+        else:
+            vals = list(struct.unpack(bo + _TYPE_FMT[typ] * cnt, raw))
+        tags[tag] = (typ, vals)
+    return tags, bo
+
+
+def _tag(tags: dict, tag: int, default=None):
+    if tag in tags:
+        return tags[tag][1]
+    return default
+
+
+def _tag1(tags: dict, tag: int, default=None):
+    v = _tag(tags, tag)
+    return v[0] if v else default
+
+
+# --------------------------------------------------------------------- #
+# LZW (TIFF variant: MSB-first, early change) — compression 5
+# --------------------------------------------------------------------- #
+
+_CLEAR, _EOI = 256, 257
+
+
+def lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF LZW: 9-bit start, ClearCode=256, EOI=257, width bumps one
+    code EARLY (when the next free entry reaches (1<<width)-1 — the
+    libtiff-compatible convention every TIFF writer uses)."""
+    if not data:
+        raise ValueError("lzw: empty stream")
+    bits = int.from_bytes(data, "big")
+    nbits_total = 8 * len(data)
+    pos = 0
+    width = 9
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+
+    while True:
+        if pos + width > nbits_total:
+            raise ValueError("lzw: stream ended without EOI")
+        code = (bits >> (nbits_total - pos - width)) & ((1 << width) - 1)
+        pos += width
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            width = 9
+            del table[258:]
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError(f"lzw: first code after clear is {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"lzw: code {code} beyond table {len(table)}")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("lzw: output exceeds declared segment size")
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # early change: bump width when the NEXT entry index would no
+        # longer fit at (1<<width)-1 — one code sooner than generic LZW
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Writer twin of :func:`lzw_decode` (same early-change convention)."""
+    out_bits: list[tuple[int, int]] = [(_CLEAR, 9)]
+    width = 9
+    nxt = 258
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    w = b""
+    for b in data:
+        c = bytes([b])
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        out_bits.append((table[w], width))
+        table[wc] = nxt
+        nxt += 1
+        # the decoder's table lags this one by a single entry, so its
+        # early-change at next-free == (1<<width)-1 lines up with the
+        # writer changing at (1<<width)
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4094:  # table nearly full: reset (writer obligation)
+            out_bits.append((_CLEAR, width))
+            width = 9
+            nxt = 258
+            table = {bytes([i]): i for i in range(256)}
+        w = c
+    if w:
+        out_bits.append((table[w], width))
+        # the decoder appends one entry on receiving this final code
+        # (no writer-side add accompanies a flush), so ITS next-free
+        # equals nxt here — mirror its early-change before writing EOI
+        if nxt == (1 << width) - 1 and width < 12:
+            width += 1
+    out_bits.append((_EOI, width))
+    acc = n = 0
+    buf = bytearray()
+    for code, wd in out_bits:
+        acc = (acc << wd) | code
+        n += wd
+        while n >= 8:
+            buf.append((acc >> (n - 8)) & 0xFF)
+            n -= 8
+    if n:
+        buf.append((acc << (8 - n)) & 0xFF)
+    return bytes(buf)
+
+
+# --------------------------------------------------------------------- #
+# PackBits — compression 32773
+# --------------------------------------------------------------------- #
+
+
+def packbits_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c == 128:
+            continue
+        if c < 128:  # literal run of c+1
+            if i + c + 1 > n:
+                raise ValueError("packbits: truncated literal run")
+            out += data[i : i + c + 1]
+            i += c + 1
+        else:  # repeat next byte 257-c times
+            if i >= n:
+                raise ValueError("packbits: truncated repeat run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        if len(out) > max_out:
+            raise ValueError("packbits: output exceeds declared segment size")
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        j = i + 1
+        while (
+            j < n
+            and j - i < 128
+            and not (j + 1 < n and data[j] == data[j + 1])
+        ):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+# --------------------------------------------------------------------- #
+# decode
+# --------------------------------------------------------------------- #
+
+
+def _inflate_capped(seg: bytes, expected: int, fmt: str) -> bytes:
+    d = zlib.decompressobj()
+    buf = d.decompress(seg, expected + 1)
+    if len(buf) > expected:
+        raise ValueError(f"{fmt}: segment inflates past declared size")
+    return buf
+
+
+def _decompress(seg: bytes, comp: int, expected: int) -> bytes:
+    if comp == _COMP_NONE:
+        buf = seg
+    elif comp in (_COMP_DEFLATE_ADOBE, _COMP_DEFLATE_OLD):
+        buf = _inflate_capped(seg, expected, "tiff")
+    elif comp == _COMP_LZW:
+        buf = lzw_decode(seg, expected)
+    elif comp == _COMP_PACKBITS:
+        buf = packbits_decode(seg, expected)
+    else:
+        raise NotImplementedError(f"tiff: compression {comp} not supported")
+    if len(buf) < expected:
+        raise ValueError(
+            f"tiff: segment {len(buf)} bytes < declared {expected}"
+        )
+    return buf[:expected]
+
+
+def _undo_predictor(seg: np.ndarray, rows: int, width: int, spp: int) -> np.ndarray:
+    """Horizontal differencing (predictor 2): cumulative sum along x per
+    channel, modulo the sample width."""
+    mask = np.iinfo(seg.dtype).max
+    a = seg.reshape(rows, width, spp).astype(np.int64)
+    return (np.cumsum(a, axis=1) & mask).astype(seg.dtype).reshape(rows, width * spp)
+
+
+@malformed_guard("tiff")
+def decode_tiff(data: bytes) -> np.ndarray:
+    """TIFF bytes -> uint8/uint16 array (h, w) or (h, w, c)."""
+    tags, bo = _read_ifd(data)
+    w = _tag1(tags, 256)
+    h = _tag1(tags, 257)
+    if not w or not h or w < 0 or h < 0:
+        raise ValueError("tiff: missing/zero dimensions")
+    spp = _tag1(tags, 277, 1)
+    bits = _tag(tags, 258, [8])
+    if len(set(bits)) != 1:
+        raise NotImplementedError("tiff: mixed per-channel bit depths")
+    bps = bits[0]
+    if bps not in (8, 16):
+        raise NotImplementedError(f"tiff: {bps}-bit samples not supported")
+    if spp not in (1, 3, 4):
+        raise NotImplementedError(f"tiff: {spp} samples/px not supported")
+    sf = _tag1(tags, 339, 1)
+    if sf != 1:
+        raise NotImplementedError(f"tiff: sample format {sf} (non-uint) not supported")
+    if _tag1(tags, 284, 1) != 1:
+        raise NotImplementedError("tiff: planar configuration 2 not supported")
+    photo = _tag1(tags, 262, 1)
+    if photo not in (0, 1, 2):
+        raise NotImplementedError(f"tiff: photometric {photo} not supported")
+    if photo == 2 and spp < 3:
+        raise ValueError("tiff: RGB photometric with <3 samples")
+    comp = _tag1(tags, 259, 1)
+    pred = _tag1(tags, 317, 1)
+    if pred not in (1, 2):
+        raise NotImplementedError(f"tiff: predictor {pred} not supported")
+    bsz = bps // 8
+    if w * h * spp * bsz > _MAX_RASTER_BYTES:
+        raise ValueError("tiff: declared raster exceeds size cap")
+    dt = np.dtype(f"{bo}u{bsz}")
+
+    tiled = 322 in tags or 324 in tags
+    if tiled:
+        tw, th = _tag1(tags, 322), _tag1(tags, 323)
+        offs, cnts = _tag(tags, 324), _tag(tags, 325)
+        if not tw or not th or tw % 16 or th % 16:
+            raise ValueError("tiff: bad tile dimensions")
+        ntx, nty = -(-w // tw), -(-h // th)
+        if offs is None or cnts is None or len(offs) != ntx * nty or len(cnts) != ntx * nty:
+            raise ValueError("tiff: tile offsets/counts mismatch")
+        img = np.zeros((h, w * spp), dtype=dt)
+        exp = th * tw * spp * bsz
+        for ty in range(nty):
+            for tx in range(ntx):
+                i = ty * ntx + tx
+                seg = data[offs[i] : offs[i] + cnts[i]]
+                if len(seg) != cnts[i]:
+                    raise ValueError("tiff: tile beyond file")
+                buf = _decompress(seg, comp, exp)
+                t = np.frombuffer(buf, dtype=dt).reshape(th, tw * spp)
+                if pred == 2:
+                    t = _undo_predictor(t, th, tw, spp)
+                ch = min(th, h - ty * th)
+                cw = min(tw, w - tx * tw)
+                img[ty * th : ty * th + ch, tx * tw * spp : (tx * tw + cw) * spp] = (
+                    t.reshape(th, tw, spp)[:ch, :cw].reshape(ch, cw * spp)
+                )
+    else:
+        offs, cnts = _tag(tags, 273), _tag(tags, 279)
+        rps = _tag1(tags, 278, h)
+        if rps <= 0:
+            raise ValueError("tiff: non-positive rows-per-strip")
+        nstrips = -(-h // rps)
+        if offs is None or cnts is None or len(offs) != nstrips or len(cnts) != nstrips:
+            raise ValueError("tiff: strip offsets/counts mismatch")
+        parts = []
+        for i in range(nstrips):
+            rows = min(rps, h - i * rps)
+            seg = data[offs[i] : offs[i] + cnts[i]]
+            if len(seg) != cnts[i]:
+                raise ValueError("tiff: strip beyond file")
+            buf = _decompress(seg, comp, rows * w * spp * bsz)
+            s = np.frombuffer(buf, dtype=dt).reshape(rows, w * spp)
+            if pred == 2:
+                s = _undo_predictor(s, rows, w, spp)
+            parts.append(s)
+        img = np.vstack(parts) if len(parts) > 1 else parts[0]
+
+    arr = np.ascontiguousarray(img.astype(dt.newbyteorder("=")))
+    arr = arr.reshape(h, w, spp)
+    if photo == 0:  # WhiteIsZero
+        arr = (np.iinfo(arr.dtype).max - arr).astype(arr.dtype)
+    return arr[:, :, 0] if spp == 1 else arr
+
+
+# --------------------------------------------------------------------- #
+# georeference (GeoTIFF) — tag-level read, no pixel decode
+# --------------------------------------------------------------------- #
+
+
+@malformed_guard("tiff")
+def geotiff_geodata(data: bytes) -> dict:
+    """``getGeodata`` parity (/root/reference/src/io.py:55-63): the
+    north-up affine geotransform + CRS citation from the GeoTIFF tags.
+
+    Returns ``{ulx, uly, sx, sy, w, h, crs}`` with ``sy`` NEGATIVE
+    (GDAL geotransform convention, the shape the reference's gridding
+    math consumes, /root/reference/src/bf_gridding.py:43-71).
+    """
+    tags, _ = _read_ifd(data)
+    scale = _tag(tags, _TAG_PIXEL_SCALE)
+    tie = _tag(tags, _TAG_TIEPOINT)
+    if scale is None or tie is None or len(scale) < 2 or len(tie) < 6:
+        raise ValueError("tiff: missing GeoTIFF georeference tags")
+    sx, sy_abs = float(scale[0]), float(scale[1])
+    i, j, _k, x, y, _z = (float(v) for v in tie[:6])
+    # tiepoint maps raster (i, j) -> model (x, y); solve for the UL corner
+    ulx = x - i * sx
+    uly = y + j * sy_abs
+    return {
+        "ulx": ulx,
+        "uly": uly,
+        "sx": sx,
+        "sy": -sy_abs,
+        "w": _tag1(tags, 256),
+        "h": _tag1(tags, 257),
+        "crs": _tag1(tags, _TAG_GEO_ASCII, ""),
+    }
+
+
+# --------------------------------------------------------------------- #
+# encode
+# --------------------------------------------------------------------- #
+
+
+def _apply_predictor(arr2d: np.ndarray, rows: int, width: int, spp: int) -> np.ndarray:
+    a = arr2d.reshape(rows, width, spp).astype(np.int64)
+    d = np.diff(a, axis=1, prepend=np.zeros((rows, 1, spp), np.int64))
+    mask = np.iinfo(arr2d.dtype).max
+    return (d & mask).astype(arr2d.dtype).reshape(rows, width * spp)
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    compression: str = "deflate",
+    geo: tuple | None = None,
+    rows_per_strip: int | None = None,
+    predictor: bool = True,
+    level: int = 1,
+) -> bytes:
+    """uint8 (h, w[, c]) or uint16 (h, w) -> little-endian strip TIFF.
+
+    ``geo=(ulx, uly, sx, sy, crs)`` (sy negative, north-up) adds the
+    GeoTIFF tags the reference's ``write_tif`` emits via GDAL
+    (/root/reference/src/io.py:66-90).
+    """
+    if arr.dtype == np.uint8:
+        pass
+    elif arr.dtype == np.uint16:
+        if arr.ndim != 2:
+            raise ValueError("tiff: 16-bit encode is single-band only")
+    else:
+        raise ValueError(f"tiff codec encodes uint8/uint16, got {arr.dtype}")
+    if arr.ndim == 2:
+        h, w = arr.shape
+        spp = 1
+    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
+        h, w, spp = arr.shape
+    else:
+        raise ValueError(f"tiff: bad array shape {arr.shape}")
+    bps = arr.dtype.itemsize * 8
+    comp_id = {
+        "none": _COMP_NONE,
+        "deflate": _COMP_DEFLATE_ADOBE,
+        "packbits": _COMP_PACKBITS,
+        "lzw": _COMP_LZW,
+    }.get(compression)
+    if comp_id is None:
+        raise ValueError(f"tiff: unknown compression {compression!r}")
+    use_pred = predictor and comp_id in (_COMP_DEFLATE_ADOBE, _COMP_LZW)
+
+    arr2d = np.ascontiguousarray(arr.astype("<" + arr.dtype.str[1:])).reshape(
+        h, w * spp
+    )
+    if rows_per_strip is None:
+        # target ~256 KiB strips so huge rasters stream segment-at-a-time
+        rows_per_strip = max(1, (256 << 10) // max(1, w * spp * (bps // 8)))
+    rps = min(rows_per_strip, h)
+    strips = []
+    for y0 in range(0, h, rps):
+        s = arr2d[y0 : y0 + rps]
+        if use_pred:
+            s = _apply_predictor(s, s.shape[0], w, spp)
+        raw = s.tobytes()
+        if comp_id == _COMP_NONE:
+            strips.append(raw)
+        elif comp_id == _COMP_DEFLATE_ADOBE:
+            strips.append(zlib.compress(raw, level))
+        elif comp_id == _COMP_PACKBITS:
+            strips.append(packbits_encode(raw))
+        else:
+            strips.append(lzw_encode(raw))
+
+    # layout: header | strip data (word-aligned) | external values | IFD
+    pos = 8
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s) + (len(s) & 1)
+
+    entries: list[tuple[int, int, int, bytes | int]] = []  # tag,type,count,val
+    extern: list[bytes] = []
+
+    def add(tag: int, typ: int, vals) -> None:
+        if typ == 2:
+            raw = vals.encode("ascii") + b"\x00"
+            cnt = len(raw)
+        else:
+            fmt = "<" + _TYPE_FMT[typ] * len(vals)
+            raw = struct.pack(fmt, *vals)
+            cnt = len(vals)
+        entries.append((tag, typ, cnt, raw))
+
+    add(256, 4, [w])
+    add(257, 4, [h])
+    add(258, 3, [bps] * spp)
+    add(259, 3, [comp_id])
+    add(262, 3, [2 if spp >= 3 else 1])
+    add(273, 4, strip_offs)
+    add(277, 3, [spp])
+    add(278, 4, [rps])
+    add(284, 3, [1])  # chunky
+    add(279, 4, [len(s) for s in strips])
+    if spp == 4:
+        add(338, 3, [2])  # unassociated alpha
+    if use_pred:
+        add(317, 3, [2])
+    add(339, 3, [1] * spp)
+    if geo is not None:
+        ulx, uly, sx, sy, crs = geo
+        if sy >= 0:
+            raise ValueError("tiff: geotransform sy must be negative (north-up)")
+        add(_TAG_PIXEL_SCALE, 12, [float(sx), float(-sy), 0.0])
+        add(_TAG_TIEPOINT, 12, [0.0, 0.0, 0.0, float(ulx), float(uly), 0.0])
+        # minimal key directory: projected model, pixel-is-area, citation
+        add(
+            _TAG_GEO_KEYS,
+            3,
+            [1, 1, 0, 3,
+             1024, 0, 1, 1,
+             1025, 0, 1, 1,
+             1026, _TAG_GEO_ASCII, len(crs) + 1, 0],
+        )
+        add(_TAG_GEO_ASCII, 2, crs)
+
+    entries.sort(key=lambda e: e[0])
+    # assign external-value offsets (values > 4 bytes live after strips)
+    ext_pos = pos
+    packed_entries = []
+    for tag, typ, cnt, raw in entries:
+        if len(raw) <= 4:
+            val = raw + b"\x00" * (4 - len(raw))
+        else:
+            extern.append(raw + (b"\x00" if len(raw) & 1 else b""))
+            val = struct.pack("<I", ext_pos)
+            ext_pos += len(extern[-1])
+        packed_entries.append(struct.pack("<HHI", tag, typ, cnt) + val)
+
+    ifd_off = ext_pos
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", ifd_off)
+    for s in strips:
+        out += s
+        if len(s) & 1:
+            out += b"\x00"
+    for e in extern:
+        out += e
+    out += struct.pack("<H", len(packed_entries))
+    out += b"".join(packed_entries)
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
