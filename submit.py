@@ -30,7 +30,8 @@ import time
 def parse_args(argv):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--images", required=True,
-                   help="parquet path, or synth:<sf_dir>[:limit]")
+                   help="parquet path, rasters:<geotiff_dir>, or "
+                        "synth:<sf_dir>[:limit]")
     p.add_argument("--output", required=True, help="output root directory")
     p.add_argument("--job", default="polygons",
                    choices=["tiles", "polygons", "watershed", "pyramid"])
@@ -52,6 +53,10 @@ def load_images(spark, spec: str):
         limit = int(parts[2]) if len(parts) > 2 else None
         return IMG.images_table(spark, parts[1], fmt="png", kind="mask",
                                 limit=limit)
+    if spec.startswith("rasters:"):
+        # a raw directory of GeoTIFFs — the reference's own on-disk layout
+        # (io.checkdir walk, /root/reference/src/io.py:10-63)
+        return catalog.load_raster_dir(spark, spec.split(":", 1)[1])
     # catalog table name or path; Iceberg when the runtime has the jars,
     # parquet stand-in otherwise; input_hint core columns validated on load
     # (georeference sidecars ulx/uly/crs may ride along — subset check)

@@ -64,3 +64,36 @@ def test_fresh_run_then_resume_mix(spark, tmp, capsys):
     ])
     out3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < out3["rows"] < out1["rows"]
+
+
+def test_submit_polygons_from_geotiff_dir(spark, tmp, capsys):
+    """The reference's actual workflow end-to-end: a DIRECTORY of
+    georeferenced GeoTIFF masks -> tiles -> polygons, via the
+    rasters:<dir> images spec (io.checkdir walk + read_tif parity)."""
+    import os
+
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import (
+        codec_tiff,
+        images as IMG,
+    )
+
+    src = os.path.join(tmp, "rasters")
+    os.makedirs(src)
+    for pk in (3, 5, 8):
+        w, h = 200 + pk * 37 % 1801, 200 + pk * 53 % 1801
+        blob = codec_tiff.encode_tiff(
+            IMG.render_mask(pk, w, h),
+            geo=(pk * 210.0, 4000.0, 0.1, -0.1, IMG.CRS_TOKEN),
+        )
+        open(os.path.join(src, f"img_{pk:08d}.tif"), "wb").write(blob)
+
+    out = os.path.join(tmp, "out")
+    rc = submit.main([
+        "--images", f"rasters:{src}", "--output", out, "--job", "polygons",
+    ])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # every image pk gets 1 + pk % 4 rectangles -> that many polygons
+    assert res["rows"] == sum(1 + pk % 4 for pk in (3, 5, 8))
