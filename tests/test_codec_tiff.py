@@ -348,3 +348,73 @@ def test_load_raster_dir_on_error_skip(spark, tmp_path):
     assert [r.image_id for r in got] == ["good"]
     with _pt.raises(Exception, match="malformed|truncated|IFD"):
         load_raster_dir(spark, str(tmp_path)).collect()
+
+
+def test_tiled_encode_roundtrip():
+    """tiling=(tw, th) writes tile organisation (322-325); the decoder's
+    tile-assembly path reconstructs edge-cropped content exactly."""
+    for shape in [(100, 130, 3), (64, 64), (33, 47)]:
+        arr = RNG.integers(0, 256, shape, dtype=np.uint8)
+        for comp in ("none", "deflate", "lzw"):
+            blob = T.encode_tiff(arr, compression=comp, tiling=(32, 16))
+            assert (T.decode_tiff(blob) == arr).all(), (shape, comp)
+    # u16 single band too
+    a16 = RNG.integers(0, 1 << 16, (40, 50), dtype=np.uint16)
+    assert (T.decode_tiff(T.encode_tiff(a16, tiling=(16, 16))) == a16).all()
+
+
+def test_tiled_encode_rejects_bad_tile_dims():
+    with pytest.raises(ValueError, match="multiples of 16"):
+        T.encode_tiff(np.zeros((8, 8), np.uint8), tiling=(10, 16))
+
+
+# ------------------------------------------- multi-IFD overview chains
+def test_overviews_roundtrip_and_geo():
+    """encode_tiff_overviews writes IFD 0 + N reduced-resolution IFDs:
+    each level decodes to the nearest-2x downsample, the geotransform
+    pixel size doubles per level, and the model-space footprint is
+    level-invariant (same map extent at every zoom)."""
+    m = np.zeros((600, 500), np.uint8)
+    m[37:251, 102:346] = 255
+    blob = T.encode_tiff_overviews(
+        m, n_overviews=3, geo=(420.0, 3990.0, 0.1, -0.1, "SYNTH:METRIC")
+    )
+    assert T.ifd_count(blob) == 4
+    cur = m
+    for i in range(4):
+        lvl = T.decode_tiff(blob, ifd=i)
+        assert (lvl == cur).all(), i
+        g = T.geotiff_geodata(blob, ifd=i)
+        assert g["sx"] == 0.1 * (1 << i) and g["sy"] == -0.1 * (1 << i)
+        # footprint invariance to within one coarse pixel (odd dims
+        # ceil-round when halved, exactly like GDAL overviews)
+        assert g["ulx"] == 420.0 and g["uly"] == 3990.0
+        assert abs(g["w"] * g["sx"] - 50.0) <= g["sx"]
+        cur = cur[::2, ::2]
+
+
+def test_overviews_plain_reader_sees_full_res():
+    """A reader unaware of the chain (ifd=0 default) gets the full-res
+    raster — overview IFDs are purely additive."""
+    arr = RNG.integers(0, 256, (70, 90, 3), dtype=np.uint8)
+    blob = T.encode_tiff_overviews(arr, n_overviews=2)
+    assert (T.decode_tiff(blob) == arr).all()
+    assert (codec.decode(blob, "tif", 90, 70) == arr).all()
+
+
+def test_ifd_chain_cycle_guard():
+    """A forged next-IFD pointer looping back on itself must raise, not
+    walk forever."""
+    blob = bytearray(T.encode_tiff_overviews(np.zeros((40, 40), np.uint8), 1))
+    ifd0 = struct.unpack("<I", blob[4:8])[0]
+    (n,) = struct.unpack("<H", blob[ifd0 : ifd0 + 2])
+    nxt_at = ifd0 + 2 + 12 * n
+    struct.pack_into("<I", blob, nxt_at, ifd0)  # 0 -> 0 cycle
+    with pytest.raises(ValueError, match="cycle"):
+        T.decode_tiff(bytes(blob), ifd=5)
+
+
+def test_ifd_out_of_range_raises():
+    blob = T.encode_tiff(np.zeros((4, 4), np.uint8))
+    with pytest.raises(ValueError, match="absent"):
+        T.decode_tiff(blob, ifd=1)

@@ -61,8 +61,11 @@ _TAG_GEO_ASCII = 34737
 # --------------------------------------------------------------------- #
 
 
-def _read_ifd(data: bytes) -> tuple[dict, str]:
-    """First IFD as {tag: (type, [values...])} plus the endian prefix."""
+def _read_ifd(data: bytes, index: int = 0) -> tuple[dict, str]:
+    """IFD ``index`` (following the next-IFD chain) as
+    {tag: (type, [values...])} plus the endian prefix.  The chain walk is
+    cycle-guarded: offsets must strictly appear at most once and at most
+    64 IFDs are followed (hostile next-pointers must not loop forever)."""
     if len(data) < 8:
         raise ValueError("tiff: truncated header")
     if data[:2] == b"II":
@@ -77,6 +80,22 @@ def _read_ifd(data: bytes) -> tuple[dict, str]:
     if magic != 42:
         raise ValueError(f"tiff: bad magic {magic}")
     (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    seen = set()
+    for _hop in range(index):
+        if ifd_off == 0:
+            raise ValueError(f"tiff: IFD {index} absent (chain ends)")
+        if ifd_off in seen or len(seen) >= 64:
+            raise ValueError("tiff: IFD chain cycles")
+        seen.add(ifd_off)
+        if ifd_off + 2 > len(data):
+            raise ValueError("tiff: IFD offset beyond file")
+        (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+        nxt = ifd_off + 2 + 12 * n
+        if nxt + 4 > len(data):
+            raise ValueError("tiff: truncated IFD chain")
+        (ifd_off,) = struct.unpack(bo + "I", data[nxt : nxt + 4])
+    if ifd_off == 0:
+        raise ValueError(f"tiff: IFD {index} absent (chain ends)")
     if ifd_off + 2 > len(data):
         raise ValueError("tiff: IFD offset beyond file")
     (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
@@ -319,9 +338,13 @@ def _undo_predictor(seg: np.ndarray, rows: int, width: int, spp: int) -> np.ndar
 
 
 @malformed_guard("tiff")
-def decode_tiff(data: bytes) -> np.ndarray:
-    """TIFF bytes -> uint8/uint16 array (h, w) or (h, w, c)."""
-    tags, bo = _read_ifd(data)
+def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
+    """TIFF bytes -> uint8/uint16 array (h, w) or (h, w, c).
+
+    ``ifd`` selects a directory along the chain: 0 is the full-res
+    raster, 1.. are reduced-resolution overviews when present
+    (:func:`encode_tiff_overviews`)."""
+    tags, bo = _read_ifd(data, index=ifd)
     w = _tag1(tags, 256)
     h = _tag1(tags, 257)
     if not w or not h or w < 0 or h < 0:
@@ -414,7 +437,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
 
 
 @malformed_guard("tiff")
-def geotiff_geodata(data: bytes) -> dict:
+def geotiff_geodata(data: bytes, ifd: int = 0) -> dict:
     """``getGeodata`` parity (/root/reference/src/io.py:55-63): the
     north-up affine geotransform + CRS citation from the GeoTIFF tags.
 
@@ -422,7 +445,7 @@ def geotiff_geodata(data: bytes) -> dict:
     (GDAL geotransform convention, the shape the reference's gridding
     math consumes, /root/reference/src/bf_gridding.py:43-71).
     """
-    tags, _ = _read_ifd(data)
+    tags, _ = _read_ifd(data, index=ifd)
     scale = _tag(tags, _TAG_PIXEL_SCALE)
     tie = _tag(tags, _TAG_TIEPOINT)
     if scale is None or tie is None or len(scale) < 2 or len(tie) < 6:
@@ -455,20 +478,16 @@ def _apply_predictor(arr2d: np.ndarray, rows: int, width: int, spp: int) -> np.n
     return (d & mask).astype(arr2d.dtype).reshape(rows, width * spp)
 
 
-def encode_tiff(
+def _plan_level(
     arr: np.ndarray,
-    compression: str = "deflate",
-    geo: tuple | None = None,
-    rows_per_strip: int | None = None,
-    predictor: bool = True,
-    level: int = 1,
-) -> bytes:
-    """uint8 (h, w[, c]) or uint16 (h, w) -> little-endian strip TIFF.
-
-    ``geo=(ulx, uly, sx, sy, crs)`` (sy negative, north-up) adds the
-    GeoTIFF tags the reference's ``write_tif`` emits via GDAL
-    (/root/reference/src/io.py:66-90).
-    """
+    compression: str,
+    rows_per_strip: int | None,
+    predictor: bool,
+    level: int,
+    tiling: tuple[int, int] | None,
+) -> dict:
+    """Validate one raster and build its compressed segments + layout
+    metadata (no offsets yet — the multi-IFD assembler assigns those)."""
     if arr.dtype == np.uint8:
         pass
     elif arr.dtype == np.uint16:
@@ -497,34 +516,53 @@ def encode_tiff(
     arr2d = np.ascontiguousarray(arr.astype("<" + arr.dtype.str[1:])).reshape(
         h, w * spp
     )
-    if rows_per_strip is None:
-        # target ~256 KiB strips so huge rasters stream segment-at-a-time
-        rows_per_strip = max(1, (256 << 10) // max(1, w * spp * (bps // 8)))
-    rps = min(rows_per_strip, h)
-    strips = []
-    for y0 in range(0, h, rps):
-        s = arr2d[y0 : y0 + rps]
+
+    def _pack(seg2d: np.ndarray, seg_w: int) -> bytes:
         if use_pred:
-            s = _apply_predictor(s, s.shape[0], w, spp)
-        raw = s.tobytes()
+            seg2d = _apply_predictor(seg2d, seg2d.shape[0], seg_w, spp)
+        raw = seg2d.tobytes()
         if comp_id == _COMP_NONE:
-            strips.append(raw)
-        elif comp_id == _COMP_DEFLATE_ADOBE:
-            strips.append(zlib.compress(raw, level))
-        elif comp_id == _COMP_PACKBITS:
-            strips.append(packbits_encode(raw))
-        else:
-            strips.append(lzw_encode(raw))
+            return raw
+        if comp_id == _COMP_DEFLATE_ADOBE:
+            return zlib.compress(raw, level)
+        if comp_id == _COMP_PACKBITS:
+            return packbits_encode(raw)
+        return lzw_encode(raw)
 
-    # layout: header | strip data (word-aligned) | external values | IFD
-    pos = 8
-    strip_offs = []
-    for s in strips:
-        strip_offs.append(pos)
-        pos += len(s) + (len(s) & 1)
+    segs: list[bytes] = []
+    rps = None
+    if tiling is not None:
+        tw, th = tiling
+        if tw % 16 or th % 16 or tw <= 0 or th <= 0:
+            raise ValueError("tiff: tile dims must be positive multiples of 16")
+        ntx, nty = -(-w // tw), -(-h // th)
+        for ty in range(nty):
+            for tx in range(ntx):
+                t = np.zeros((th, tw * spp), dtype=arr2d.dtype)
+                ch = min(th, h - ty * th)
+                cw = min(tw, w - tx * tw)
+                t[:ch, : cw * spp] = arr2d[
+                    ty * th : ty * th + ch, tx * tw * spp : (tx * tw + cw) * spp
+                ]
+                segs.append(_pack(t, tw))
+    else:
+        if rows_per_strip is None:
+            # target ~256 KiB strips so huge rasters stream segment-at-a-time
+            rows_per_strip = max(1, (256 << 10) // max(1, w * spp * (bps // 8)))
+        rps = min(rows_per_strip, h)
+        for y0 in range(0, h, rps):
+            segs.append(_pack(arr2d[y0 : y0 + rps], w))
+    return {
+        "segs": segs, "w": w, "h": h, "spp": spp, "bps": bps,
+        "comp_id": comp_id, "use_pred": use_pred, "rps": rps,
+        "tiling": tiling,
+    }
 
-    entries: list[tuple[int, int, int, bytes | int]] = []  # tag,type,count,val
-    extern: list[bytes] = []
+
+def _level_entries(
+    lv: dict, seg_offs: list[int], geo: tuple | None, reduced: bool
+) -> list[tuple[int, int, int, bytes]]:
+    entries: list[tuple[int, int, int, bytes]] = []
 
     def add(tag: int, typ: int, vals) -> None:
         if typ == 2:
@@ -536,21 +574,29 @@ def encode_tiff(
             cnt = len(vals)
         entries.append((tag, typ, cnt, raw))
 
-    add(256, 4, [w])
-    add(257, 4, [h])
-    add(258, 3, [bps] * spp)
-    add(259, 3, [comp_id])
-    add(262, 3, [2 if spp >= 3 else 1])
-    add(273, 4, strip_offs)
-    add(277, 3, [spp])
-    add(278, 4, [rps])
+    if reduced:
+        add(254, 4, [1])  # NewSubfileType: reduced-resolution overview
+    add(256, 4, [lv["w"]])
+    add(257, 4, [lv["h"]])
+    add(258, 3, [lv["bps"]] * lv["spp"])
+    add(259, 3, [lv["comp_id"]])
+    add(262, 3, [2 if lv["spp"] >= 3 else 1])
+    add(277, 3, [lv["spp"]])
     add(284, 3, [1])  # chunky
-    add(279, 4, [len(s) for s in strips])
-    if spp == 4:
+    if lv["tiling"] is not None:
+        add(322, 4, [lv["tiling"][0]])
+        add(323, 4, [lv["tiling"][1]])
+        add(324, 4, seg_offs)
+        add(325, 4, [len(s) for s in lv["segs"]])
+    else:
+        add(273, 4, seg_offs)
+        add(278, 4, [lv["rps"]])
+        add(279, 4, [len(s) for s in lv["segs"]])
+    if lv["spp"] == 4:
         add(338, 3, [2])  # unassociated alpha
-    if use_pred:
+    if lv["use_pred"]:
         add(317, 3, [2])
-    add(339, 3, [1] * spp)
+    add(339, 3, [1] * lv["spp"])
     if geo is not None:
         ulx, uly, sx, sy, crs = geo
         if sy >= 0:
@@ -567,30 +613,142 @@ def encode_tiff(
              1026, _TAG_GEO_ASCII, len(crs) + 1, 0],
         )
         add(_TAG_GEO_ASCII, 2, crs)
-
     entries.sort(key=lambda e: e[0])
-    # assign external-value offsets (values > 4 bytes live after strips)
-    ext_pos = pos
-    packed_entries = []
-    for tag, typ, cnt, raw in entries:
-        if len(raw) <= 4:
-            val = raw + b"\x00" * (4 - len(raw))
-        else:
-            extern.append(raw + (b"\x00" if len(raw) & 1 else b""))
-            val = struct.pack("<I", ext_pos)
-            ext_pos += len(extern[-1])
-        packed_entries.append(struct.pack("<HHI", tag, typ, cnt) + val)
+    return entries
 
-    ifd_off = ext_pos
-    out = bytearray()
-    out += b"II*\x00" + struct.pack("<I", ifd_off)
-    for s in strips:
-        out += s
-        if len(s) & 1:
-            out += b"\x00"
-    for e in extern:
-        out += e
-    out += struct.pack("<H", len(packed_entries))
-    out += b"".join(packed_entries)
-    out += struct.pack("<I", 0)  # no next IFD
+
+def _assemble(levels: list[dict], geos: list[tuple | None]) -> bytes:
+    """Chain one IFD per level: header | all segment data (word-aligned)
+    | per-level (external values + IFD), next-IFD pointers linked."""
+    pos = 8
+    all_seg_offs: list[list[int]] = []
+    for lv in levels:
+        offs = []
+        for s in lv["segs"]:
+            offs.append(pos)
+            pos += len(s) + (len(s) & 1)
+        all_seg_offs.append(offs)
+
+    # two passes over the entry lists: sizes first (IFD offsets depend on
+    # every earlier level's extern+IFD size), then packing with offsets
+    per_level_entries = [
+        _level_entries(lv, offs, geo, i > 0)
+        for i, (lv, offs, geo) in enumerate(zip(levels, all_seg_offs, geos))
+    ]
+    ifd_offs: list[int] = []
+    blocks: list[bytes] = []
+    for entries in per_level_entries:
+        extern: list[bytes] = []
+        ext_pos = pos
+        for _tag, _typ, _cnt, raw in entries:
+            if len(raw) > 4:
+                extern.append(raw + (b"\x00" if len(raw) & 1 else b""))
+                ext_pos += len(extern[-1])
+        ifd_offs.append(ext_pos)
+        pos = ext_pos + 2 + 12 * len(entries) + 4
+        blocks.append(b"".join(extern))
+
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
+    for lv in levels:
+        for s in lv["segs"]:
+            out += s
+            if len(s) & 1:
+                out += b"\x00"
+    for i, entries in enumerate(per_level_entries):
+        ext_pos = ifd_offs[i] - len(blocks[i])
+        packed = []
+        for tag, typ, cnt, raw in entries:
+            if len(raw) <= 4:
+                val = raw + b"\x00" * (4 - len(raw))
+            else:
+                val = struct.pack("<I", ext_pos)
+                ext_pos += len(raw) + (len(raw) & 1)
+            packed.append(struct.pack("<HHI", tag, typ, cnt) + val)
+        out += blocks[i]
+        out += struct.pack("<H", len(packed)) + b"".join(packed)
+        nxt = ifd_offs[i + 1] if i + 1 < len(ifd_offs) else 0
+        out += struct.pack("<I", nxt)
     return bytes(out)
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    compression: str = "deflate",
+    geo: tuple | None = None,
+    rows_per_strip: int | None = None,
+    predictor: bool = True,
+    level: int = 1,
+    tiling: tuple[int, int] | None = None,
+) -> bytes:
+    """uint8 (h, w[, c]) or uint16 (h, w) -> little-endian TIFF.
+
+    ``geo=(ulx, uly, sx, sy, crs)`` (sy negative, north-up) adds the
+    GeoTIFF tags the reference's ``write_tif`` emits via GDAL
+    (/root/reference/src/io.py:66-90).
+
+    ``tiling=(tw, th)`` (multiples of 16) writes tile organisation
+    instead of strips — the layout cloud-optimized GeoTIFF corpora use
+    so a reader can range-request one tile without streaming whole
+    scanline strips.
+    """
+    lv = _plan_level(arr, compression, rows_per_strip, predictor, level, tiling)
+    return _assemble([lv], [geo])
+
+
+def encode_tiff_overviews(
+    arr: np.ndarray,
+    n_overviews: int = 3,
+    compression: str = "deflate",
+    geo: tuple | None = None,
+    predictor: bool = True,
+    level: int = 1,
+    tiling: tuple[int, int] | None = (256, 256),
+) -> bytes:
+    """Multi-resolution GeoTIFF: full-res IFD 0 plus ``n_overviews``
+    2x-downsampled overview IFDs (NewSubfileType=1), tiled by default —
+    the overview structure GDAL's ``BuildOverviews`` attaches to the
+    reference's rasters so coarse zooms never read full-res pixels.
+    Overviews are nearest-neighbour (mask semantics: a 0/255 label plane
+    must stay binary, O7's pyramid convention, operators/pyramid.py).
+    Each overview's geotransform doubles the pixel size in the tags, so
+    ``geotiff_geodata`` on any IFD reconstructs the same footprint.
+    """
+    if n_overviews < 1:
+        raise ValueError("tiff: n_overviews must be >= 1")
+    levels, geos = [], []
+    cur = arr
+    for i in range(n_overviews + 1):
+        use_tiling = tiling
+        if use_tiling is not None and (
+            cur.shape[0] < use_tiling[1] or cur.shape[1] < use_tiling[0]
+        ):
+            use_tiling = None  # tinier-than-one-tile levels go stripped
+        levels.append(
+            _plan_level(cur, compression, None, predictor, level, use_tiling)
+        )
+        if geo is not None:
+            ulx, uly, sx, sy, crs = geo
+            geos.append((ulx, uly, sx * (1 << i), sy * (1 << i), crs))
+        else:
+            geos.append(None)
+        if i < n_overviews:
+            if min(cur.shape[0], cur.shape[1]) < 2:
+                raise ValueError(
+                    f"tiff: raster too small for {n_overviews} overviews"
+                )
+            cur = cur[:: 2, :: 2]  # nearest-neighbour 2x
+    return _assemble(levels, geos)
+
+
+def ifd_count(data: bytes) -> int:
+    """Number of IFDs in the chain (1 for a plain file, 1 + overviews
+    for a multi-resolution one)."""
+    n = 0
+    while True:
+        try:
+            _read_ifd(data, index=n)
+        except ValueError:
+            return n
+        n += 1
+        if n > 64:
+            return n
