@@ -418,3 +418,46 @@ def test_ifd_out_of_range_raises():
     blob = T.encode_tiff(np.zeros((4, 4), np.uint8))
     with pytest.raises(ValueError, match="absent"):
         T.decode_tiff(blob, ifd=1)
+
+
+# --------------------------------------------------- float DEM rasters
+def test_float_dem_roundtrip():
+    """GDAL DEMs are float rasters and the reference's read_tif works in
+    float64 (io.py:41-63): SampleFormat=3 single-band encode/decode,
+    bit-exact (lossless deflate; predictor auto-disabled — horizontal
+    differencing is int-only per spec)."""
+    for dt in (np.float32, np.float64):
+        dem = (
+            100.0 * np.sin(np.arange(60)[:, None] * 0.1)
+            + np.arange(80)[None, :] * 0.25
+        ).astype(dt)
+        dem[3, 7] = np.nan  # nodata as NaN must survive verbatim
+        for comp in ("none", "deflate", "lzw", "packbits"):
+            out = T.decode_tiff(T.encode_tiff(dem, compression=comp))
+            assert out.dtype == dt
+            np.testing.assert_array_equal(out, dem)
+    # geo + tiled float works too
+    dem32 = np.linspace(0, 500, 64 * 48, dtype=np.float32).reshape(48, 64)
+    blob = T.encode_tiff(
+        dem32, tiling=(32, 16), geo=(0.0, 100.0, 0.5, -0.5, "X")
+    )
+    np.testing.assert_array_equal(T.decode_tiff(blob), dem32)
+    assert T.geotiff_geodata(blob)["sx"] == 0.5
+
+
+def test_float_predictor2_rejected():
+    """A stream claiming horizontal differencing over float samples is
+    malformed (predictor 2 is integer-only)."""
+    blob = bytearray(T.encode_tiff(np.zeros((8, 8), np.float32)))
+    ifd_off = struct.unpack("<I", blob[4:8])[0]
+    (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    entries = [
+        struct.pack("<HHI", 317, 3, 1) + struct.pack("<H2x", 2)
+    ]
+    # easiest forgery: rewrite tag 284 (chunky, value 1) into 317=2
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] == 284:
+            blob[e : e + 12] = entries[0]
+    with pytest.raises(ValueError, match="predictor 2 on float"):
+        T.decode_tiff(bytes(blob))

@@ -354,28 +354,41 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
     if len(set(bits)) != 1:
         raise NotImplementedError("tiff: mixed per-channel bit depths")
     bps = bits[0]
-    if bps not in (8, 16):
-        raise NotImplementedError(f"tiff: {bps}-bit samples not supported")
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"tiff: {spp} samples/px not supported")
     sf = _tag1(tags, 339, 1)
-    if sf != 1:
-        raise NotImplementedError(f"tiff: sample format {sf} (non-uint) not supported")
+    if sf == 1:  # unsigned int
+        if bps not in (8, 16):
+            raise NotImplementedError(f"tiff: {bps}-bit uint samples not supported")
+        kind = "u"
+    elif sf == 3:  # IEEE float (the reference's read_tif works in float64
+        # and GDAL DEM rasters are commonly float32, io.py:41-63)
+        if bps not in (32, 64):
+            raise NotImplementedError(f"tiff: {bps}-bit float samples not supported")
+        kind = "f"
+    else:
+        raise NotImplementedError(f"tiff: sample format {sf} not supported")
     if _tag1(tags, 284, 1) != 1:
         raise NotImplementedError("tiff: planar configuration 2 not supported")
     photo = _tag1(tags, 262, 1)
     if photo not in (0, 1, 2):
         raise NotImplementedError(f"tiff: photometric {photo} not supported")
+    if photo == 0 and kind == "f":
+        raise NotImplementedError("tiff: WhiteIsZero float rasters not supported")
     if photo == 2 and spp < 3:
         raise ValueError("tiff: RGB photometric with <3 samples")
     comp = _tag1(tags, 259, 1)
     pred = _tag1(tags, 317, 1)
     if pred not in (1, 2):
         raise NotImplementedError(f"tiff: predictor {pred} not supported")
+    if pred == 2 and kind == "f":
+        # spec: horizontal differencing is integer-only (floats use
+        # predictor 3, a different byte-shuffle scheme)
+        raise ValueError("tiff: predictor 2 on float samples")
     bsz = bps // 8
     if w * h * spp * bsz > _MAX_RASTER_BYTES:
         raise ValueError("tiff: declared raster exceeds size cap")
-    dt = np.dtype(f"{bo}u{bsz}")
+    dt = np.dtype(f"{bo}{kind}{bsz}")
 
     tiled = 322 in tags or 324 in tags
     if tiled:
@@ -490,11 +503,13 @@ def _plan_level(
     metadata (no offsets yet — the multi-IFD assembler assigns those)."""
     if arr.dtype == np.uint8:
         pass
-    elif arr.dtype == np.uint16:
+    elif arr.dtype in (np.uint16, np.float32, np.float64):
         if arr.ndim != 2:
-            raise ValueError("tiff: 16-bit encode is single-band only")
+            raise ValueError(f"tiff: {arr.dtype} encode is single-band only")
     else:
-        raise ValueError(f"tiff codec encodes uint8/uint16, got {arr.dtype}")
+        raise ValueError(
+            f"tiff codec encodes uint8/uint16/float32/float64, got {arr.dtype}"
+        )
     if arr.ndim == 2:
         h, w = arr.shape
         spp = 1
@@ -511,7 +526,11 @@ def _plan_level(
     }.get(compression)
     if comp_id is None:
         raise ValueError(f"tiff: unknown compression {compression!r}")
-    use_pred = predictor and comp_id in (_COMP_DEFLATE_ADOBE, _COMP_LZW)
+    use_pred = (
+        predictor
+        and comp_id in (_COMP_DEFLATE_ADOBE, _COMP_LZW)
+        and arr.dtype.kind == "u"  # horizontal differencing is int-only
+    )
 
     arr2d = np.ascontiguousarray(arr.astype("<" + arr.dtype.str[1:])).reshape(
         h, w * spp
@@ -555,7 +574,7 @@ def _plan_level(
     return {
         "segs": segs, "w": w, "h": h, "spp": spp, "bps": bps,
         "comp_id": comp_id, "use_pred": use_pred, "rps": rps,
-        "tiling": tiling,
+        "tiling": tiling, "sfmt": 3 if arr.dtype.kind == "f" else 1,
     }
 
 
@@ -596,7 +615,7 @@ def _level_entries(
         add(338, 3, [2])  # unassociated alpha
     if lv["use_pred"]:
         add(317, 3, [2])
-    add(339, 3, [1] * lv["spp"])
+    add(339, 3, [lv["sfmt"]] * lv["spp"])
     if geo is not None:
         ulx, uly, sx, sy, crs = geo
         if sy >= 0:
