@@ -246,3 +246,43 @@ def test_exact_dedup_one_pass_one_exchange(spark):
     assert not re.findall(
         r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p
     ), p
+
+
+def test_geotiff_extents_single_pass_one_exchange(spark):
+    """S3 tag round-trip gate: one parquet scan, exactly the one pinned
+    repartition (CPU spread for the Python encode stage), no joins or
+    aggregates — the GeoTIFF write+read never shuffles data it doesn't
+    have to."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    p = plan(E.q_geotiff_extents(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p and "Aggregate" not in p
+
+
+def test_load_raster_dir_scan_to_arrow_only(spark, tmp_path):
+    """Raster-directory ingest: binaryFile scan straight into ONE Arrow
+    stage — no exchange, no driver-side listing loop."""
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import (
+        codec_tiff,
+    )
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.catalog import (
+        load_raster_dir,
+    )
+
+    (tmp_path / "a.tif").write_bytes(
+        codec_tiff.encode_tiff(np.zeros((8, 8), np.uint8))
+    )
+    import re
+
+    p = plan(load_raster_dir(spark, str(tmp_path)))
+    assert "Exchange" not in p
+    assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
+    assert "Scan binaryFile" in p
