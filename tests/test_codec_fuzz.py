@@ -72,6 +72,10 @@ _VALID = {
         codec_tiff.encode_tiff(_IMG_RGB, compression="packbits"),
         codec_tiff.decode_tiff,
     ),
+    "bigtiff": (
+        codec_tiff.encode_tiff(_IMG_RGB, bigtiff=True),
+        codec_tiff.decode_tiff,
+    ),
 }
 
 # Magic prefixes splice random tails PAST the cheap signature checks so
@@ -85,6 +89,7 @@ _MAGICS = [
     b"fLaC",
     b"II\x2a\x00",
     b"MM\x00\x2a",
+    b"II+\x00\x08\x00\x00\x00",
     b"",
 ]
 

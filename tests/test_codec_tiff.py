@@ -214,8 +214,8 @@ def test_unsupported_variants_raise_notimplemented():
                 blob[e + 8 : e + 10] = struct.pack("<H", val)
         return bytes(blob)
 
-    with pytest.raises(NotImplementedError):
-        T.decode_tiff(b"II\x2b\x00" + base[4:])  # BigTIFF magic 43
+    with pytest.raises(ValueError):
+        T.decode_tiff(b"II\x2c\x00" + base[4:])  # unknown magic 44
     with pytest.raises(NotImplementedError):
         T.decode_tiff(patched(259, 7))  # JPEG-in-TIFF
     with pytest.raises(NotImplementedError):
@@ -460,4 +460,53 @@ def test_float_predictor2_rejected():
         if struct.unpack("<H", blob[e : e + 2])[0] == 284:
             blob[e : e + 12] = entries[0]
     with pytest.raises(ValueError, match="predictor 2 on float"):
+        T.decode_tiff(bytes(blob))
+
+
+# ------------------------------------------------------------- BigTIFF
+def test_bigtiff_roundtrip_all_compressions():
+    """BigTIFF (magic 43, 8-byte offsets, 20-byte entries): the layout
+    any >4 GiB GeoTIFF mosaic ships in.  Same decode path, same pixels."""
+    for shape, dt in [((37, 53, 3), np.uint8), ((40, 30), np.uint16)]:
+        arr = RNG.integers(0, np.iinfo(dt).max + 1, size=shape, dtype=dt)
+        for comp in ("none", "deflate", "packbits", "lzw"):
+            blob = T.encode_tiff(arr, compression=comp, bigtiff=True)
+            assert blob[:4] == b"II+\x00"
+            out = T.decode_tiff(blob)
+            assert out.dtype == arr.dtype and (out == arr).all(), comp
+
+
+def test_bigtiff_geo_overviews_and_tiling():
+    m = np.zeros((300, 400), np.uint8)
+    m[50:120, 80:310] = 255
+    blob = T.encode_tiff_overviews(
+        m, n_overviews=2, geo=(0.0, 30.0, 0.1, -0.1, "SYNTH:METRIC"),
+        bigtiff=True,
+    )
+    assert blob[:4] == b"II+\x00"
+    assert T.ifd_count(blob) == 3
+    assert (T.decode_tiff(blob) == m).all()
+    assert (T.decode_tiff(blob, ifd=2) == m[::4, ::4]).all()
+    g = T.geotiff_geodata(blob, ifd=2)
+    assert g["sx"] == pytest.approx(0.4) and g["crs"] == "SYNTH:METRIC"
+
+
+def test_bigtiff_lying_count_refused_early():
+    """A 64-bit tag count claiming more values than the file holds must
+    raise before any allocation proportional to it."""
+    blob = bytearray(T.encode_tiff(np.zeros((8, 8), np.uint8), bigtiff=True))
+    ifd_off = struct.unpack("<Q", blob[8:16])[0]
+    (n,) = struct.unpack("<Q", blob[ifd_off : ifd_off + 8])
+    for i in range(n):
+        e = ifd_off + 8 + 20 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] == 258:  # BitsPerSample
+            struct.pack_into("<Q", blob, e + 4, 1 << 40)
+    with pytest.raises(ValueError, match="count exceeds"):
+        T.decode_tiff(bytes(blob))
+
+
+def test_bigtiff_bad_offset_size_rejected():
+    blob = bytearray(T.encode_tiff(np.zeros((8, 8), np.uint8), bigtiff=True))
+    blob[4] = 4  # offset size must be 8
+    with pytest.raises(ValueError, match="offset size"):
         T.decode_tiff(bytes(blob))

@@ -43,8 +43,14 @@ from ._hardening import malformed_guard
 # a 16-EiB image; per-row payloads in this engine are far below this
 _MAX_RASTER_BYTES = 1 << 31
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4,
+    12: 8, 16: 8, 17: 8, 18: 8,  # 16-18: BigTIFF LONG8/SLONG8/IFD8
+}
+_TYPE_FMT = {
+    1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+    16: "Q", 17: "q", 18: "Q",
+}
 
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE_ADOBE = 1, 5, 8
 _COMP_PACKBITS, _COMP_DEFLATE_OLD = 32773, 32946
@@ -76,10 +82,29 @@ def _read_ifd(data: bytes, index: int = 0) -> tuple[dict, str]:
         raise ValueError("tiff: bad byte-order mark")
     (magic,) = struct.unpack(bo + "H", data[2:4])
     if magic == 43:
-        raise NotImplementedError("tiff: BigTIFF not supported")
-    if magic != 42:
+        # BigTIFF: 8-byte offsets / 20-byte entries — the layout any
+        # >4 GiB GeoTIFF mosaic actually ships in
+        if len(data) < 16:
+            raise ValueError("tiff: truncated BigTIFF header")
+        osz, rsv = struct.unpack(bo + "HH", data[4:8])
+        if osz != 8 or rsv != 0:
+            raise ValueError(f"tiff: bad BigTIFF offset size {osz}/{rsv}")
+        big = True
+        (ifd_off,) = struct.unpack(bo + "Q", data[8:16])
+    elif magic == 42:
+        big = False
+        (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    else:
         raise ValueError(f"tiff: bad magic {magic}")
-    (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    # per-layout IFD geometry: (count bytes+fmt, entry size, inline cap)
+    cb, cf, esz, icap = (8, "Q", 20, 8) if big else (2, "H", 12, 4)
+
+    def _ifd_count_at(off: int) -> int:
+        if off + cb > len(data):
+            raise ValueError("tiff: IFD offset beyond file")
+        (n,) = struct.unpack(bo + cf, data[off : off + cb])
+        return n
+
     seen = set()
     for _hop in range(index):
         if ifd_off == 0:
@@ -87,34 +112,45 @@ def _read_ifd(data: bytes, index: int = 0) -> tuple[dict, str]:
         if ifd_off in seen or len(seen) >= 64:
             raise ValueError("tiff: IFD chain cycles")
         seen.add(ifd_off)
-        if ifd_off + 2 > len(data):
-            raise ValueError("tiff: IFD offset beyond file")
-        (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
-        nxt = ifd_off + 2 + 12 * n
-        if nxt + 4 > len(data):
+        n = _ifd_count_at(ifd_off)
+        if n > 4096:
+            raise ValueError(f"tiff: implausible IFD entry count {n}")
+        nxt = ifd_off + cb + esz * n
+        if nxt + icap > len(data):
             raise ValueError("tiff: truncated IFD chain")
-        (ifd_off,) = struct.unpack(bo + "I", data[nxt : nxt + 4])
+        (ifd_off,) = struct.unpack(
+            bo + ("Q" if big else "I"), data[nxt : nxt + (8 if big else 4)]
+        )
     if ifd_off == 0:
         raise ValueError(f"tiff: IFD {index} absent (chain ends)")
-    if ifd_off + 2 > len(data):
-        raise ValueError("tiff: IFD offset beyond file")
-    (n,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+    n = _ifd_count_at(ifd_off)
     if n == 0 or n > 4096:
         raise ValueError(f"tiff: implausible IFD entry count {n}")
-    if ifd_off + 2 + 12 * n > len(data):
+    if ifd_off + cb + esz * n > len(data):
         raise ValueError("tiff: truncated IFD")
     tags: dict[int, tuple[int, list]] = {}
     for i in range(n):
-        e = data[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
-        tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+        e = data[ifd_off + cb + esz * i : ifd_off + cb + esz * (i + 1)]
+        if big:
+            tag, typ, cnt = struct.unpack(bo + "HHQ", e[:12])
+            vstart = 12
+        else:
+            tag, typ, cnt = struct.unpack(bo + "HHI", e[:8])
+            vstart = 8
         size = _TYPE_SIZE.get(typ)
         if size is None:
             continue  # unknown type: spec says readers skip the entry
         total = size * cnt
-        if total <= 4:
-            raw = e[8 : 8 + total]
+        if total > len(data):
+            # lying 64-bit count: refuse before building a struct format
+            # string proportional to it
+            raise ValueError(f"tiff: tag {tag} count exceeds file size")
+        if total <= icap:
+            raw = e[vstart : vstart + total]
         else:
-            (off,) = struct.unpack(bo + "I", e[8:12])
+            (off,) = struct.unpack(
+                bo + ("Q" if big else "I"), e[vstart : vstart + icap]
+            )
             raw = data[off : off + total]
             if len(raw) != total:
                 raise ValueError(f"tiff: tag {tag} value beyond file")
@@ -579,7 +615,11 @@ def _plan_level(
 
 
 def _level_entries(
-    lv: dict, seg_offs: list[int], geo: tuple | None, reduced: bool
+    lv: dict,
+    seg_offs: list[int],
+    geo: tuple | None,
+    reduced: bool,
+    big: bool = False,
 ) -> list[tuple[int, int, int, bytes]]:
     entries: list[tuple[int, int, int, bytes]] = []
 
@@ -602,15 +642,16 @@ def _level_entries(
     add(262, 3, [2 if lv["spp"] >= 3 else 1])
     add(277, 3, [lv["spp"]])
     add(284, 3, [1])  # chunky
+    otyp = 16 if big else 4  # LONG8 offsets carry >4 GiB placements
     if lv["tiling"] is not None:
         add(322, 4, [lv["tiling"][0]])
         add(323, 4, [lv["tiling"][1]])
-        add(324, 4, seg_offs)
-        add(325, 4, [len(s) for s in lv["segs"]])
+        add(324, otyp, seg_offs)
+        add(325, otyp, [len(s) for s in lv["segs"]])
     else:
-        add(273, 4, seg_offs)
+        add(273, otyp, seg_offs)
         add(278, 4, [lv["rps"]])
-        add(279, 4, [len(s) for s in lv["segs"]])
+        add(279, otyp, [len(s) for s in lv["segs"]])
     if lv["spp"] == 4:
         add(338, 3, [2])  # unassociated alpha
     if lv["use_pred"]:
@@ -636,10 +677,17 @@ def _level_entries(
     return entries
 
 
-def _assemble(levels: list[dict], geos: list[tuple | None]) -> bytes:
+def _assemble(
+    levels: list[dict], geos: list[tuple | None], big: bool = False
+) -> bytes:
     """Chain one IFD per level: header | all segment data (word-aligned)
-    | per-level (external values + IFD), next-IFD pointers linked."""
-    pos = 8
+    | per-level (external values + IFD), next-IFD pointers linked.
+    ``big`` writes the BigTIFF layout (magic 43, 8-byte offsets/counts,
+    20-byte entries) — required once any placement exceeds 4 GiB."""
+    icap = 8 if big else 4  # inline-value capacity per entry
+    cb = 8 if big else 2  # IFD entry-count field width
+    esz = 20 if big else 12
+    pos = 16 if big else 8
     all_seg_offs: list[list[int]] = []
     for lv in levels:
         offs = []
@@ -651,7 +699,7 @@ def _assemble(levels: list[dict], geos: list[tuple | None]) -> bytes:
     # two passes over the entry lists: sizes first (IFD offsets depend on
     # every earlier level's extern+IFD size), then packing with offsets
     per_level_entries = [
-        _level_entries(lv, offs, geo, i > 0)
+        _level_entries(lv, offs, geo, i > 0, big)
         for i, (lv, offs, geo) in enumerate(zip(levels, all_seg_offs, geos))
     ]
     ifd_offs: list[int] = []
@@ -660,33 +708,41 @@ def _assemble(levels: list[dict], geos: list[tuple | None]) -> bytes:
         extern: list[bytes] = []
         ext_pos = pos
         for _tag, _typ, _cnt, raw in entries:
-            if len(raw) > 4:
+            if len(raw) > icap:
                 extern.append(raw + (b"\x00" if len(raw) & 1 else b""))
                 ext_pos += len(extern[-1])
         ifd_offs.append(ext_pos)
-        pos = ext_pos + 2 + 12 * len(entries) + 4
+        pos = ext_pos + cb + esz * len(entries) + icap
         blocks.append(b"".join(extern))
 
-    out = bytearray(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
+    if big:
+        out = bytearray(
+            b"II+\x00" + struct.pack("<HHQ", 8, 0, ifd_offs[0])
+        )
+    else:
+        out = bytearray(b"II*\x00" + struct.pack("<I", ifd_offs[0]))
     for lv in levels:
         for s in lv["segs"]:
             out += s
             if len(s) & 1:
                 out += b"\x00"
+    ofmt = "<Q" if big else "<I"
+    hdrfmt = "<HHQ" if big else "<HHI"
     for i, entries in enumerate(per_level_entries):
         ext_pos = ifd_offs[i] - len(blocks[i])
         packed = []
         for tag, typ, cnt, raw in entries:
-            if len(raw) <= 4:
-                val = raw + b"\x00" * (4 - len(raw))
+            if len(raw) <= icap:
+                val = raw + b"\x00" * (icap - len(raw))
             else:
-                val = struct.pack("<I", ext_pos)
+                val = struct.pack(ofmt, ext_pos)
                 ext_pos += len(raw) + (len(raw) & 1)
-            packed.append(struct.pack("<HHI", tag, typ, cnt) + val)
+            packed.append(struct.pack(hdrfmt, tag, typ, cnt) + val)
         out += blocks[i]
-        out += struct.pack("<H", len(packed)) + b"".join(packed)
+        out += struct.pack(ofmt if big else "<H", len(packed))
+        out += b"".join(packed)
         nxt = ifd_offs[i + 1] if i + 1 < len(ifd_offs) else 0
-        out += struct.pack("<I", nxt)
+        out += struct.pack(ofmt, nxt)
     return bytes(out)
 
 
@@ -698,8 +754,10 @@ def encode_tiff(
     predictor: bool = True,
     level: int = 1,
     tiling: tuple[int, int] | None = None,
+    bigtiff: bool = False,
 ) -> bytes:
-    """uint8 (h, w[, c]) or uint16 (h, w) -> little-endian TIFF.
+    """uint8 (h, w[, c]) or uint16/float32/float64 (h, w) ->
+    little-endian TIFF.
 
     ``geo=(ulx, uly, sx, sy, crs)`` (sy negative, north-up) adds the
     GeoTIFF tags the reference's ``write_tif`` emits via GDAL
@@ -711,7 +769,7 @@ def encode_tiff(
     scanline strips.
     """
     lv = _plan_level(arr, compression, rows_per_strip, predictor, level, tiling)
-    return _assemble([lv], [geo])
+    return _assemble([lv], [geo], bigtiff)
 
 
 def encode_tiff_overviews(
@@ -722,6 +780,7 @@ def encode_tiff_overviews(
     predictor: bool = True,
     level: int = 1,
     tiling: tuple[int, int] | None = (256, 256),
+    bigtiff: bool = False,
 ) -> bytes:
     """Multi-resolution GeoTIFF: full-res IFD 0 plus ``n_overviews``
     2x-downsampled overview IFDs (NewSubfileType=1), tiled by default —
@@ -756,7 +815,7 @@ def encode_tiff_overviews(
                     f"tiff: raster too small for {n_overviews} overviews"
                 )
             cur = cur[:: 2, :: 2]  # nearest-neighbour 2x
-    return _assemble(levels, geos)
+    return _assemble(levels, geos, bigtiff)
 
 
 def ifd_count(data: bytes) -> int:
