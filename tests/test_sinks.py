@@ -237,3 +237,36 @@ def test_catalog_path_vs_table_heuristic():
     assert catalog._looks_like_path("s3://bucket/imgs")   # URI scheme
     assert not catalog._looks_like_path("db.images")      # catalog name
     assert not catalog._looks_like_path("images_v2")      # bare table
+
+
+def test_geotiff_dir_sink_roundtrips_through_raster_ingest(spark, tmp_path):
+    """write_geotiff_dir -> load_raster_dir is the identity on pixels and
+    georeference: the engine can hand its outputs straight back to its
+    own (or the reference's GDAL) ingest."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import sinks
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.catalog import (
+        load_raster_dir,
+    )
+
+    src = IMG.images_table(
+        spark, "/root/testdata/sf0.001", fmt="png", kind="mask", limit=12
+    )
+    out = str(tmp_path / "rasters")
+    n = sinks.write_geotiff_dir(src, out)
+    orig = {r.image_id: r for r in src.collect()}
+    assert n == len(orig) > 0
+
+    back = load_raster_dir(spark, out).collect()
+    assert len(back) == n
+    for r in back:
+        o = orig[r.image_id]
+        assert (r.w, r.h, r.fmt) == (o.w, o.h, "tif")
+        assert (r.ulx, r.uly, r.crs) == (o.ulx, o.uly, o.crs)
+        assert r.sx == 0.1 and r.sy == -0.1
+        import numpy as np
+
+        got = codec.decode(bytes(r.bytes), "tif", r.w, r.h)
+        want = codec.decode(bytes(o.bytes), "png", o.w, o.h)
+        assert np.array_equal(got, want)

@@ -125,3 +125,52 @@ def write_bucketed(
         .format("parquet")
         .saveAsTable(table)
     )
+
+
+def write_geotiff_dir(images: DataFrame, out_dir: str) -> int:
+    """S2 output parity: one georeferenced ``.tif`` per image row — the
+    reference's prediction/mask raster output (``write_tif``,
+    /root/reference/src/io.py:66-90).  Executor-parallel and
+    coordination-free: each row becomes exactly one file named by its
+    ``image_id``, so no two tasks ever write the same path (contrast the
+    single-writer shapefile sink).  Inverse of
+    ``catalog.load_raster_dir`` — a written directory loads back as the
+    same table.
+
+    Expects ``(image_id, bytes, w, h, fmt)`` plus georeference columns
+    ``(ulx, uly, crs)``; pixels are transcoded from whatever ``fmt``
+    they arrive in to deflate GeoTIFF at the engine's 0.1 m cell size
+    (config.py cell_size_m, reference config.py:13).  Returns the number
+    of files written.
+    """
+    import os
+
+    from ..config import DEFAULT_CONFIG
+    from ..sources import codec, codec_tiff
+
+    os.makedirs(out_dir, exist_ok=True)
+    sx = DEFAULT_CONFIG.cell_size_m
+
+    def _write(pdf_iter):
+        import pandas as pd
+
+        for pdf in pdf_iter:
+            n = 0
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                blob = codec_tiff.encode_tiff(
+                    arr,
+                    geo=(float(r.ulx), float(r.uly), sx, -sx, str(r.crs)),
+                    level=6,  # durable sink keeps the high level (BENCH #10)
+                )
+                tmp = os.path.join(out_dir, f".{r.image_id}.tif.tmp")
+                with open(tmp, "wb") as f:
+                    f.write(blob)
+                os.replace(tmp, os.path.join(out_dir, f"{r.image_id}.tif"))
+                n += 1
+            yield pd.DataFrame({"n": [n]})
+
+    counts = images.select(
+        "image_id", "bytes", "w", "h", "fmt", "ulx", "uly", "crs"
+    ).mapInPandas(_write, schema="n long")
+    return int(counts.agg(F.sum("n")).collect()[0][0] or 0)
