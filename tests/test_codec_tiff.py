@@ -510,3 +510,32 @@ def test_bigtiff_bad_offset_size_rejected():
     blob[4] = 4  # offset size must be 8
     with pytest.raises(ValueError, match="offset size"):
         T.decode_tiff(bytes(blob))
+
+
+# ------------------------------------------------------ property-based
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(1, 70),
+    st.integers(1, 70),
+    st.sampled_from([1, 3, 4]),
+    st.sampled_from(["none", "deflate", "packbits", "lzw"]),
+    st.booleans(),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+def test_property_roundtrip(w, h, c, comp, pred, big, seed):
+    """Any uint8 raster survives encode->decode bit-exactly across the
+    full compression x predictor x BigTIFF matrix (tiling drawn when the
+    raster is large enough)."""
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, (h, w, c) if c > 1 else (h, w), dtype=np.uint8)
+    blob = T.encode_tiff(
+        arr, compression=comp, predictor=pred, bigtiff=big,
+        tiling=(16, 16) if (w > 16 and h > 16 and seed % 2) else None,
+    )
+    out = T.decode_tiff(blob)
+    assert out.shape == arr.shape and (out == arr).all()
