@@ -217,7 +217,10 @@ def test_unsupported_variants_raise_notimplemented():
     with pytest.raises(ValueError):
         T.decode_tiff(b"II\x2c\x00" + base[4:])  # unknown magic 44
     with pytest.raises(NotImplementedError):
-        T.decode_tiff(patched(259, 7))  # JPEG-in-TIFF
+        T.decode_tiff(patched(259, 6))  # old-style JPEG
+    with pytest.raises(ValueError):
+        # compression 7 is supported, but the raw strip is not a JPEG
+        T.decode_tiff(patched(259, 7))
     with pytest.raises(NotImplementedError):
         T.decode_tiff(patched(262, 3))  # palette
     with pytest.raises(NotImplementedError):
@@ -539,3 +542,174 @@ def test_property_roundtrip(w, h, c, comp, pred, big, seed):
     )
     out = T.decode_tiff(blob)
     assert out.shape == arr.shape and (out == arr).all()
+
+
+# ------------------------------------------------------- JPEG-in-TIFF
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import (  # noqa: E402
+    codec_jpeg as J,
+)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+def _photo_like(shape, seed=3):
+    """Low-frequency gradient + mild noise: a realistic aerial-photo
+    stand-in (pure noise would make PSNR meaningless for any lossy fmt)."""
+    rng = np.random.default_rng(seed)
+    h, w = shape[:2]
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 199.0 / max(w - 1, 1) + yy * 56.0 / max(h - 1, 1)) / 2
+    img = base + rng.normal(0, 3, (h, w))  # luma noise, not chroma noise
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    if len(shape) > 2:
+        img = np.stack([img, np.clip(img + 12, 0, 255), img // 2], axis=-1)
+    return img
+
+
+def test_jpeg_strip_rgb_roundtrip_psnr_and_geo():
+    rgb = _photo_like((45, 62, 3))
+    geo = (500000.0, 4100000.0, 0.5, -0.5, "EPSG:32643")
+    blob = T.encode_tiff(rgb, compression="jpeg", geo=geo, rows_per_strip=16)
+    out = T.decode_tiff(blob)
+    assert out.shape == rgb.shape and out.dtype == np.uint8
+    assert _psnr(rgb, out) >= 40.0
+    g = T.geotiff_geodata(blob)
+    assert (g["ulx"], g["uly"], g["sx"], g["sy"]) == geo[:4]
+    assert g["crs"] == "EPSG:32643"
+
+
+def test_jpeg_single_strip_matches_jpeg_codec_exactly():
+    """One strip == one baseline stream: decode_tiff must equal the JPEG
+    codec's own decode of the same pixels (shared implementation)."""
+    rgb = _photo_like((40, 56, 3))
+    blob = T.encode_tiff(rgb, compression="jpeg", rows_per_strip=40)
+    ref = J.decode_jpeg(J.encode_jpeg(rgb, quality=95))
+    assert np.array_equal(T.decode_tiff(blob), ref)
+
+
+def test_jpeg_tiled_matches_per_tile_oracle():
+    """Tiled decode == independently assembling per-(padded-)tile
+    encode/decode through the JPEG codec (exact, incl. edge tiles)."""
+    rgb = _photo_like((45, 70, 3), seed=9)
+    blob = T.encode_tiff(rgb, compression="jpeg", tiling=(32, 32))
+    out = T.decode_tiff(blob)
+    h, w = rgb.shape[:2]
+    exp = np.zeros_like(rgb)
+    for ty in range(-(-h // 32)):
+        for tx in range(-(-w // 32)):
+            t = np.zeros((32, 32, 3), np.uint8)
+            ch, cw = min(32, h - ty * 32), min(32, w - tx * 32)
+            t[:ch, :cw] = rgb[ty * 32 : ty * 32 + ch, tx * 32 : tx * 32 + cw]
+            dec = J.decode_jpeg(J.encode_jpeg(t, quality=95))
+            exp[ty * 32 : ty * 32 + ch, tx * 32 : tx * 32 + cw] = dec[:ch, :cw]
+    assert np.array_equal(out, exp)
+
+
+def test_jpeg_gray_and_overviews():
+    g = _photo_like((64, 48))
+    blob = T.encode_tiff(g, compression="jpeg", rows_per_strip=16)
+    out = T.decode_tiff(blob)
+    assert out.shape == g.shape and _psnr(g, out) >= 40.0
+    ov = T.encode_tiff_overviews(g, n_overviews=2, compression="jpeg", tiling=None)
+    assert T.ifd_count(ov) == 3
+    assert T.decode_tiff(ov, ifd=2).shape == (16, 12)
+
+
+def _split_jpeg_tables(stream: bytes):
+    """Split a standalone baseline stream into (tables-stream, abbreviated
+    stream): DQT/DHT hoisted out, everything else kept in order."""
+    assert stream[:2] == b"\xff\xd8"
+    pos, tables, rest = 2, b"", bytearray(b"\xff\xd8")
+    while pos < len(stream):
+        assert stream[pos] == 0xFF
+        m = stream[pos + 1]
+        if m == 0xDA:  # SOS: entropy-coded tail, keep whole
+            rest += stream[pos:]
+            break
+        ln = int.from_bytes(stream[pos + 2 : pos + 4], "big")
+        seg = stream[pos : pos + 2 + ln]
+        if m in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        pos += 2 + ln
+    return b"\xff\xd8" + tables + b"\xff\xd9", bytes(rest)
+
+
+def test_jpeg_tables_tag_spliced():
+    """Hand-assembled grayscale TIFF with shared JPEGTables (tag 347,
+    type UNDEFINED) + an abbreviated strip: must decode identically to
+    the standalone stream (TechNote 2 JPEGTables layout)."""
+    g = _photo_like((24, 40))
+    standalone = J.encode_jpeg(g, quality=90)
+    tables, abbrev = _split_jpeg_tables(standalone)
+    assert len(abbrev) < len(standalone)
+
+    seg_off = 8
+    tab_off = seg_off + len(abbrev) + (len(abbrev) & 1)
+    ifd_off = tab_off + len(tables) + (len(tables) & 1)
+    entries = [
+        (256, 4, 1, struct.pack("<I", 40)),
+        (257, 4, 1, struct.pack("<I", 24)),
+        (258, 3, 1, struct.pack("<HH", 8, 0)),
+        (259, 3, 1, struct.pack("<HH", 7, 0)),
+        (262, 3, 1, struct.pack("<HH", 1, 0)),
+        (273, 4, 1, struct.pack("<I", seg_off)),
+        (277, 3, 1, struct.pack("<HH", 1, 0)),
+        (278, 4, 1, struct.pack("<I", 24)),
+        (279, 4, 1, struct.pack("<I", len(abbrev))),
+        (347, 7, len(tables), struct.pack("<I", tab_off)),
+    ]
+    blob = bytearray(b"II*\x00" + struct.pack("<I", ifd_off))
+    blob += abbrev + b"\x00" * (len(abbrev) & 1)
+    blob += tables + b"\x00" * (len(tables) & 1)
+    blob += struct.pack("<H", len(entries))
+    for tag, typ, cnt, val in entries:
+        blob += struct.pack("<HHI", tag, typ, cnt) + val
+    blob += struct.pack("<I", 0)
+
+    out = T.decode_tiff(bytes(blob))
+    assert np.array_equal(out, J.decode_jpeg(standalone))
+
+    # malformed JPEGTables (no SOI/EOI framing) must raise cleanly
+    bad = bytearray(blob)
+    bad[tab_off : tab_off + 2] = b"\x00\x00"
+    with pytest.raises(ValueError, match="JPEGTables"):
+        T.decode_tiff(bytes(bad))
+
+
+def test_jpeg_encode_validation():
+    with pytest.raises(ValueError, match="uint8"):
+        T.encode_tiff(np.zeros((8, 8), np.uint16), compression="jpeg")
+    with pytest.raises(ValueError, match="samples"):
+        T.encode_tiff(np.zeros((8, 8, 4), np.uint8), compression="jpeg")
+
+
+def test_jpeg_quality_knob_changes_size():
+    rgb = _photo_like((48, 48, 3), seed=11)
+    hi = T.encode_tiff(rgb, compression="jpeg", jpeg_quality=95)
+    lo = T.encode_tiff(rgb, compression="jpeg", jpeg_quality=30)
+    assert len(lo) < len(hi)
+    assert _psnr(rgb, T.decode_tiff(lo)) >= 25.0  # still an image
+
+
+def test_undefined_type_tag_is_carried_not_fatal():
+    """A type-7 (UNDEFINED) tag such as XMP (700) must parse as opaque
+    bytes, not crash the IFD walk (regression: _TYPE_FMT had no entry)."""
+    g = np.arange(48, dtype=np.uint8).reshape(6, 8)
+    base = T.encode_tiff(g, compression="none")
+    ifd_off = struct.unpack("<I", base[4:8])[0]
+    (n,) = struct.unpack("<H", base[ifd_off : ifd_off + 2])
+    body, tail = base[: ifd_off + 2 + 12 * n], base[ifd_off + 2 + 12 * n :]
+    extra = struct.pack("<HHI", 700, 7, 3) + b"xm\x00\x00"
+    patched = (
+        base[:ifd_off]
+        + struct.pack("<H", n + 1)
+        + body[ifd_off + 2 :]
+        + extra
+        + tail
+    )
+    assert np.array_equal(T.decode_tiff(patched), g)

@@ -8,21 +8,25 @@ geotransform + projection straight from those tags
 from the public TIFF 6.0 + GeoTIFF 1.1 specs, same posture as the
 PNG/VP8L/FLAC codecs here:
 
-decode — both byte orders, strip AND tile organisation, compression
-1 (none) / 5 (LZW, early-change) / 8 & 32946 (DEFLATE) / 32773
-(PackBits), horizontal-differencing predictor (317=2), photometric
-0 (WhiteIsZero, inverted) / 1 / 2 (RGB, incl. alpha via
-SamplesPerPixel=4), 8- and 16-bit unsigned samples.
+decode — classic AND BigTIFF layouts, both byte orders, strip AND tile
+organisation, compression 1 (none) / 5 (LZW, early-change) / 7
+(new-style JPEG per TechNote 2, shared-JPEGTables or standalone
+segments, via this repo's from-scratch baseline JPEG decoder) / 8 &
+32946 (DEFLATE) / 32773 (PackBits), horizontal-differencing predictor
+(317=2), photometric 0 (WhiteIsZero, inverted) / 1 / 2 (RGB, incl.
+alpha via SamplesPerPixel=4) / 6 (YCbCr, JPEG-compressed only), 8- and
+16-bit unsigned plus float32/float64 (SampleFormat=3) samples.
 
-encode — little-endian, strip-based, chunky, compression none/deflate/
-packbits/lzw with optional predictor 2, plus the GeoTIFF georeference
+encode — little-endian, strip or tile, chunky, compression none/
+deflate/packbits/lzw with optional predictor 2 or jpeg (standalone
+baseline 4:4:4 segments, photometric 6), plus the GeoTIFF georeference
 tags (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory
 34735, GeoAsciiParams 34737) so ``write_tif`` parity includes the
 geotransform, not just pixels.
 
 Out-of-scope variants raise loudly (``NotImplementedError`` for valid-
-but-unsupported: BigTIFF, palette, planar, JPEG-in-TIFF, CCITT,
-float/signed samples, sub-byte depths); hostile bytes raise
+but-unsupported: palette, planar, old-style JPEG (6), CCITT, signed
+samples, sub-byte depths); hostile bytes raise
 ``ValueError`` via the shared ``malformed_guard`` contract
 (tests/test_codec_fuzz.py).  Allocation is bounded BEFORE it happens:
 raster size is validated against a hard cap and every inflate is capped
@@ -38,6 +42,7 @@ import zlib
 import numpy as np
 
 from ._hardening import malformed_guard
+from .codec_jpeg import decode_jpeg, encode_jpeg
 
 # hard cap on the decoded raster (bytes) — a 4-byte dim field can claim
 # a 16-EiB image; per-row payloads in this engine are far below this
@@ -54,6 +59,8 @@ _TYPE_FMT = {
 
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE_ADOBE = 1, 5, 8
 _COMP_PACKBITS, _COMP_DEFLATE_OLD = 32773, 32946
+_COMP_JPEG_OLD, _COMP_JPEG = 6, 7  # 7 = TIFF TechNote 2 new-style JPEG
+_TAG_JPEG_TABLES = 347
 
 # GeoTIFF tags (public GeoTIFF 1.1 spec / OGC 19-008r4)
 _TAG_PIXEL_SCALE = 33550
@@ -156,6 +163,8 @@ def _read_ifd(data: bytes, index: int = 0) -> tuple[dict, str]:
                 raise ValueError(f"tiff: tag {tag} value beyond file")
         if typ == 2:  # ASCII
             vals = [raw.split(b"\x00", 1)[0].decode("ascii", "replace")]
+        elif typ == 7:  # UNDEFINED: opaque bytes (JPEGTables, XMP, ...)
+            vals = [raw]
         elif typ in (5, 10):  # RATIONAL
             parts = struct.unpack(bo + ("II" if typ == 5 else "ii") * cnt, raw)
             vals = [
@@ -407,14 +416,33 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
     if _tag1(tags, 284, 1) != 1:
         raise NotImplementedError("tiff: planar configuration 2 not supported")
     photo = _tag1(tags, 262, 1)
-    if photo not in (0, 1, 2):
+    comp = _tag1(tags, 259, 1)
+    pred = _tag1(tags, 317, 1)
+    if comp == _COMP_JPEG_OLD:
+        raise NotImplementedError(
+            "tiff: old-style JPEG (compression 6) not supported"
+        )
+    if comp == _COMP_JPEG:
+        # TechNote 2 new-style JPEG: each strip/tile is a baseline JPEG
+        # stream, tables optionally hoisted into JPEGTables (tag 347)
+        if bps != 8 or sf != 1:
+            raise NotImplementedError(
+                "tiff: JPEG compression is 8-bit unsigned only"
+            )
+        if photo not in (1, 6):
+            raise NotImplementedError(
+                f"tiff: photometric {photo} with JPEG compression not supported"
+            )
+        if (photo == 6 and spp != 3) or (photo == 1 and spp != 1):
+            raise ValueError("tiff: JPEG photometric/samples mismatch")
+        if pred != 1:
+            raise ValueError("tiff: predictor with JPEG compression")
+    elif photo not in (0, 1, 2):
         raise NotImplementedError(f"tiff: photometric {photo} not supported")
     if photo == 0 and kind == "f":
         raise NotImplementedError("tiff: WhiteIsZero float rasters not supported")
     if photo == 2 and spp < 3:
         raise ValueError("tiff: RGB photometric with <3 samples")
-    comp = _tag1(tags, 259, 1)
-    pred = _tag1(tags, 317, 1)
     if pred not in (1, 2):
         raise NotImplementedError(f"tiff: predictor {pred} not supported")
     if pred == 2 and kind == "f":
@@ -425,6 +453,34 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
     if w * h * spp * bsz > _MAX_RASTER_BYTES:
         raise ValueError("tiff: declared raster exceeds size cap")
     dt = np.dtype(f"{bo}{kind}{bsz}")
+
+    tables_body = b""
+    if comp == _COMP_JPEG:
+        jt = _tag(tags, _TAG_JPEG_TABLES)
+        if jt is not None:
+            # type 7 parses to [bytes]; a BYTE-typed writer yields ints
+            tb = (
+                bytes(jt[0])
+                if len(jt) == 1 and isinstance(jt[0], (bytes, bytearray))
+                else bytes(jt)
+            )
+            if len(tb) < 4 or tb[:2] != b"\xff\xd8" or tb[-2:] != b"\xff\xd9":
+                raise ValueError("tiff: malformed JPEGTables")
+            tables_body = tb[2:-2]
+
+    def _jpeg_seg(seg: bytes, rows: int, cols: int) -> np.ndarray:
+        """One JPEG strip/tile -> (rows, cols*spp).  Shared tables are
+        spliced after the segment's SOI; segment-local DQT/DHT arriving
+        later win, per the spec's last-definition-applies rule."""
+        if seg[:2] != b"\xff\xd8":
+            raise ValueError("tiff: JPEG segment missing SOI")
+        a = decode_jpeg(b"\xff\xd8" + tables_body + seg[2:])
+        exp_shape = (rows, cols, 3) if spp == 3 else (rows, cols)
+        if a.shape != exp_shape:
+            raise ValueError(
+                f"tiff: JPEG segment decodes to {a.shape}, expected {exp_shape}"
+            )
+        return a.reshape(rows, cols * spp).astype(dt)
 
     tiled = 322 in tags or 324 in tags
     if tiled:
@@ -443,10 +499,13 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
                 seg = data[offs[i] : offs[i] + cnts[i]]
                 if len(seg) != cnts[i]:
                     raise ValueError("tiff: tile beyond file")
-                buf = _decompress(seg, comp, exp)
-                t = np.frombuffer(buf, dtype=dt).reshape(th, tw * spp)
-                if pred == 2:
-                    t = _undo_predictor(t, th, tw, spp)
+                if comp == _COMP_JPEG:
+                    t = _jpeg_seg(seg, th, tw)
+                else:
+                    buf = _decompress(seg, comp, exp)
+                    t = np.frombuffer(buf, dtype=dt).reshape(th, tw * spp)
+                    if pred == 2:
+                        t = _undo_predictor(t, th, tw, spp)
                 ch = min(th, h - ty * th)
                 cw = min(tw, w - tx * tw)
                 img[ty * th : ty * th + ch, tx * tw * spp : (tx * tw + cw) * spp] = (
@@ -466,10 +525,13 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
             seg = data[offs[i] : offs[i] + cnts[i]]
             if len(seg) != cnts[i]:
                 raise ValueError("tiff: strip beyond file")
-            buf = _decompress(seg, comp, rows * w * spp * bsz)
-            s = np.frombuffer(buf, dtype=dt).reshape(rows, w * spp)
-            if pred == 2:
-                s = _undo_predictor(s, rows, w, spp)
+            if comp == _COMP_JPEG:
+                s = _jpeg_seg(seg, rows, w)
+            else:
+                buf = _decompress(seg, comp, rows * w * spp * bsz)
+                s = np.frombuffer(buf, dtype=dt).reshape(rows, w * spp)
+                if pred == 2:
+                    s = _undo_predictor(s, rows, w, spp)
             parts.append(s)
         img = np.vstack(parts) if len(parts) > 1 else parts[0]
 
@@ -534,6 +596,7 @@ def _plan_level(
     predictor: bool,
     level: int,
     tiling: tuple[int, int] | None,
+    jpeg_quality: int = 95,
 ) -> dict:
     """Validate one raster and build its compressed segments + layout
     metadata (no offsets yet — the multi-IFD assembler assigns those)."""
@@ -559,9 +622,15 @@ def _plan_level(
         "deflate": _COMP_DEFLATE_ADOBE,
         "packbits": _COMP_PACKBITS,
         "lzw": _COMP_LZW,
+        "jpeg": _COMP_JPEG,
     }.get(compression)
     if comp_id is None:
         raise ValueError(f"tiff: unknown compression {compression!r}")
+    if comp_id == _COMP_JPEG:
+        if arr.dtype != np.uint8:
+            raise ValueError("tiff: JPEG compression is uint8-only")
+        if spp not in (1, 3):
+            raise ValueError("tiff: JPEG compression takes 1 or 3 samples/px")
     use_pred = (
         predictor
         and comp_id in (_COMP_DEFLATE_ADOBE, _COMP_LZW)
@@ -573,6 +642,15 @@ def _plan_level(
     )
 
     def _pack(seg2d: np.ndarray, seg_w: int) -> bytes:
+        if comp_id == _COMP_JPEG:
+            # each segment is a standalone baseline stream (valid per
+            # TechNote 2; no JPEGTables hoisting on encode — readers
+            # must accept both, and decode_tiff does)
+            px = seg2d.reshape(seg2d.shape[0], seg_w, spp)
+            return encode_jpeg(
+                np.ascontiguousarray(px[:, :, 0] if spp == 1 else px),
+                quality=jpeg_quality,
+            )
         if use_pred:
             seg2d = _apply_predictor(seg2d, seg2d.shape[0], seg_w, spp)
         raw = seg2d.tobytes()
@@ -611,6 +689,11 @@ def _plan_level(
         "segs": segs, "w": w, "h": h, "spp": spp, "bps": bps,
         "comp_id": comp_id, "use_pred": use_pred, "rps": rps,
         "tiling": tiling, "sfmt": 3 if arr.dtype.kind == "f" else 1,
+        "photo": (
+            6
+            if comp_id == _COMP_JPEG and spp == 3
+            else (2 if spp >= 3 else 1)
+        ),
     }
 
 
@@ -639,7 +722,11 @@ def _level_entries(
     add(257, 4, [lv["h"]])
     add(258, 3, [lv["bps"]] * lv["spp"])
     add(259, 3, [lv["comp_id"]])
-    add(262, 3, [2 if lv["spp"] >= 3 else 1])
+    add(262, 3, [lv["photo"]])
+    if lv["photo"] == 6:
+        # we encode 4:4:4 — the TIFF default for tag 530 is [2,2], so
+        # it must be written explicitly
+        add(530, 3, [1, 1])
     add(277, 3, [lv["spp"]])
     add(284, 3, [1])  # chunky
     otyp = 16 if big else 4  # LONG8 offsets carry >4 GiB placements
@@ -755,6 +842,7 @@ def encode_tiff(
     level: int = 1,
     tiling: tuple[int, int] | None = None,
     bigtiff: bool = False,
+    jpeg_quality: int = 95,
 ) -> bytes:
     """uint8 (h, w[, c]) or uint16/float32/float64 (h, w) ->
     little-endian TIFF.
@@ -768,7 +856,9 @@ def encode_tiff(
     so a reader can range-request one tile without streaming whole
     scanline strips.
     """
-    lv = _plan_level(arr, compression, rows_per_strip, predictor, level, tiling)
+    lv = _plan_level(
+        arr, compression, rows_per_strip, predictor, level, tiling, jpeg_quality
+    )
     return _assemble([lv], [geo], bigtiff)
 
 
@@ -781,6 +871,7 @@ def encode_tiff_overviews(
     level: int = 1,
     tiling: tuple[int, int] | None = (256, 256),
     bigtiff: bool = False,
+    jpeg_quality: int = 95,
 ) -> bytes:
     """Multi-resolution GeoTIFF: full-res IFD 0 plus ``n_overviews``
     2x-downsampled overview IFDs (NewSubfileType=1), tiled by default —
@@ -802,7 +893,9 @@ def encode_tiff_overviews(
         ):
             use_tiling = None  # tinier-than-one-tile levels go stripped
         levels.append(
-            _plan_level(cur, compression, None, predictor, level, use_tiling)
+            _plan_level(
+                cur, compression, None, predictor, level, use_tiling, jpeg_quality
+            )
         )
         if geo is not None:
             ulx, uly, sx, sy, crs = geo
