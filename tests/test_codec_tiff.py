@@ -238,8 +238,8 @@ def test_unsupported_variants_raise_notimplemented():
         e = ifd_off + 2 + 12 * i
         if struct.unpack("<H", blob[e : e + 2])[0] == 317:
             blob[e + 8 : e + 10] = struct.pack("<H", 3)
-    with pytest.raises(NotImplementedError):
-        T.decode_tiff(bytes(blob))  # floating-point predictor
+    with pytest.raises(ValueError, match="predictor 3 on integer"):
+        T.decode_tiff(bytes(blob))  # float predictor on int samples
 
 
 # ------------------------------------------------ malformed / hostile
@@ -427,8 +427,8 @@ def test_ifd_out_of_range_raises():
 def test_float_dem_roundtrip():
     """GDAL DEMs are float rasters and the reference's read_tif works in
     float64 (io.py:41-63): SampleFormat=3 single-band encode/decode,
-    bit-exact (lossless deflate; predictor auto-disabled — horizontal
-    differencing is int-only per spec)."""
+    bit-exact incl. NaN payloads (deflate/lzw engage the TechNote 3
+    floating-point predictor, byte-level and therefore lossless)."""
     for dt in (np.float32, np.float64):
         dem = (
             100.0 * np.sin(np.arange(60)[:, None] * 0.1)
@@ -451,7 +451,7 @@ def test_float_dem_roundtrip():
 def test_float_predictor2_rejected():
     """A stream claiming horizontal differencing over float samples is
     malformed (predictor 2 is integer-only)."""
-    blob = bytearray(T.encode_tiff(np.zeros((8, 8), np.float32)))
+    blob = bytearray(T.encode_tiff(np.zeros((8, 8), np.float32), predictor=False))
     ifd_off = struct.unpack("<I", blob[4:8])[0]
     (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
     entries = [
@@ -713,3 +713,87 @@ def test_undefined_type_tag_is_carried_not_fatal():
         + tail
     )
     assert np.array_equal(T.decode_tiff(patched), g)
+
+
+# ------------------------------------- float predictor 3 / EPSG GeoKey
+def test_float_predictor3_roundtrip_and_tag():
+    """deflate/lzw float rasters engage the TechNote 3 predictor: tag
+    317=3 on the wire, bit-exact round-trip (NaN payloads included),
+    and the predicted stream deflates smaller on smooth DEM data."""
+    dem = (
+        100.0 * np.sin(np.arange(120)[:, None] * 0.05)
+        + np.arange(90)[None, :] * 0.25
+    ).astype(np.float32)
+    dem[5, 9] = np.nan
+    for comp in ("deflate", "lzw"):
+        blob = T.encode_tiff(dem, compression=comp)
+        tags, _ = T._read_ifd(blob)
+        assert tags[317][1] == [3]
+        np.testing.assert_array_equal(T.decode_tiff(blob), dem)
+    flat = T.encode_tiff(dem, compression="deflate", predictor=False)
+    pred = T.encode_tiff(dem, compression="deflate", predictor=True)
+    assert len(pred) < len(flat)
+    # float64 + tiled organisation too
+    dem64 = dem.astype(np.float64)[:64, :64]
+    blob = T.encode_tiff(dem64, compression="deflate", tiling=(32, 32))
+    np.testing.assert_array_equal(T.decode_tiff(blob), dem64)
+
+
+def test_float_predictor3_foreign_bigendian():
+    """A big-endian (MM) file with predictor 3 must decode to the same
+    values: the byte planes are MSB-first regardless of byte order."""
+    dem = np.linspace(-50, 300, 24 * 17, dtype=np.float32).reshape(24, 17)
+    blob = bytearray(T.encode_tiff(dem, compression="none"))
+    # decode path only: simulate by hand-applying the predictor to a
+    # fresh raw little-endian strip and flipping the predictor tag in
+    raw = T._apply_predictor_float(dem)
+    assert len(raw) == dem.nbytes
+    # splice the predicted bytes over the original strip payload
+    ifd_off = struct.unpack("<I", blob[4:8])[0]
+    (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    strip_off = None
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] == 273:
+            (strip_off,) = struct.unpack("<I", blob[e + 8 : e + 12])
+    blob[strip_off : strip_off + len(raw)] = raw
+    # append a predictor tag by rewriting 284 (chunky=1, default anyway)
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] == 284:
+            blob[e : e + 12] = struct.pack("<HHI", 317, 3, 1) + struct.pack(
+                "<H2x", 3
+            )
+    np.testing.assert_array_equal(T.decode_tiff(bytes(blob)), dem)
+
+
+def test_epsg_geokey_written_and_resolved():
+    img = np.zeros((8, 8), np.uint8)
+    blob = T.encode_tiff(img, geo=(5e5, 4.1e6, 0.5, -0.5, "EPSG:32643"))
+    tags, _ = T._read_ifd(blob)
+    gk = tags[34735][1]
+    keys = {gk[4 * k]: gk[4 * k + 3] for k in range(1, gk[3] + 1)}
+    assert keys[1024] == 1 and keys[3072] == 32643  # projected CRS
+    geo = (0.0, 50.0, 0.1, -0.1, "EPSG:4326")
+    gk2 = T._read_ifd(T.encode_tiff(img, geo=geo))[0][34735][1]
+    keys2 = {gk2[4 * k]: gk2[4 * k + 3] for k in range(1, gk2[3] + 1)}
+    assert keys2[1024] == 2 and keys2[2048] == 4326  # geographic CRS
+    # free-text crs: no CRS key, citation only
+    gk3 = T._read_ifd(T.encode_tiff(img, geo=(0, 1, 1, -1, "SYNTH")))[0][34735][1]
+    keys3 = {gk3[4 * k] for k in range(1, gk3[3] + 1)}
+    assert 3072 not in keys3 and 2048 not in keys3
+
+
+def test_epsg_resolved_when_citation_absent():
+    """Foreign files often carry only the ProjectedCSType key: crs must
+    resolve to EPSG:<code> when GeoAsciiParams is missing."""
+    img = np.zeros((8, 8), np.uint8)
+    blob = bytearray(T.encode_tiff(img, geo=(5e5, 4.1e6, 0.5, -0.5, "EPSG:32643")))
+    ifd_off = struct.unpack("<I", blob[4:8])[0]
+    (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] == 34737:
+            blob[e : e + 2] = struct.pack("<H", 60000)  # hide the citation
+    g = T.geotiff_geodata(bytes(blob))
+    assert g["crs"] == "EPSG:32643"

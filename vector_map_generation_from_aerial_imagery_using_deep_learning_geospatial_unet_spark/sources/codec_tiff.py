@@ -36,6 +36,7 @@ same as decode_png).
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -67,6 +68,12 @@ _TAG_PIXEL_SCALE = 33550
 _TAG_TIEPOINT = 33922
 _TAG_GEO_KEYS = 34735
 _TAG_GEO_ASCII = 34737
+
+
+def _parse_epsg(crs: str) -> int | None:
+    """'EPSG:32643' -> 32643; anything else (WKT, free text) -> None."""
+    m = re.fullmatch(r"EPSG:(\d{4,5})", crs.strip(), re.IGNORECASE)
+    return int(m.group(1)) if m else None
 
 
 # --------------------------------------------------------------------- #
@@ -382,6 +389,43 @@ def _undo_predictor(seg: np.ndarray, rows: int, width: int, spp: int) -> np.ndar
     return (np.cumsum(a, axis=1) & mask).astype(seg.dtype).reshape(rows, width * spp)
 
 
+def _undo_predictor_float(
+    buf: bytes, rows: int, width: int, spp: int, bsz: int
+) -> np.ndarray:
+    """Floating-point predictor (317=3, TIFF Technical Note 3): per row,
+    the sample bytes are split into MSB-first byte planes (big-endian
+    order regardless of the file's byte-order mark), then horizontally
+    byte-differenced across the whole row.  Reverse both steps."""
+    stride = width * spp * bsz
+    b = np.frombuffer(buf, np.uint8).reshape(rows, stride)
+    b = (np.cumsum(b.astype(np.int64), axis=1) & 0xFF).astype(np.uint8)
+    # plane p holds byte p (MSB first) of every sample in the row
+    be = np.ascontiguousarray(
+        b.reshape(rows, bsz, width * spp).transpose(0, 2, 1)
+    )
+    arr = np.frombuffer(be.tobytes(), dtype=f">f{bsz}").reshape(
+        rows, width * spp
+    )
+    return arr.astype(f"=f{bsz}")
+
+
+def _apply_predictor_float(seg2d: np.ndarray) -> bytes:
+    """Inverse of :func:`_undo_predictor_float` for the encoder: byte-
+    plane split (MSB first) then horizontal byte differencing, per row."""
+    rows = seg2d.shape[0]
+    bsz = seg2d.dtype.itemsize
+    be = np.ascontiguousarray(seg2d.astype(f">f{bsz}"))
+    planes = (
+        np.frombuffer(be.tobytes(), np.uint8)
+        .reshape(rows, seg2d.shape[1], bsz)
+        .transpose(0, 2, 1)
+        .reshape(rows, -1)
+        .astype(np.int64)
+    )
+    d = np.diff(planes, axis=1, prepend=np.zeros((rows, 1), np.int64))
+    return ((d & 0xFF).astype(np.uint8)).tobytes()
+
+
 @malformed_guard("tiff")
 def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
     """TIFF bytes -> uint8/uint16 array (h, w) or (h, w, c).
@@ -443,12 +487,14 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
         raise NotImplementedError("tiff: WhiteIsZero float rasters not supported")
     if photo == 2 and spp < 3:
         raise ValueError("tiff: RGB photometric with <3 samples")
-    if pred not in (1, 2):
+    if pred not in (1, 2, 3):
         raise NotImplementedError(f"tiff: predictor {pred} not supported")
     if pred == 2 and kind == "f":
         # spec: horizontal differencing is integer-only (floats use
         # predictor 3, a different byte-shuffle scheme)
         raise ValueError("tiff: predictor 2 on float samples")
+    if pred == 3 and kind != "f":
+        raise ValueError("tiff: predictor 3 on integer samples")
     bsz = bps // 8
     if w * h * spp * bsz > _MAX_RASTER_BYTES:
         raise ValueError("tiff: declared raster exceeds size cap")
@@ -501,6 +547,9 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
                     raise ValueError("tiff: tile beyond file")
                 if comp == _COMP_JPEG:
                     t = _jpeg_seg(seg, th, tw)
+                elif pred == 3:
+                    buf = _decompress(seg, comp, exp)
+                    t = _undo_predictor_float(buf, th, tw, spp, bsz)
                 else:
                     buf = _decompress(seg, comp, exp)
                     t = np.frombuffer(buf, dtype=dt).reshape(th, tw * spp)
@@ -527,6 +576,9 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
                 raise ValueError("tiff: strip beyond file")
             if comp == _COMP_JPEG:
                 s = _jpeg_seg(seg, rows, w)
+            elif pred == 3:
+                buf = _decompress(seg, comp, rows * w * spp * bsz)
+                s = _undo_predictor_float(buf, rows, w, spp, bsz)
             else:
                 buf = _decompress(seg, comp, rows * w * spp * bsz)
                 s = np.frombuffer(buf, dtype=dt).reshape(rows, w * spp)
@@ -566,6 +618,17 @@ def geotiff_geodata(data: bytes, ifd: int = 0) -> dict:
     # tiepoint maps raster (i, j) -> model (x, y); solve for the UL corner
     ulx = x - i * sx
     uly = y + j * sy_abs
+    crs = _tag1(tags, _TAG_GEO_ASCII, "")
+    if not crs:
+        # no citation: resolve the CRS from the key directory (2048
+        # GeographicType / 3072 ProjectedCSType carry a bare EPSG code)
+        gk = _tag(tags, _TAG_GEO_KEYS)
+        if gk and len(gk) >= 4:
+            for k in range(1, min(int(gk[3]), (len(gk) - 4) // 4) + 1):
+                kid, loc, cnt, val = gk[4 * k : 4 * k + 4]
+                if kid in (2048, 3072) and loc == 0 and 0 < val < 32767:
+                    crs = f"EPSG:{val}"
+                    break
     return {
         "ulx": ulx,
         "uly": uly,
@@ -573,7 +636,7 @@ def geotiff_geodata(data: bytes, ifd: int = 0) -> dict:
         "sy": -sy_abs,
         "w": _tag1(tags, 256),
         "h": _tag1(tags, 257),
-        "crs": _tag1(tags, _TAG_GEO_ASCII, ""),
+        "crs": crs,
     }
 
 
@@ -631,11 +694,11 @@ def _plan_level(
             raise ValueError("tiff: JPEG compression is uint8-only")
         if spp not in (1, 3):
             raise ValueError("tiff: JPEG compression takes 1 or 3 samples/px")
-    use_pred = (
-        predictor
-        and comp_id in (_COMP_DEFLATE_ADOBE, _COMP_LZW)
-        and arr.dtype.kind == "u"  # horizontal differencing is int-only
-    )
+    # predictor 2 (horizontal differencing) for ints, 3 (TechNote 3
+    # byte-plane differencing) for floats; both only help under an
+    # entropy-coded compression
+    use_pred = predictor and comp_id in (_COMP_DEFLATE_ADOBE, _COMP_LZW)
+    pred_id = (2 if arr.dtype.kind == "u" else 3) if use_pred else 1
 
     arr2d = np.ascontiguousarray(arr.astype("<" + arr.dtype.str[1:])).reshape(
         h, w * spp
@@ -651,9 +714,12 @@ def _plan_level(
                 np.ascontiguousarray(px[:, :, 0] if spp == 1 else px),
                 quality=jpeg_quality,
             )
-        if use_pred:
-            seg2d = _apply_predictor(seg2d, seg2d.shape[0], seg_w, spp)
-        raw = seg2d.tobytes()
+        if pred_id == 3:
+            raw = _apply_predictor_float(seg2d)
+        else:
+            if pred_id == 2:
+                seg2d = _apply_predictor(seg2d, seg2d.shape[0], seg_w, spp)
+            raw = seg2d.tobytes()
         if comp_id == _COMP_NONE:
             return raw
         if comp_id == _COMP_DEFLATE_ADOBE:
@@ -687,7 +753,7 @@ def _plan_level(
             segs.append(_pack(arr2d[y0 : y0 + rps], w))
     return {
         "segs": segs, "w": w, "h": h, "spp": spp, "bps": bps,
-        "comp_id": comp_id, "use_pred": use_pred, "rps": rps,
+        "comp_id": comp_id, "pred_id": pred_id, "rps": rps,
         "tiling": tiling, "sfmt": 3 if arr.dtype.kind == "f" else 1,
         "photo": (
             6
@@ -741,8 +807,8 @@ def _level_entries(
         add(279, otyp, [len(s) for s in lv["segs"]])
     if lv["spp"] == 4:
         add(338, 3, [2])  # unassociated alpha
-    if lv["use_pred"]:
-        add(317, 3, [2])
+    if lv["pred_id"] != 1:
+        add(317, 3, [lv["pred_id"]])
     add(339, 3, [lv["sfmt"]] * lv["spp"])
     if geo is not None:
         ulx, uly, sx, sy, crs = geo
@@ -750,14 +816,22 @@ def _level_entries(
             raise ValueError("tiff: geotransform sy must be negative (north-up)")
         add(_TAG_PIXEL_SCALE, 12, [float(sx), float(-sy), 0.0])
         add(_TAG_TIEPOINT, 12, [0.0, 0.0, 0.0, float(ulx), float(uly), 0.0])
-        # minimal key directory: projected model, pixel-is-area, citation
+        # key directory: model type, pixel-is-area, citation, and — when
+        # the crs string is a literal EPSG code — the real CRS key a
+        # GeoTIFF reader resolves (2048 geographic / 3072 projected)
+        epsg = _parse_epsg(crs)
+        geographic = epsg is not None and 4000 <= epsg <= 4999
+        keys = [
+            (1024, 0, 1, 2 if geographic else 1),
+            (1025, 0, 1, 1),
+        ]
+        if epsg is not None:
+            keys.append((2048 if geographic else 3072, 0, 1, epsg))
+        keys.append((1026, _TAG_GEO_ASCII, len(crs) + 1, 0))
         add(
             _TAG_GEO_KEYS,
             3,
-            [1, 1, 0, 3,
-             1024, 0, 1, 1,
-             1025, 0, 1, 1,
-             1026, _TAG_GEO_ASCII, len(crs) + 1, 0],
+            [1, 1, 0, len(keys)] + [v for k in keys for v in k],
         )
         add(_TAG_GEO_ASCII, 2, crs)
     entries.sort(key=lambda e: e[0])
