@@ -500,6 +500,54 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(jpeg_tiles, resize_to=64)
 
 
+def q_multimodal_tiff_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG-compressed GeoTIFF gate (TIFF compression 7 — the layout real
+    aerial orthomosaic corpora ship in): the q_multimodal_jpeg diagonal
+    tiles, but containerised as multi-strip TIFF so the expectations pin
+    strip reassembly, JPEGTables-free standalone segments AND the lossy
+    payload through decode -> resize -> features.  Oracle: frozen
+    single-process expectations (tools/build_multimodal_fixture.py)."""
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec, codec_tiff, images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="rgb", limit=8)
+    t, step = CFG.tile_size, CFG.tile_size - CFG.overlap_px
+
+    import numpy as np
+
+    def transcode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                nx = 1 + max(int(r.w) - t + step - 1, 0) // step
+                ny = 1 + max(int(r.h) - t + step - 1, 0) // step
+                for i in range(min(nx, ny)):
+                    ox, oy = i * step, i * step
+                    tile = arr[oy : oy + t, ox : ox + t]
+                    rows.append(
+                        (
+                            f"{r.image_id}_{i + 1}_{i + 1}",
+                            codec_tiff.encode_tiff(
+                                np.ascontiguousarray(tile),
+                                compression="jpeg",
+                                rows_per_strip=64,
+                            ),
+                            tile.shape[1], tile.shape[0], "tif",
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    tiles = imgs.mapInPandas(
+        transcode, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    return MM.decode_features(tiles, resize_to=64)
+
+
 def _await_stream(spark: SparkSession, start_fn, state_partitions: int = 8):
     """Run an availableNow stateful stream to completion with a bounded
     state-partition count.  The state store spawns one task per shuffle
@@ -1400,6 +1448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_pixel_sums": q_multimodal_pixel_sums,
     "multimodal_webp": q_multimodal_webp,
     "multimodal_tiff": q_multimodal_tiff,
+    "multimodal_tiff_jpeg": q_multimodal_tiff_jpeg,
     "geotiff_extents": q_geotiff_extents,
     "multimodal_quarantine": q_multimodal_quarantine,
     "cc_distributed": q_cc_distributed,
@@ -1548,6 +1597,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "multimodal_quarantine": _multimodal_quarantine_sql(),
         "multimodal_webp": _multimodal_webp_sql(),
         "multimodal_tiff": _multimodal_tiff_sql(),
+        "multimodal_tiff_jpeg": _multimodal_tiff_jpeg_sql(),
         "geotiff_extents": _geotiff_extents_sql(),
         "multimodal_features": _multimodal_features_sql(),
         "multimodal_jpeg": _multimodal_jpeg_sql(),
@@ -2369,6 +2419,7 @@ JOIN blob bl USING (image_id)"""
 
 _MM_THUMB_FIXTURE = "/root/repo/fixtures/multimodal_thumb_sf0_01.parquet"
 _MM_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_jpeg_sf0_01.parquet"
+_MM_TIFF_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_tiff_jpeg_sf0_01.parquet"
 _MP3_AUDIO_FIXTURE = "/root/repo/fixtures/mp3_audio_sf0_01.parquet"
 _MP3_AUDIO_L2_FIXTURE = "/root/repo/fixtures/mp3_audio_l2_sf0_01.parquet"
 
@@ -2511,6 +2562,15 @@ def _multimodal_jpeg_sql() -> str:
     return f"""
 SELECT image_id, n_px, mean_r, mean_g, mean_b, thumb_mean, nonzero_frac
 FROM read_parquet('{_MM_JPEG_FIXTURE}')"""
+
+
+def _multimodal_tiff_jpeg_sql() -> str:
+    """Twin of q_multimodal_tiff_jpeg: frozen single-process expectations
+    for the JPEG-in-TIFF transcode chain (same posture as
+    _multimodal_jpeg_sql — lossy pixels have no SQL form)."""
+    return f"""
+SELECT image_id, n_px, mean_r, mean_g, mean_b, thumb_mean, nonzero_frac
+FROM read_parquet('{_MM_TIFF_JPEG_FIXTURE}')"""
 
 
 def _skeletonize_bars_sql() -> str:

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.kernels_resample import resize_bilinear
 from ..sources import codec
 
-REAL_FORMATS = {"png", "raw", "jpeg", "jpg", "gif", "webp"}  # sources/codec_*.py
+REAL_FORMATS = {"png", "raw", "jpeg", "jpg", "gif", "webp", "tif", "tiff"}  # sources/codec_*.py
 # wav (PCM) decodes for real via sources/codec_wav.py (audio_features);
 # webp-lossless (VP8L) via sources/codec_webp.py.  mp3/mp4/webm PIXEL/PCM
 # decode stays stubbed (genuinely codec-library-bound DCT/entropy codecs),
