@@ -270,3 +270,36 @@ def test_geotiff_dir_sink_roundtrips_through_raster_ingest(spark, tmp_path):
         got = codec.decode(bytes(r.bytes), "tif", r.w, r.h)
         want = codec.decode(bytes(o.bytes), "png", o.w, o.h)
         assert np.array_equal(got, want)
+
+
+def test_write_geotiff_dir_jpeg_compression(spark, tmp_path):
+    """The orthophoto-output variant: jpeg-compressed GeoTIFFs load back
+    with intact georeference and PSNR>=40 pixels (lossy, so equality is
+    per the engine's lossy-format contract, not bit-exact)."""
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import sinks
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.catalog import (
+        load_raster_dir,
+    )
+
+    src = IMG.images_table(
+        spark, "/root/testdata/sf0.001", fmt="png", kind="rgb", limit=6
+    )
+    out = str(tmp_path / "ortho")
+    n = sinks.write_geotiff_dir(src, out, compression="jpeg")
+    orig = {r.image_id: r for r in src.collect()}
+    assert n == len(orig) > 0
+
+    back = load_raster_dir(spark, out).collect()
+    assert len(back) == n
+    for r in back:
+        o = orig[r.image_id]
+        assert (r.ulx, r.uly, r.crs) == (o.ulx, o.uly, o.crs)
+        got = codec.decode(bytes(r.bytes), "tif", r.w, r.h).astype(np.float64)
+        want = codec.decode(bytes(o.bytes), "png", o.w, o.h).astype(np.float64)
+        mse = np.mean((got - want) ** 2)
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+        assert psnr >= 40.0

@@ -127,7 +127,12 @@ def write_bucketed(
     )
 
 
-def write_geotiff_dir(images: DataFrame, out_dir: str) -> int:
+def write_geotiff_dir(
+    images: DataFrame,
+    out_dir: str,
+    compression: str = "deflate",
+    jpeg_quality: int = 95,
+) -> int:
     """S2 output parity: one georeferenced ``.tif`` per image row — the
     reference's prediction/mask raster output (``write_tif``,
     /root/reference/src/io.py:66-90).  Executor-parallel and
@@ -139,9 +144,11 @@ def write_geotiff_dir(images: DataFrame, out_dir: str) -> int:
 
     Expects ``(image_id, bytes, w, h, fmt)`` plus georeference columns
     ``(ulx, uly, crs)``; pixels are transcoded from whatever ``fmt``
-    they arrive in to deflate GeoTIFF at the engine's 0.1 m cell size
-    (config.py cell_size_m, reference config.py:13).  Returns the number
-    of files written.
+    they arrive in to GeoTIFF at the engine's 0.1 m cell size
+    (config.py cell_size_m, reference config.py:13).  ``compression``:
+    deflate (default, lossless — mask/label parity) or ``jpeg`` (+
+    ``jpeg_quality``) for orthophoto-sized RGB output.  Returns the
+    number of files written.
     """
     import os
 
@@ -160,8 +167,10 @@ def write_geotiff_dir(images: DataFrame, out_dir: str) -> int:
                 arr = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
                 blob = codec_tiff.encode_tiff(
                     arr,
+                    compression=compression,
                     geo=(float(r.ulx), float(r.uly), sx, -sx, str(r.crs)),
                     level=6,  # durable sink keeps the high level (BENCH #10)
+                    jpeg_quality=jpeg_quality,
                 )
                 tmp = os.path.join(out_dir, f".{r.image_id}.tif.tmp")
                 with open(tmp, "wb") as f:
