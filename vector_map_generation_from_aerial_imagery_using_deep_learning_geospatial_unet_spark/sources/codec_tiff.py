@@ -208,19 +208,26 @@ def lzw_decode(data: bytes, max_out: int) -> bytes:
     libtiff-compatible convention every TIFF writer uses)."""
     if not data:
         raise ValueError("lzw: empty stream")
-    bits = int.from_bytes(data, "big")
-    nbits_total = 8 * len(data)
-    pos = 0
+    # incremental MSB-first bit reader: a <=20-bit accumulator refilled a
+    # byte at a time keeps the decode O(n) — shifting one big int per code
+    # would be O(n^2) in strip size, pathological on real 256 KiB+ strips
+    acc = nacc = ip = 0
+    n_in = len(data)
     width = 9
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     out = bytearray()
     prev: bytes | None = None
 
     while True:
-        if pos + width > nbits_total:
-            raise ValueError("lzw: stream ended without EOI")
-        code = (bits >> (nbits_total - pos - width)) & ((1 << width) - 1)
-        pos += width
+        while nacc < width:
+            if ip >= n_in:
+                raise ValueError("lzw: stream ended without EOI")
+            acc = (acc << 8) | data[ip]
+            ip += 1
+            nacc += 8
+        nacc -= width
+        code = (acc >> nacc) & ((1 << width) - 1)
+        acc &= (1 << nacc) - 1
         if code == _EOI:
             break
         if code == _CLEAR:
@@ -256,16 +263,22 @@ def lzw_encode(data: bytes) -> bytes:
     out_bits: list[tuple[int, int]] = [(_CLEAR, 9)]
     width = 9
     nxt = 258
-    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
-    w = b""
+    # the current sequence is tracked by its CODE (every table sequence
+    # has one; single bytes are their own code), so the hot loop is one
+    # int-keyed dict probe per byte instead of a bytes concat + hash
+    table: dict[int, int] = {}  # (prev_code << 8) | byte -> code
+    w = -1
     for b in data:
-        c = bytes([b])
-        wc = w + c
-        if wc in table:
-            w = wc
+        if w < 0:
+            w = b
             continue
-        out_bits.append((table[w], width))
-        table[wc] = nxt
+        key = (w << 8) | b
+        c = table.get(key)
+        if c is not None:
+            w = c
+            continue
+        out_bits.append((w, width))
+        table[key] = nxt
         nxt += 1
         # the decoder's table lags this one by a single entry, so its
         # early-change at next-free == (1<<width)-1 lines up with the
@@ -276,10 +289,10 @@ def lzw_encode(data: bytes) -> bytes:
             out_bits.append((_CLEAR, width))
             width = 9
             nxt = 258
-            table = {bytes([i]): i for i in range(256)}
-        w = c
-    if w:
-        out_bits.append((table[w], width))
+            table.clear()
+        w = b
+    if w >= 0:
+        out_bits.append((w, width))
         # the decoder appends one entry on receiving this final code
         # (no writer-side add accompanies a flush), so ITS next-free
         # equals nxt here — mirror its early-change before writing EOI
