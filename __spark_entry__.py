@@ -779,6 +779,58 @@ def q_geotiff_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_geotiff_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cloud-optimized-GeoTIFF windowed-read gate: every mask raster is
+    encoded as a TILED GeoTIFF (16x16 internal tiles, deflate) and a
+    pk-derived half-size pixel window is decoded through
+    ``codec_tiff.decode_tiff_window`` — entropy-decoding ONLY the tiles
+    the window intersects, O(window) not O(raster)
+    (test_codec_tiff counts the segment decodes).  This is the access
+    pattern a 100 TB mosaic corpus demands: the reference's createTile
+    loop re-reads the full scene per tile (/root/reference/src/
+    bf_gridding.py:304-332 via io.read_tif); on a COG layout each task
+    needs one range-request's worth of tiles instead.  Oracle: masks are
+    disjoint 255-rects (one per quadrant), so the window sum is exact
+    rect-overlap arithmetic: 255 * sum(|rect ∩ window|)."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_tiff, images
+
+    meta = derived.images_meta(spark, sf_dir).withColumn(
+        "pk", F.substring("image_id", 5, 18).cast("long")
+    ).filter(F.col("pk") <= 60)
+    meta = meta.repartition(spark.sparkContext.defaultParallelism * 2, "image_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk, w, h = int(r.pk), int(r.w), int(r.h)
+                blob = codec_tiff.encode_tiff(
+                    images.render_mask(pk, w, h),
+                    compression="deflate",
+                    tiling=(16, 16),
+                    geo=(float(r.ulx), float(r.uly), 0.1, -0.1, images.CRS_TOKEN),
+                )
+                ww, wh = w // 2, h // 2
+                wx0, wy0 = (pk * 13) % (w - ww), (pk * 17) % (h - wh)
+                win = codec_tiff.decode_tiff_window(blob, wx0, wy0, ww, wh)
+                rows.append(
+                    (r.image_id, wx0, wy0, ww, wh, int(win.sum(dtype=np.int64)))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "wx0", "wy0", "ww", "wh", "sum_v"]
+            )
+
+    return meta.mapInPandas(
+        run,
+        schema=(
+            "image_id string, wx0 int, wy0 int, ww int, wh int, sum_v bigint"
+        ),
+    )
+
+
 def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row error-policy gate (operators/multimodal.py on_error):
     every 4th image's payload is replaced with a hostile blob (valid PNG
@@ -1450,6 +1502,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_tiff": q_multimodal_tiff,
     "multimodal_tiff_jpeg": q_multimodal_tiff_jpeg,
     "geotiff_extents": q_geotiff_extents,
+    "geotiff_window": q_geotiff_window,
     "multimodal_quarantine": q_multimodal_quarantine,
     "cc_distributed": q_cc_distributed,
     "audio_features": q_audio_features,
@@ -1599,6 +1652,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "multimodal_tiff": _multimodal_tiff_sql(),
         "multimodal_tiff_jpeg": _multimodal_tiff_jpeg_sql(),
         "geotiff_extents": _geotiff_extents_sql(),
+        "geotiff_window": _geotiff_window_sql(),
         "multimodal_features": _multimodal_features_sql(),
         "multimodal_jpeg": _multimodal_jpeg_sql(),
         "cc_distributed": _cc_distributed_sql(),
@@ -2368,6 +2422,42 @@ SELECT image_id,
   uly               AS maxy,
   TRUE              AS crs_ok
 FROM images_meta_pk WHERE pk <= 80"""
+    )
+
+
+def _geotiff_window_sql() -> str:
+    """Twin of q_geotiff_window: the pk-derived window is pure integer
+    arithmetic, the mask's rects are disjoint (one per quadrant), so the
+    windowed pixel sum is 255 * sum over rects of the clamped per-axis
+    overlap product.  LEFT JOIN keeps windows that miss every rect
+    (sum_v = 0)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        rects_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + """,
+imgs AS (SELECT * FROM images_meta_pk WHERE pk <= 60),"""
+        + rects_sql("imgs")
+        + """,
+win AS (
+  SELECT image_id,
+    CAST((pk * 13) % (w - w // 2) AS INT) AS wx0,
+    CAST((pk * 17) % (h - h // 2) AS INT) AS wy0,
+    CAST(w // 2 AS INT) AS ww,
+    CAST(h // 2 AS INT) AS wh
+  FROM imgs
+)
+SELECT v.image_id, v.wx0, v.wy0, v.ww, v.wh,
+  CAST(255 * COALESCE(SUM(
+    GREATEST(0, LEAST(r.x0 + r.rw, v.wx0 + v.ww) - GREATEST(r.x0, v.wx0)) *
+    GREATEST(0, LEAST(r.y0 + r.rh, v.wy0 + v.wh) - GREATEST(r.y0, v.wy0))
+  ), 0) AS BIGINT) AS sum_v
+FROM win v LEFT JOIN rects r USING (image_id)
+GROUP BY v.image_id, v.wx0, v.wy0, v.ww, v.wh"""
     )
 
 

@@ -187,6 +187,7 @@ def main() -> None:
         # round-4 continuation: native-format GeoTIFF ingest
         "multimodal_tiff",
         "geotiff_extents",
+        "geotiff_window",
         # round-4 continuation: JPEG-compressed GeoTIFF (compression 7)
         "multimodal_tiff_jpeg",
     ]

@@ -797,3 +797,97 @@ def test_epsg_resolved_when_citation_absent():
             blob[e : e + 2] = struct.pack("<H", 60000)  # hide the citation
     g = T.geotiff_geodata(bytes(blob))
     assert g["crs"] == "EPSG:32643"
+
+
+# ------------------------------------------- windowed (COG-style) decode
+@pytest.mark.parametrize("comp", ["none", "deflate", "lzw", "packbits"])
+@pytest.mark.parametrize("tiling", [None, (16, 16)])
+def test_window_matches_full_slice(comp, tiling):
+    """decode_tiff_window == full decode then numpy slice, for strips
+    and tiles across every entropy coder, on windows that straddle
+    segment boundaries."""
+    img = RNG.integers(0, 255, (40, 56, 3), np.uint8)
+    blob = T.encode_tiff(img, compression=comp, tiling=tiling, rows_per_strip=7)
+    full = T.decode_tiff(blob)
+    for win in [(0, 0, 56, 40), (5, 3, 20, 11), (13, 30, 43, 10), (55, 39, 1, 1)]:
+        x0, y0, ww, wh = win
+        got = T.decode_tiff_window(blob, x0, y0, ww, wh)
+        np.testing.assert_array_equal(got, full[y0 : y0 + wh, x0 : x0 + ww])
+
+
+def test_window_16bit_and_float_predictors():
+    g16 = RNG.integers(0, 65535, (33, 21), np.uint16)
+    b16 = T.encode_tiff(g16, compression="lzw", rows_per_strip=5)
+    np.testing.assert_array_equal(
+        T.decode_tiff_window(b16, 2, 9, 13, 17), g16[9:26, 2:15]
+    )
+    dem = RNG.normal(size=(32, 32)).astype(np.float32)
+    bf = T.encode_tiff(dem, compression="deflate", tiling=(16, 16))
+    np.testing.assert_array_equal(
+        T.decode_tiff_window(bf, 10, 10, 12, 12), dem[10:22, 10:22]
+    )
+
+
+def test_window_decodes_only_intersecting_segments(monkeypatch):
+    """The point of the COG path: a 16x16 window of a 64x64 tiled
+    raster must entropy-decode exactly the 1 (aligned) or 4
+    (straddling) tiles it touches, not all 16."""
+    img = RNG.integers(0, 255, (64, 64), np.uint8)
+    blob = T.encode_tiff(img, compression="deflate", tiling=(16, 16))
+    calls = []
+    real = T._decompress
+    monkeypatch.setattr(T, "_decompress", lambda *a: calls.append(1) or real(*a))
+    T.decode_tiff_window(blob, 16, 32, 16, 16)  # tile-aligned
+    assert len(calls) == 1
+    calls.clear()
+    T.decode_tiff_window(blob, 8, 8, 16, 16)  # straddles 2x2 tiles
+    assert len(calls) == 4
+    calls.clear()
+    T.decode_tiff(blob)
+    assert len(calls) == 16
+
+
+def test_window_strips_skip_nonintersecting(monkeypatch):
+    img = RNG.integers(0, 255, (60, 8), np.uint8)
+    blob = T.encode_tiff(img, compression="deflate", rows_per_strip=10)
+    calls = []
+    real = T._decompress
+    monkeypatch.setattr(T, "_decompress", lambda *a: calls.append(1) or real(*a))
+    T.decode_tiff_window(blob, 0, 25, 8, 10)  # rows 25..34 -> strips 2,3
+    assert len(calls) == 2
+
+
+def test_window_bounds_validation():
+    blob = T.encode_tiff(np.zeros((10, 10), np.uint8))
+    for bad in [(-1, 0, 2, 2), (0, -1, 2, 2), (9, 0, 2, 2), (0, 9, 2, 2),
+                (0, 0, 0, 1), (0, 0, 1, 0), (0, 0, 11, 1)]:
+        with pytest.raises(ValueError):
+            T.decode_tiff_window(blob, *bad)
+
+
+def test_window_white_is_zero_and_overview_ifd():
+    img = RNG.integers(0, 255, (32, 32), np.uint8)
+    blob = bytearray(T.encode_tiff(img, compression="none"))
+    # flip photometric 1 -> 0 (WhiteIsZero)
+    ifd_off = struct.unpack("<I", blob[4:8])[0]
+    (n,) = struct.unpack("<H", blob[ifd_off : ifd_off + 2])
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        if struct.unpack("<H", blob[e : e + 2])[0] == 262:
+            blob[e + 8 : e + 12] = struct.pack("<I", 0)
+    inv = T.decode_tiff_window(bytes(blob), 4, 4, 8, 8)
+    np.testing.assert_array_equal(inv, 255 - img[4:12, 4:12])
+    # overview chain: window against a reduced-res IFD
+    ov = T.encode_tiff_overviews(img, n_overviews=1, compression="deflate")
+    lvl1 = T.decode_tiff(ov, ifd=1)
+    np.testing.assert_array_equal(
+        T.decode_tiff_window(ov, 3, 2, 9, 7, ifd=1), lvl1[2:9, 3:12]
+    )
+
+
+def test_window_jpeg_tiled_matches_full():
+    img = RNG.integers(0, 255, (48, 48, 3), np.uint8)
+    blob = T.encode_tiff(img, compression="jpeg", tiling=(16, 16))
+    full = T.decode_tiff(blob)
+    got = T.decode_tiff_window(blob, 10, 20, 25, 17)
+    np.testing.assert_array_equal(got, full[20:37, 10:35])

@@ -446,6 +446,31 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
     ``ifd`` selects a directory along the chain: 0 is the full-res
     raster, 1.. are reduced-resolution overviews when present
     (:func:`encode_tiff_overviews`)."""
+    return _decode_tiff_impl(data, ifd, None)
+
+
+@malformed_guard("tiff")
+def decode_tiff_window(
+    data: bytes, x0: int, y0: int, win_w: int, win_h: int, ifd: int = 0
+) -> np.ndarray:
+    """Cloud-optimized-GeoTIFF access pattern: decode ONLY the strips /
+    tiles intersecting the pixel window ``[x0, x0+win_w) x [y0,
+    y0+win_h)`` and return that window — a tile slice of a large mosaic
+    never pays for the rest of the raster.  This is how the engine's
+    createTile (O3) stays O(tile) per task on a tiled GeoTIFF corpus
+    instead of O(raster): with 256x256 internal tiling, one 512x512
+    slice touches <= 9 segments of a 100 MP scene.
+
+    Window bounds must lie inside the raster (``ValueError`` otherwise);
+    compression/predictor handling is identical to :func:`decode_tiff`
+    (whole intersecting segments are entropy-decoded — predictors are
+    row-relative within a segment — then cropped)."""
+    return _decode_tiff_impl(data, ifd, (x0, y0, win_w, win_h))
+
+
+def _decode_tiff_impl(
+    data: bytes, ifd: int, window: tuple[int, int, int, int] | None
+) -> np.ndarray:
     tags, bo = _read_ifd(data, index=ifd)
     w = _tag1(tags, 256)
     h = _tag1(tags, 257)
@@ -509,7 +534,13 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
     if pred == 3 and kind != "f":
         raise ValueError("tiff: predictor 3 on integer samples")
     bsz = bps // 8
-    if w * h * spp * bsz > _MAX_RASTER_BYTES:
+    if window is not None:
+        wx0, wy0, ww, wh = window
+        if ww <= 0 or wh <= 0 or wx0 < 0 or wy0 < 0 or wx0 + ww > w or wy0 + wh > h:
+            raise ValueError("tiff: window outside raster bounds")
+        # the cap guards what we actually materialize: the window plus
+        # the tile/strip-aligned halo around it (applied per-branch below)
+    elif w * h * spp * bsz > _MAX_RASTER_BYTES:
         raise ValueError("tiff: declared raster exceeds size cap")
     dt = np.dtype(f"{bo}{kind}{bsz}")
 
@@ -550,10 +581,20 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
         ntx, nty = -(-w // tw), -(-h // th)
         if offs is None or cnts is None or len(offs) != ntx * nty or len(cnts) != ntx * nty:
             raise ValueError("tiff: tile offsets/counts mismatch")
-        img = np.zeros((h, w * spp), dtype=dt)
+        if window is not None:
+            ty_lo, ty_hi = wy0 // th, (wy0 + wh - 1) // th
+            tx_lo, tx_hi = wx0 // tw, (wx0 + ww - 1) // tw
+        else:
+            ty_lo, ty_hi, tx_lo, tx_hi = 0, nty - 1, 0, ntx - 1
+        ry0, rx0 = ty_lo * th, tx_lo * tw
+        rh = min((ty_hi + 1) * th, h) - ry0
+        rw = min((tx_hi + 1) * tw, w) - rx0
+        if rh * rw * spp * bsz > _MAX_RASTER_BYTES:
+            raise ValueError("tiff: decoded region exceeds size cap")
+        img = np.zeros((rh, rw * spp), dtype=dt)
         exp = th * tw * spp * bsz
-        for ty in range(nty):
-            for tx in range(ntx):
+        for ty in range(ty_lo, ty_hi + 1):
+            for tx in range(tx_lo, tx_hi + 1):
                 i = ty * ntx + tx
                 seg = data[offs[i] : offs[i] + cnts[i]]
                 if len(seg) != cnts[i]:
@@ -570,7 +611,8 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
                         t = _undo_predictor(t, th, tw, spp)
                 ch = min(th, h - ty * th)
                 cw = min(tw, w - tx * tw)
-                img[ty * th : ty * th + ch, tx * tw * spp : (tx * tw + cw) * spp] = (
+                oy, ox = ty * th - ry0, tx * tw - rx0
+                img[oy : oy + ch, ox * spp : (ox + cw) * spp] = (
                     t.reshape(th, tw, spp)[:ch, :cw].reshape(ch, cw * spp)
                 )
     else:
@@ -581,8 +623,17 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
         nstrips = -(-h // rps)
         if offs is None or cnts is None or len(offs) != nstrips or len(cnts) != nstrips:
             raise ValueError("tiff: strip offsets/counts mismatch")
+        if window is not None:
+            s_lo, s_hi = wy0 // rps, (wy0 + wh - 1) // rps
+        else:
+            s_lo, s_hi = 0, nstrips - 1
+        ry0, rx0 = s_lo * rps, 0
+        rh = min((s_hi + 1) * rps, h) - ry0
+        rw = w
+        if rh * rw * spp * bsz > _MAX_RASTER_BYTES:
+            raise ValueError("tiff: decoded region exceeds size cap")
         parts = []
-        for i in range(nstrips):
+        for i in range(s_lo, s_hi + 1):
             rows = min(rps, h - i * rps)
             seg = data[offs[i] : offs[i] + cnts[i]]
             if len(seg) != cnts[i]:
@@ -601,7 +652,11 @@ def decode_tiff(data: bytes, ifd: int = 0) -> np.ndarray:
         img = np.vstack(parts) if len(parts) > 1 else parts[0]
 
     arr = np.ascontiguousarray(img.astype(dt.newbyteorder("=")))
-    arr = arr.reshape(h, w, spp)
+    arr = arr.reshape(rh, rw, spp)
+    if window is not None:
+        arr = np.ascontiguousarray(
+            arr[wy0 - ry0 : wy0 - ry0 + wh, wx0 - rx0 : wx0 - rx0 + ww]
+        )
     if photo == 0:  # WhiteIsZero
         arr = (np.iinfo(arr.dtype).max - arr).astype(arr.dtype)
     return arr[:, :, 0] if spp == 1 else arr
