@@ -831,6 +831,63 @@ def q_geotiff_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_chips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster.read_windows operator gate: training-chip extraction at
+    coordinates, end-to-end through the operator's real plan — window
+    list grouped per image (collect_list), joined to the raster table on
+    image_id (one blob crossing per image however many chips it serves),
+    TIFF payloads window-decoded O(window).  The reference's training
+    sampler reads whole rasters and crops in-process
+    (/root/reference/src/dataGenerator.py:33-76); at 100 TB the chips
+    must come to the executors, not the scenes to one process.  Same
+    closed-form rect-overlap oracle as ``geotiff_window`` (limit 40) but
+    the sums are computed from the DECODED CHIP BYTES the operator
+    emitted, so the join/groupBy plumbing and chip re-encode are inside
+    the gate."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="tif", kind="mask", limit=40)
+    meta = derived.images_meta(spark, sf_dir).withColumn(
+        "pk", F.substring("image_id", 5, 18).cast("long")
+    ).filter(F.col("pk") <= 40)
+    wins = meta.select(
+        "image_id",
+        ((F.col("pk") * 13) % (F.col("w") - F.floor(F.col("w") / 2)))
+        .cast("int").alias("wx0"),
+        ((F.col("pk") * 17) % (F.col("h") - F.floor(F.col("h") / 2)))
+        .cast("int").alias("wy0"),
+        F.floor(F.col("w") / 2).cast("int").alias("ww"),
+        F.floor(F.col("h") / 2).cast("int").alias("wh"),
+    )
+    chips = raster.read_windows(imgs, wins, tile_fmt="png")
+
+    def sums(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    r.image_id, int(r.wx0), int(r.wy0), int(r.ww), int(r.wh),
+                    int(
+                        codec.decode(bytes(r.bytes), r.fmt, int(r.ww), int(r.wh))
+                        .sum(dtype=np.int64)
+                    ),
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["image_id", "wx0", "wy0", "ww", "wh", "sum_v"]
+            )
+
+    return chips.mapInPandas(
+        sums,
+        schema="image_id string, wx0 int, wy0 int, ww int, wh int, sum_v bigint",
+    )
+
+
 def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row error-policy gate (operators/multimodal.py on_error):
     every 4th image's payload is replaced with a hostile blob (valid PNG
@@ -1503,6 +1560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_tiff_jpeg": q_multimodal_tiff_jpeg,
     "geotiff_extents": q_geotiff_extents,
     "geotiff_window": q_geotiff_window,
+    "window_chips": q_window_chips,
     "multimodal_quarantine": q_multimodal_quarantine,
     "cc_distributed": q_cc_distributed,
     "audio_features": q_audio_features,
@@ -1653,6 +1711,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "multimodal_tiff_jpeg": _multimodal_tiff_jpeg_sql(),
         "geotiff_extents": _geotiff_extents_sql(),
         "geotiff_window": _geotiff_window_sql(),
+        "window_chips": _geotiff_window_sql(limit=40),
         "multimodal_features": _multimodal_features_sql(),
         "multimodal_jpeg": _multimodal_jpeg_sql(),
         "cc_distributed": _cc_distributed_sql(),
@@ -2425,12 +2484,12 @@ FROM images_meta_pk WHERE pk <= 80"""
     )
 
 
-def _geotiff_window_sql() -> str:
-    """Twin of q_geotiff_window: the pk-derived window is pure integer
-    arithmetic, the mask's rects are disjoint (one per quadrant), so the
-    windowed pixel sum is 255 * sum over rects of the clamped per-axis
-    overlap product.  LEFT JOIN keeps windows that miss every rect
-    (sum_v = 0)."""
+def _geotiff_window_sql(limit: int = 60) -> str:
+    """Twin of q_geotiff_window (limit 60) and q_window_chips (limit 40):
+    the pk-derived window is pure integer arithmetic, the mask's rects
+    are disjoint (one per quadrant), so the windowed pixel sum is 255 *
+    sum over rects of the clamped per-axis overlap product.  LEFT JOIN
+    keeps windows that miss every rect (sum_v = 0)."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
         IMAGES_META_PK_SQL,
         rects_sql,
@@ -2439,8 +2498,8 @@ def _geotiff_window_sql() -> str:
     return (
         "WITH "
         + IMAGES_META_PK_SQL
-        + """,
-imgs AS (SELECT * FROM images_meta_pk WHERE pk <= 60),"""
+        + f""",
+imgs AS (SELECT * FROM images_meta_pk WHERE pk <= {limit}),"""
         + rects_sql("imgs")
         + """,
 win AS (

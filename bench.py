@@ -188,6 +188,7 @@ def main() -> None:
         "multimodal_tiff",
         "geotiff_extents",
         "geotiff_window",
+        "window_chips",
         # round-4 continuation: JPEG-compressed GeoTIFF (compression 7)
         "multimodal_tiff_jpeg",
     ]

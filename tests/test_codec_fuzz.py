@@ -76,6 +76,12 @@ _VALID = {
         codec_tiff.encode_tiff(_IMG_RGB, bigtiff=True),
         codec_tiff.decode_tiff,
     ),
+    # windowed (COG) entry point: same malformed contract; corrupted
+    # dims may push the fixed window out of bounds -> ValueError, allowed
+    "tiff_tiled_window": (
+        codec_tiff.encode_tiff(_IMG_RGB, tiling=(16, 16)),
+        lambda b: codec_tiff.decode_tiff_window(b, 2, 3, 10, 12),
+    ),
 }
 
 # Magic prefixes splice random tails PAST the cheap signature checks so
@@ -102,6 +108,7 @@ _DECODERS = [
     codec_flac.decode_flac,
     codec_tiff.decode_tiff,
     codec_tiff.geotiff_geodata,
+    lambda b: codec_tiff.decode_tiff_window(b, 0, 0, 4, 4),
 ]
 
 

@@ -286,3 +286,25 @@ def test_load_raster_dir_scan_to_arrow_only(spark, tmp_path):
     assert "Exchange" not in p
     assert len(re.findall(r"\(\d+\) MapInPandas", p)) == 1, p
     assert "Scan binaryFile" in p
+
+
+def test_read_windows_never_broadcasts_blobs(spark):
+    """Chip extraction: the image-BYTES side must never be broadcast
+    (Catalyst sizes a mapInPandas output from its tiny parquet input and
+    would happily ship every scene to every executor).  Pinned shape:
+    one SortMergeJoin, zero BroadcastExchange, and the blobs cross
+    exactly one exchange — the pre-join spread at the shuffle-partition
+    count, which the SMJ reuses (ENSURE_REQUIREMENTS adds none on that
+    side)."""
+    import re
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+
+    p = plan(E.q_window_chips(spark, SF))
+    assert "BroadcastExchange" not in p, p
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) == 1, p
+    # 3 shuffles total: images_table's pre-render meta spread, the one
+    # blob spread the SMJ reuses, and the window-list aggregation
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 3, p

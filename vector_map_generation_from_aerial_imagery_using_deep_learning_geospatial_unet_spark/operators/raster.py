@@ -129,6 +129,107 @@ def slice_tiles(
     return src.mapInPandas(run, schema=TILE_SCHEMA)
 
 
+WINDOW_SCHEMA = (
+    "image_id string, wx0 int, wy0 int, ww int, wh int, bytes binary, fmt string"
+)
+
+
+def read_windows(
+    images: DataFrame,
+    windows: DataFrame,
+    tile_fmt: str = "png",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Training-chip extraction at coordinates: decode the requested pixel
+    windows ``(image_id, wx0, wy0, ww, wh)`` out of each raster and emit
+    one encoded chip per window — the sampling step of a segmentation
+    training pipeline (chips at label locations), and the point-lookup
+    twin of :func:`slice_tiles`'s full-grid sweep.
+
+    Plan: the window list is grouped per image FIRST (``collect_list``)
+    and joined to the raster table on ``image_id``, so each image's
+    ``bytes`` crosses the JVM->Python pipe exactly once no matter how
+    many chips it serves (joining raw would copy the blob per window).
+    TIFF payloads go through :func:`codec_tiff.decode_tiff_window` —
+    entropy-decoding only the internal strips/tiles each window touches,
+    O(window) per chip on a tiled GeoTIFF (tools/bench_cog_window.py:
+    ~70x on a 512px chip of an 8192px scene); other formats decode the
+    raster once and slice all chips as numpy views.
+
+    ``on_error``: 'fail' raises on an undecodable payload or an
+    out-of-bounds window; 'skip' drops that image's chips / that window.
+    """
+    _check_on_error(on_error, allowed=("fail", "skip"))
+    from ..sources import codec_tiff
+
+    wins = windows.groupBy("image_id").agg(
+        F.collect_list(F.struct("wx0", "wy0", "ww", "wh")).alias("wins")
+    )
+    # spread the BLOB side before the join at exactly the shuffle-partition
+    # count: a sort-merge join's distribution requirement is then already
+    # satisfied, so the image bytes cross exactly ONE exchange.  The merge
+    # hint matters: Catalyst sizes a mapInPandas output from its (tiny)
+    # parquet input and would BROADCAST THE BLOB SIDE — every scene's bytes
+    # to every executor.  SMJ is safe at every scale, adds zero exchanges
+    # here (both sides already hash on image_id), and AQE may still demote
+    # it to broadcast at runtime from ACCURATE sizes — which picks the
+    # window-list side, the right one.
+    n = int(images.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = _spread(
+        images.select("image_id", "bytes", "fmt", "w", "h"), "image_id", n=n
+    ).hint("merge").join(wins, "image_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {
+                k: [] for k in ("image_id", "wx0", "wy0", "ww", "wh", "bytes")
+            }
+            for r in pdf.itertuples(index=False):
+                blob, fmt = bytes(r.bytes), r.fmt
+                full = None
+                if fmt not in ("tif", "tiff"):
+                    try:
+                        full = codec.decode(blob, fmt, int(r.w), int(r.h))
+                    except _ROW_ERRORS:
+                        if on_error == "fail":
+                            raise
+                        continue
+                for d in r.wins:
+                    x0, y0, ww, wh = (
+                        int(d["wx0"]), int(d["wy0"]), int(d["ww"]), int(d["wh"])
+                    )
+                    try:
+                        if full is None:
+                            chip = codec_tiff.decode_tiff_window(
+                                blob, x0, y0, ww, wh
+                            )
+                        else:
+                            if (
+                                x0 < 0 or y0 < 0 or ww <= 0 or wh <= 0
+                                or y0 + wh > full.shape[0]
+                                or x0 + ww > full.shape[1]
+                            ):
+                                raise ValueError("window outside raster bounds")
+                            chip = full[y0 : y0 + wh, x0 : x0 + ww]
+                    except _ROW_ERRORS:
+                        if on_error == "fail":
+                            raise
+                        continue
+                    cols["image_id"].append(r.image_id)
+                    cols["wx0"].append(x0)
+                    cols["wy0"].append(y0)
+                    cols["ww"].append(ww)
+                    cols["wh"].append(wh)
+                    cols["bytes"].append(
+                        codec.encode(np.ascontiguousarray(chip), tile_fmt, level=1)
+                    )
+            n = len(cols["image_id"])
+            cols["fmt"] = [tile_fmt] * n
+            yield pd.DataFrame(cols)
+
+    return src.mapInPandas(run, schema=WINDOW_SCHEMA)
+
+
 def _spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
     """Explicit hash repartition ahead of CPU-heavy Python stages.
 
