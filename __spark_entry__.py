@@ -888,6 +888,63 @@ def q_window_chips(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_box_chips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster.read_boxes gate: the reference's geo-addressed read flow —
+    getTileIndexFromFiles matches world windows to scenes, createTile
+    ReadRasters the window (/root/reference/src/bf_gridding.py:304-332,
+    545-560) — as a distributed plan: world boxes -> cell-index spatial
+    join against the footprints (joins.bbox_range_join, no cartesian) ->
+    -projwin pixel snapping -> windowed chip decode.  The boxes are the
+    pk-derived windows of ``window_chips`` re-expressed in MODEL
+    coordinates with a 0.3-cell interior margin, so the outward snap
+    must recover exactly the same integer windows and the same
+    closed-form rect-overlap oracle applies (limit 30)."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="tif", kind="mask", limit=30)
+    meta = derived.images_meta(spark, sf_dir).withColumn(
+        "pk", F.substring("image_id", 5, 18).cast("long")
+    ).filter(F.col("pk") <= 30)
+    wx0 = (F.col("pk") * 13) % (F.col("w") - F.floor(F.col("w") / 2))
+    wy0 = (F.col("pk") * 17) % (F.col("h") - F.floor(F.col("h") / 2))
+    ww, wh = F.floor(F.col("w") / 2), F.floor(F.col("h") / 2)
+    cell = CFG.cell_size_m
+    boxes = meta.select(
+        F.concat(F.lit("box_"), "image_id").alias("box_id"),
+        (F.col("ulx") + wx0 * cell + 0.3 * cell).alias("minx"),
+        (F.col("ulx") + (wx0 + ww) * cell - 0.3 * cell).alias("maxx"),
+        (F.col("uly") - (wy0 + wh) * cell + 0.3 * cell).alias("miny"),
+        (F.col("uly") - wy0 * cell - 0.3 * cell).alias("maxy"),
+    )
+    chips = raster.read_boxes(imgs, boxes, CFG)
+
+    def sums(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    r.image_id, int(r.wx0), int(r.wy0), int(r.ww), int(r.wh),
+                    int(
+                        codec.decode(bytes(r.bytes), r.fmt, int(r.ww), int(r.wh))
+                        .sum(dtype=np.int64)
+                    ),
+                )
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(
+                rows, columns=["image_id", "wx0", "wy0", "ww", "wh", "sum_v"]
+            )
+
+    return chips.mapInPandas(
+        sums,
+        schema="image_id string, wx0 int, wy0 int, ww int, wh int, sum_v bigint",
+    )
+
+
 def q_multimodal_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-row error-policy gate (operators/multimodal.py on_error):
     every 4th image's payload is replaced with a hostile blob (valid PNG
@@ -1561,6 +1618,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "geotiff_extents": q_geotiff_extents,
     "geotiff_window": q_geotiff_window,
     "window_chips": q_window_chips,
+    "box_chips": q_box_chips,
     "multimodal_quarantine": q_multimodal_quarantine,
     "cc_distributed": q_cc_distributed,
     "audio_features": q_audio_features,
@@ -1712,6 +1770,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "geotiff_extents": _geotiff_extents_sql(),
         "geotiff_window": _geotiff_window_sql(),
         "window_chips": _geotiff_window_sql(limit=40),
+        "box_chips": _geotiff_window_sql(limit=30),
         "multimodal_features": _multimodal_features_sql(),
         "multimodal_jpeg": _multimodal_jpeg_sql(),
         "cc_distributed": _cc_distributed_sql(),

@@ -189,6 +189,7 @@ def main() -> None:
         "geotiff_extents",
         "geotiff_window",
         "window_chips",
+        "box_chips",
         # round-4 continuation: JPEG-compressed GeoTIFF (compression 7)
         "multimodal_tiff_jpeg",
     ]

@@ -119,3 +119,96 @@ def test_float_dem_chips_roundtrip_tif(spark):
     assert len(out) == 1
     chip = codec_tiff.decode_tiff(bytes(out[0]["bytes"]))
     np.testing.assert_array_equal(chip, dem[9:29, 7:37])
+
+
+# ------------------------------------------- world-coordinate boxes
+def _geo_img(spark, pk=7, w=64, h=48, ulx=1000.0, uly=2000.0):
+    import pandas as pd
+
+    arr = IMG.render_mask(pk, w, h)
+    blob = codec.encode(arr, "tif")
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"image_id": [f"img_{pk:08d}"], "bytes": [blob], "fmt": ["tif"],
+             "w": [w], "h": [h], "ulx": [ulx], "uly": [uly]}
+        )
+    )
+    return df, arr
+
+
+def test_box_windows_projwin_arithmetic(spark):
+    """World box -> outward-snapped, clamped pixel window (cell 0.1 m,
+    north-up): floor on the min edge, ceil on the max, GDAL -projwin."""
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.config import DEFAULT_CONFIG
+
+    imgs, _ = _geo_img(spark)  # extent x [1000, 1006.4], y [1995.2, 2000]
+    boxes = spark.createDataFrame(
+        pd.DataFrame(
+            {"box_id": ["a", "b", "c"],
+             "minx": [1001.23, 990.0, 1006.5],
+             "miny": [1996.7, 1990.0, 1996.0],
+             "maxx": [1002.0, 1001.0, 1007.0],
+             "maxy": [1998.01, 1999.0, 1997.0]}
+        )
+    )
+    out = {r["box_id"]: r for r in raster.box_windows(
+        imgs.select("image_id", "w", "h", "ulx", "uly"), boxes,
+        DEFAULT_CONFIG,
+    ).collect()}
+    # box a: fully interior
+    a = out["a"]
+    assert (a["wx0"], a["wy0"]) == (12, 19)
+    assert (a["ww"], a["wh"]) == (20 - 12, 33 - 19)
+    # box b: straddles the left/top edges -> clamped to 0
+    b = out["b"]
+    assert (b["wx0"], b["wy0"]) == (0, 10)
+    assert b["ww"] == 10 and b["wh"] == 38
+    # box c: entirely off-raster -> no window at all
+    assert "c" not in out
+
+
+def test_read_boxes_chips_pixel_exact(spark):
+    import pandas as pd
+
+    imgs, arr = _geo_img(spark)
+    boxes = spark.createDataFrame(
+        pd.DataFrame(
+            {"box_id": ["a"], "minx": [1001.23], "miny": [1996.7],
+             "maxx": [1002.0], "maxy": [1998.01]}
+        )
+    )
+    out = raster.read_boxes(imgs, boxes).collect()
+    assert len(out) == 1
+    r = out[0]
+    chip = codec.decode(bytes(r["bytes"]), r["fmt"], r["ww"], r["wh"])
+    np.testing.assert_array_equal(chip, arr[19:33, 12:20])
+
+
+def test_read_boxes_one_box_many_images(spark):
+    """A box spanning two adjacent scenes yields one clamped chip per
+    scene — the mosaic-serving case."""
+    import pandas as pd
+
+    a, arr_a = _geo_img(spark, pk=3, ulx=1000.0, uly=2000.0)   # x [1000,1006.4]
+    b, arr_b = _geo_img(spark, pk=4, ulx=1006.4, uly=2000.0)   # x [1006.4,1012.8]
+    imgs = a.union(b)
+    boxes = spark.createDataFrame(
+        pd.DataFrame(
+            {"box_id": ["span"], "minx": [1005.0], "miny": [1996.0],
+             "maxx": [1008.0], "maxy": [1997.0]}
+        )
+    )
+    rows = {r["image_id"]: r for r in raster.read_boxes(imgs, boxes).collect()}
+    assert set(rows) == {"img_00000003", "img_00000004"}
+    ra = rows["img_00000003"]
+    np.testing.assert_array_equal(
+        codec.decode(bytes(ra["bytes"]), ra["fmt"], ra["ww"], ra["wh"]),
+        arr_a[30:40, 50:64],
+    )
+    rb = rows["img_00000004"]
+    np.testing.assert_array_equal(
+        codec.decode(bytes(rb["bytes"]), rb["fmt"], rb["ww"], rb["wh"]),
+        arr_b[30:40, 0:16],
+    )

@@ -22,6 +22,7 @@ from ..config import DEFAULT_CONFIG, EngineConfig
 from ..functions import kernels_morph as km
 from ..functions import kernels_vector as kv
 from ..sources import codec
+from . import joins
 from ._policy import ROW_ERRORS as _ROW_ERRORS
 from ._policy import check_on_error as _check_on_error
 
@@ -228,6 +229,90 @@ def read_windows(
             yield pd.DataFrame(cols)
 
     return src.mapInPandas(run, schema=WINDOW_SCHEMA)
+
+
+def box_windows(
+    images_meta: DataFrame,
+    boxes: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    grid=None,
+    broadcast: str | None = None,
+) -> DataFrame:
+    """World-coordinate chip requests -> per-image pixel windows.
+
+    ``boxes`` carries ``(box_id, minx, miny, maxx, maxy)`` in model
+    coordinates; each box is matched to every image footprint it
+    strictly overlaps (cell-index equi-join via
+    :func:`joins.bbox_range_join` — no cartesian at any corpus scale,
+    ``broadcast='right'`` when the box list is small) and the world
+    intersection is mapped through the north-up geotransform to a
+    clamped pixel window: the ``-projwin`` / ReadRaster(geo) access the
+    reference performs per scene inside GDAL (createTile's window copy,
+    /root/reference/src/bf_gridding.py:545-560).  Output
+    ``(image_id, box_id, wx0, wy0, ww, wh)`` feeds :func:`read_windows`.
+
+    Pixel snapping is outward (floor / ceil): the window COVERS the
+    requested box, GDAL's default."""
+    from ..functions.cellindex import WORLD_GRID
+
+    from .grid import image_extents
+
+    cell = cfg.cell_size_m
+    ext = image_extents(
+        images_meta.select("image_id", "w", "h", "ulx", "uly"), cfg
+    )
+    pairs = joins.bbox_range_join(
+        ext, boxes, grid or WORLD_GRID, lprefix="i_", rprefix="b_",
+        broadcast=broadcast,
+    )
+    ix0 = F.greatest("i_minx", "b_minx")
+    ix1 = F.least("i_maxx", "b_maxx")
+    iy0 = F.greatest("i_miny", "b_miny")
+    iy1 = F.least("i_maxy", "b_maxy")
+    # epsilon before the outward snap (GDAL does the same): a box edge
+    # sitting EXACTLY on a pixel boundary must not grab the next pixel
+    # when the division lands at 16.0000000000002
+    eps = 1e-6
+    wx0 = F.greatest(F.floor((ix0 - F.col("i_ulx")) / cell + eps), F.lit(0))
+    wx1 = F.least(
+        F.ceil((ix1 - F.col("i_ulx")) / cell - eps), F.col("i_w").cast("long")
+    )
+    wy0 = F.greatest(F.floor((F.col("i_uly") - iy1) / cell + eps), F.lit(0))
+    wy1 = F.least(
+        F.ceil((F.col("i_uly") - iy0) / cell - eps), F.col("i_h").cast("long")
+    )
+    return (
+        pairs.select(
+            F.col("i_image_id").alias("image_id"),
+            F.col("b_box_id").alias("box_id"),
+            wx0.cast("int").alias("wx0"),
+            wy0.cast("int").alias("wy0"),
+            (wx1 - wx0).cast("int").alias("ww"),
+            (wy1 - wy0).cast("int").alias("wh"),
+        )
+        # strictly-tangent boxes can snap to an empty pixel range
+        .filter((F.col("ww") > 0) & (F.col("wh") > 0))
+    )
+
+
+def read_boxes(
+    images: DataFrame,
+    boxes: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    grid=None,
+    tile_fmt: str = "png",
+    on_error: str = "fail",
+    broadcast: str | None = None,
+) -> DataFrame:
+    """:func:`box_windows` |> :func:`read_windows`: chips for a table of
+    world-coordinate boxes, straight off the raster corpus.  Re-join the
+    result to ``box_windows(...)`` on (image_id, wx0, wy0, ww, wh) when
+    the box_id mapping is needed downstream."""
+    wins = box_windows(
+        images.select("image_id", "w", "h", "ulx", "uly"), boxes, cfg, grid,
+        broadcast,
+    ).select("image_id", "wx0", "wy0", "ww", "wh")
+    return read_windows(images, wins, tile_fmt=tile_fmt, on_error=on_error)
 
 
 def _spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
