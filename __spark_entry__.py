@@ -1576,6 +1576,62 @@ def q_stream_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).select("image_id", "n_tiles", "complete")
 
 
+_PHASH_PK_CAP = 60  # matches tools/build_phash_fixture.py
+
+
+def q_phash_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/imagehash.phash64 gate: the input_hint ``phash`` column
+    computed from decoded pixels (gray -> 32x32 -> DCT-II -> 8x8 median
+    threshold), Arrow-batched end-to-end.  Oracle: frozen expectations
+    from a SINGLE-PROCESS run of the same public kernel
+    (tools/build_phash_fixture.py) — the IVF-centroid/skeleton fixture
+    pattern; kernel-level correctness is pinned by
+    tests/test_imagehash.py."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import imagehash as IH
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(
+        spark, sf_dir, fmt="png", kind="rgb", limit=_PHASH_PK_CAP
+    )
+    return IH.phash64(imgs).select("image_id", "phash")
+
+
+def _planted_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic near-dup-planted hash table, expressible identically
+    in DuckDB (see _phash_near_dup_sql): groups of 4 consecutive pks
+    share a 62-bit LCG base; members 0/1 carry it verbatim (exact dups),
+    member 2 flips 1 bit, member 3 flips 2 — every in-group pair sits at
+    Hamming <= 2, cross-group pairs at ~31."""
+    meta = derived.images_meta(spark, sf_dir).withColumn(
+        "pk", F.substring("image_id", 5, 18).cast("long")
+    )
+    g = F.floor(F.col("pk") / 4).cast("long")
+    base = ((g * 1103515245 + 12345) % 1073741824) * F.lit(4294967296).cast(
+        "long"
+    ) + (g * 69069 + 1) % 1073741824
+    m = F.col("pk") % 4
+    mask = (
+        F.when(m == 2, 1).when(m == 3, 3).otherwise(0).cast("long")
+    )
+    return meta.select(
+        "image_id", base.bitwiseXOR(mask).cast("long").alias("phash")
+    )
+
+
+def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/imagehash.hamming_near_dup gate: all image pairs within
+    Hamming 3 over a planted 64-bit hash column, found by the pigeonhole
+    band multi-index (4 x 16-bit bands over DISTINCT hashes, equi-join,
+    bit_count verify).  The DuckDB oracle brute-forces ALL pairs with
+    xor+bit_count — a fully independent algorithm, so it checks the
+    banding's completeness, not just its self-consistency."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import imagehash as IH
+
+    return IH.hamming_near_dup(
+        _planted_phash(spark, sf_dir), "image_id", "phash", max_hamming=3
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -1638,6 +1694,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_tiles": q_stream_tiles,
     "stream_dedup": q_stream_dedup,
     "stream_completion": q_stream_completion,
+    "phash_compute": q_phash_compute,
+    "phash_near_dup": q_phash_near_dup,
 }
 
 
@@ -1787,6 +1845,8 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "stream_ingest_stats": _stream_ingest_stats_sql(),
         "stream_dedup": _stream_dedup_sql(),
         "stream_completion": _stream_completion_sql(),
+        "phash_compute": _phash_compute_sql(),
+        "phash_near_dup": _phash_near_dup_sql(),
         # the streamed grid must equal the batch grid bit-for-bit, so the
         # streaming gate reuses gen_tiles' exact closed-form oracle
         "stream_tiles": derived.with_ctes(
@@ -2643,6 +2703,45 @@ def _skeletonize_sql() -> str:
     return f"""
 SELECT image_id, skeleton_px
 FROM read_parquet('{_SKELETON_FIXTURE}')"""
+
+
+_PHASH_FIXTURE = "/root/repo/fixtures/phash_sf0_01.parquet"
+
+
+def _phash_compute_sql() -> str:
+    """Twin of q_phash_compute: frozen expectations from a single-process
+    run of the same pure-numpy pHash kernel over the same deterministic
+    renders (tools/build_phash_fixture.py)."""
+    return f"""
+SELECT image_id, phash
+FROM read_parquet('{_PHASH_FIXTURE}')"""
+
+
+def _phash_near_dup_sql() -> str:
+    """Twin of q_phash_near_dup — BRUTE FORCE: every pair, xor +
+    bit_count, no banding, so the oracle shares no algorithm with the
+    operator (quadratic is fine at the sf0.01 gate size)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import IMAGES_META_PK_SQL
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + """
+, planted AS (
+  SELECT image_id,
+    xor(
+      ((CAST(FLOOR(pk / 4) AS BIGINT) * 1103515245 + 12345) % 1073741824)
+        * CAST(4294967296 AS BIGINT)
+        + (CAST(FLOOR(pk / 4) AS BIGINT) * 69069 + 1) % 1073741824,
+      CAST(CASE pk % 4 WHEN 2 THEN 1 WHEN 3 THEN 3 ELSE 0 END AS BIGINT)
+    ) AS phash
+  FROM images_meta_pk
+)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM planted a JOIN planted b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+    )
 
 
 def _stream_dedup_sql() -> str:
