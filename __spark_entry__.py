@@ -1632,6 +1632,42 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZONAL_PK_CAP = 120
+
+
+def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster.zonal_stats gate: per-zone pixel aggregates over the mask
+    corpus — 200 world-rectangle zones (50 image-grid columns x 4
+    pixel-strip bands of 500 px = 50 m), each spanning every image in
+    its column, so the zone rollup genuinely aggregates ACROSS images.
+    The strip edges sit 0.3 cells inside exact pixel boundaries (the
+    box_chips margin trick), so the -projwin snap recovers integer
+    windows and the oracle closes in pure integer rect-overlap
+    arithmetic (mask rects are disjoint)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(
+        spark, sf_dir, fmt="png", kind="mask", limit=_ZONAL_PK_CAP
+    )
+    cell = CFG.cell_size_m
+    zones = spark.range(200).select(
+        F.floor(F.col("id") / 4).cast("int").alias("c"),
+        (F.col("id") % 4).cast("int").alias("s"),
+    )
+    zones = zones.select(
+        F.concat(
+            F.lit("z_"), F.col("c").cast("string"),
+            F.lit("_"), F.col("s").cast("string"),
+        ).alias("zone_id"),
+        (F.col("c") * 210.0 + F.col("s") * 500 * cell + 0.3 * cell).alias("minx"),
+        F.lit(0.0).alias("miny"),
+        (F.col("c") * 210.0 + (F.col("s") + 1) * 500 * cell - 0.3 * cell).alias("maxx"),
+        F.lit(10500.0 - 0.3 * cell).alias("maxy"),
+    )
+    return raster.zonal_stats(imgs, zones, CFG)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -1696,6 +1732,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_completion": q_stream_completion,
     "phash_compute": q_phash_compute,
     "phash_near_dup": q_phash_near_dup,
+    "zonal_stats": q_zonal_stats,
 }
 
 
@@ -1847,6 +1884,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "stream_completion": _stream_completion_sql(),
         "phash_compute": _phash_compute_sql(),
         "phash_near_dup": _phash_near_dup_sql(),
+        "zonal_stats": _zonal_stats_sql(),
         # the streamed grid must equal the batch grid bit-for-bit, so the
         # streaming gate reuses gen_tiles' exact closed-form oracle
         "stream_tiles": derived.with_ctes(
@@ -2741,6 +2779,54 @@ SELECT a.image_id AS id_a, b.image_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
 FROM planted a JOIN planted b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+    )
+
+
+def _zonal_stats_sql() -> str:
+    """Twin of q_zonal_stats — pure integer arithmetic: zone (c, s)
+    intersects image pk iff pk % 50 = c (images never cross the 210 m
+    grid columns) and s*500 < w; the snapped window is then x in
+    [s*500, least(w, s*500+500)) over the full height, so fg_px is the
+    disjoint-rect x-overlap times rect height and sum_val is 255x that
+    (mask value 255 inside rects, 0 outside)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        rects_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + f""",
+imgs AS (SELECT * FROM images_meta_pk WHERE pk <= {_ZONAL_PK_CAP}),"""
+        + rects_sql("imgs")
+        + """,
+zones AS (
+  SELECT c.g AS c, s.g AS s
+  FROM (SELECT unnest(generate_series(0, 49)) AS g) c,
+       (SELECT unnest(generate_series(0, 3)) AS g) s
+),
+pairs AS (
+  SELECT z.c, z.s, i.image_id, i.w, i.h,
+         CAST(z.s * 500 AS BIGINT)                AS wx0,
+         CAST(least(i.w, z.s * 500 + 500) AS BIGINT) AS wx1
+  FROM zones z JOIN imgs i ON i.pk % 50 = z.c AND z.s * 500 < i.w
+),
+wfg AS (
+  SELECT p.c, p.s, p.image_id, p.h, p.wx1 - p.wx0 AS ww,
+         COALESCE(SUM(
+           greatest(0, least(r.x0 + r.rw, p.wx1) - greatest(r.x0, p.wx0))
+           * r.rh
+         ), 0) AS fg
+  FROM pairs p LEFT JOIN rects r USING (image_id)
+  GROUP BY p.c, p.s, p.image_id, p.h, p.wx0, p.wx1
+)
+SELECT concat('z_', CAST(c AS VARCHAR), '_', CAST(s AS VARCHAR)) AS zone_id,
+       CAST(count(*) AS BIGINT)        AS n_images,
+       CAST(SUM(ww * h) AS BIGINT)     AS n_px,
+       CAST(SUM(fg) AS BIGINT)         AS fg_px,
+       CAST(SUM(fg) * 255 AS BIGINT)   AS sum_val
+FROM wfg GROUP BY c, s"""
     )
 
 
