@@ -118,3 +118,24 @@ def test_phash64_quarantine(spark):
     out = {r.image_id: (r.phash, r.error) for r in IH.phash64(df, on_error="quarantine").collect()}
     assert out["good"][1] is None and out["good"][0] == IH.phash_kernel(a)
     assert out["bad"][0] is None and out["bad"][1]
+
+
+def test_lossy_reencode_found_as_near_dup(spark):
+    """End-to-end purpose of the pair: the SAME scene re-encoded lossily
+    (JPEG q95) hashes within a few bits of its PNG original, and
+    phash64 |> hamming_near_dup surfaces exactly those pairs; distinct
+    scenes stay apart."""
+    rows = []
+    for pk in (21, 22, 23):
+        a = render_rgb(pk, 320, 240)
+        rows.append((f"png_{pk}", codec.encode(a, "png"), 320, 240, "png"))
+        rows.append((f"jpg_{pk}", codec.encode(a, "jpeg"), 320, 240, "jpeg"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    hashes = IH.phash64(df)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in IH.hamming_near_dup(hashes, max_hamming=6).collect()
+    }
+    assert pairs == {(f"jpg_{pk}", f"png_{pk}") for pk in (21, 22, 23)}
