@@ -1632,6 +1632,29 @@ def q_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """operators/graph.connected_components gate — the full dedup chain:
+    planted hashes -> Hamming pair generation (banded multi-index) ->
+    transitive closure (min-label propagation + pointer jumping) ->
+    per-group rollup (component = min image_id, member count).  The
+    oracle needs no graph algorithm at all: the plant makes every group
+    of 4 consecutive pks one clique (pairwise Hamming <= 2) with no
+    cross-group edge at Hamming <= 3 (verified by the brute-force
+    phash_near_dup oracle emitting exactly the in-group pairs), so
+    groups close as GROUP BY floor(pk/4)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import graph as G
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import imagehash as IH
+
+    planted = _planted_phash(spark, sf_dir)
+    pairs = IH.hamming_near_dup(planted, "image_id", "phash", max_hamming=3)
+    comps = G.connected_components(
+        pairs, vertices=planted.select("image_id"), id_col="image_id"
+    )
+    return comps.groupBy("component").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+
+
 _ZONAL_PK_CAP = 120
 
 
@@ -1733,6 +1756,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_compute": q_phash_compute,
     "phash_near_dup": q_phash_near_dup,
     "zonal_stats": q_zonal_stats,
+    "phash_dedup_groups": q_phash_dedup_groups,
 }
 
 
@@ -1885,6 +1909,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "phash_compute": _phash_compute_sql(),
         "phash_near_dup": _phash_near_dup_sql(),
         "zonal_stats": _zonal_stats_sql(),
+        "phash_dedup_groups": _phash_dedup_groups_sql(),
         # the streamed grid must equal the batch grid bit-for-bit, so the
         # streaming gate reuses gen_tiles' exact closed-form oracle
         "stream_tiles": derived.with_ctes(
@@ -2779,6 +2804,21 @@ SELECT a.image_id AS id_a, b.image_id AS id_b,
        CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
 FROM planted a JOIN planted b ON a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= 3"""
+    )
+
+
+def _phash_dedup_groups_sql() -> str:
+    """Twin of q_phash_dedup_groups: the planted components ARE the
+    pk-groups of 4 (see q docstring), so the transitive closure reduces
+    to a GROUP BY — no graph traversal in the oracle."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import IMAGES_META_PK_SQL
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + """
+SELECT min(image_id) AS component, CAST(count(*) AS BIGINT) AS n_members
+FROM images_meta_pk GROUP BY CAST(FLOOR(pk / 4) AS BIGINT)"""
     )
 
 
