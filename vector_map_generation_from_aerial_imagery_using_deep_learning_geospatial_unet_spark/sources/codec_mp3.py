@@ -32,7 +32,10 @@ Scope:
   the same computed filterbank as Layer I.  Table selection from
   (sample rate, kbps per channel): 48 kHz or <= 80 kbps/ch -> B.2a,
   else B.2b; the low-rate tables B.2c/d (< 56 kbps/ch) stay out of
-  scope and raise.
+  scope and raise.  Intensity (joint) stereo codes for real on both
+  sides (mode=1, bound = (mode_ext+1)*4: one allocation + one sample
+  block per shared subband, scalefactors per channel — the slot layout
+  of 2.4.1.6); the Layer I joint variant stays guarded.
 
 * LAYER III payload stays stubbed (tested ``NotImplementedError``):
   its Huffman code tables exist only as spec annex tables that cannot
@@ -78,6 +81,7 @@ class Mp3Frame:
     padding: int
     samples: int  # PCM samples this frame decodes to
     mode: int = 3  # 0=stereo, 1=joint, 2=dual, 3=single_channel
+    mode_ext: int = 0  # joint stereo: Layer II bound = (mode_ext+1)*4
     protection: int = 1  # 0 = 16-bit CRC follows the header
 
 
@@ -124,6 +128,7 @@ def parse_frame_header(data: bytes, pos: int) -> Mp3Frame | None:
         padding=padding,
         samples=samples,
         mode=(b3 >> 6) & 0x3,
+        mode_ext=(b3 >> 4) & 0x3,
         protection=b1 & 0x1,
     )
 
@@ -396,7 +401,11 @@ def _scf_indices(amax: np.ndarray) -> np.ndarray:
 
 
 def encode_mp3(
-    sig: np.ndarray, sample_rate: int, bitrate_idx: int = 12, layer: int = 1
+    sig: np.ndarray,
+    sample_rate: int,
+    bitrate_idx: int = 12,
+    layer: int = 1,
+    joint_bound: int | None = None,
 ) -> bytes:
     """MPEG-1 Layer I/II CBR encoder: int16 PCM (n,) or (n, ch<=2) ->
     spec-framed stream.  ``layer=2`` routes to the table-driven Layer II
@@ -418,9 +427,11 @@ def encode_mp3(
     if not 1 <= bitrate_idx <= 14:
         raise ValueError("bitrate_idx in 1..14")
     if layer == 2:
-        return _encode_layer2(sig, sample_rate, bitrate_idx)
+        return _encode_layer2(sig, sample_rate, bitrate_idx, joint_bound)
     if layer != 1:
         raise ValueError("mp3: encoder supports layer 1 or 2")
+    if joint_bound is not None:
+        raise ValueError("mp3: joint_bound is Layer II only")
     sr_idx = _SR_IDX_V1[sample_rate]
     bitrate = _BITRATES_V1[1][bitrate_idx]
     frame_len = (12 * bitrate * 1000 // sample_rate) * 4  # padding bit 0
@@ -560,8 +571,26 @@ def _l2_cd(levels: int) -> tuple[float, float]:
 _L2_ALLOWED_KBPS_PER_CH = (56, 64, 80, 96, 112, 128, 160, 192)
 
 
+def _l2_slots(sblimit: int, ch: int, bound: int) -> list[tuple[int, tuple]]:
+    """Layer II coding slots in spec wire order (subband outer, channel
+    inner): below ``bound`` one slot per (subband, channel); from
+    ``bound`` up one SHARED slot carrying both channels — the intensity
+    (joint) stereo layout of ISO 11172-3 2.4.1.6.  Mono / normal stereo
+    is the ``bound >= sblimit`` degenerate case."""
+    slots: list[tuple[int, tuple]] = []
+    for sb in range(sblimit):
+        if ch == 2 and sb >= bound:
+            slots.append((sb, (0, 1)))
+        else:
+            slots.extend((sb, (c,)) for c in range(ch))
+    return slots
+
+
 def _encode_layer2(
-    sig: np.ndarray, sample_rate: int, bitrate_idx: int
+    sig: np.ndarray,
+    sample_rate: int,
+    bitrate_idx: int,
+    joint_bound: int | None = None,
 ) -> bytes:
     """MPEG-1 Layer II CBR encoder.  Per frame (1152 samples/channel =
     36 subband windows in 3 parts of 12): table-driven allocation walked
@@ -569,7 +598,13 @@ def _encode_layer2(
     scalefactors transmitted — always valid, never optimal), grouped
     codewords for the 3/5/9-level classes, spec payload order
     (allocation, scfsi, scalefactors, then 12 granules x subband x
-    channel)."""
+    channel).
+
+    ``joint_bound`` (4/8/12/16, stereo input only) emits intensity
+    (joint) stereo: subbands above the bound carry ONE set of samples
+    (the channel mean) with the shared scalefactor written for both
+    channels — one allocation and one sample block instead of two, the
+    spec's bit saving for correlated highs."""
     n, ch = sig.shape
     bitrate = _BITRATES_V1[2][bitrate_idx]
     kbps_ch = bitrate // ch
@@ -578,11 +613,18 @@ def _encode_layer2(
             f"mp3: Layer II needs 56..192 kbps per channel (got {bitrate} "
             f"kbps / {ch} ch); pick bitrate_idx 3..10 mono, 7..14 stereo"
         )
+    if joint_bound is not None:
+        if ch != 2:
+            raise ValueError("mp3: joint stereo needs 2 channels")
+        if joint_bound not in (4, 8, 12, 16):
+            raise ValueError("mp3: joint_bound must be 4, 8, 12 or 16")
     table = _l2_table(sample_rate, kbps_ch)
     sblimit = len(table)
     nbal = [len(lst).bit_length() - 1 for lst in table]
+    bound = sblimit if joint_bound is None else min(joint_bound, sblimit)
+    slots = _l2_slots(sblimit, ch, bound)
     frame_len = 144 * bitrate * 1000 // sample_rate  # padding bit 0
-    budget0 = frame_len * 8 - 32 - ch * sum(nbal)
+    budget0 = frame_len * 8 - 32 - sum(nbal[sb] for sb, _ in slots)
     sr_idx = _SR_IDX_V1[sample_rate]
 
     nframes = -(-n // 1152) + 1  # one flush frame drains the filterbank
@@ -591,17 +633,29 @@ def _encode_layer2(
     A, _G, _d = _filterbank()
     S = np.stack([_analyze(x[:, c], A) for c in range(ch)], axis=2)
 
+    if ch == 1:
+        b3 = 0xC0
+    elif joint_bound is None:
+        b3 = 0x00
+    else:
+        b3 = 0x40 | ((joint_bound // 4 - 1) << 4)
     hdr = bytes(
         [
             0xFF,
             0xFD,  # MPEG1, Layer II, no CRC
             (bitrate_idx << 4) | (sr_idx << 2),
-            0xC0 if ch == 1 else 0x00,
+            b3,
         ]
     )
     out = bytearray()
     for f in range(nframes):
-        Sf = S[36 * f : 36 * (f + 1)]  # (36, 32, ch)
+        Sf = S[36 * f : 36 * (f + 1)].copy()  # (36, 32, ch)
+        # shared slots code the channel mean; fold it into BOTH channels
+        # so scalefactors/quantization read from one consistent signal
+        for sb, chans in slots:
+            if len(chans) == 2:
+                mean = Sf[:, sb, :].mean(axis=1)
+                Sf[:, sb, 0] = Sf[:, sb, 1] = mean
         # one scalefactor per 12-window part (scfsi=0 transmits all 3)
         amax3 = np.abs(Sf.reshape(3, 12, 32, ch)).max(axis=1)  # (3,32,ch)
         scf_idx = _scf_indices(amax3)  # (3, 32, ch)
@@ -609,58 +663,55 @@ def _encode_layer2(
         amax = amax3.max(axis=0)  # (32, ch)
         scf_top = _SCF_LAYER1[_scf_indices(amax)]
 
-        # greedy allocation over the table's level ladder: grow the
-        # (subband, channel) whose quantized-noise proxy scf/levels is
-        # largest; first step additionally buys 2 scfsi + 18 scf bits
-        idx = np.zeros((32, ch), dtype=np.int64)
-        prio = np.full((32, ch), -1.0)
-        for sb in range(sblimit):
-            for c in range(ch):
-                if amax[sb, c] > 0:
-                    prio[sb, c] = scf_top[sb, c]
+        # greedy allocation over the table's level ladder: grow the SLOT
+        # whose quantized-noise proxy scf/levels is largest; first step
+        # additionally buys (2 scfsi + 18 scf) bits PER CHANNEL the slot
+        # carries (a shared slot still transmits both channels' factors)
+        nslots = len(slots)
+        idx = np.zeros(nslots, dtype=np.int64)
+        prio = np.full(nslots, -1.0)
+        top = np.zeros(nslots)
+        for k, (sb, chans) in enumerate(slots):
+            top[k] = max(scf_top[sb, c] for c in chans)
+            if max(amax[sb, c] for c in chans) > 0:
+                prio[k] = top[k]
         budget = budget0
         while True:
-            i = int(np.argmax(prio))
-            sb, c = divmod(i, ch)
-            if prio[sb, c] <= 0:
+            k = int(np.argmax(prio))
+            if prio[k] <= 0:
                 break
+            sb, chans = slots[k]
             lst = table[sb]
             cost = 12 * (
-                _l2_width(lst[idx[sb, c] + 1])
-                - (_l2_width(lst[idx[sb, c]]) if idx[sb, c] else 0)
-            ) + (2 + 18 if idx[sb, c] == 0 else 0)
+                _l2_width(lst[idx[k] + 1])
+                - (_l2_width(lst[idx[k]]) if idx[k] else 0)
+            ) + ((2 + 18) * len(chans) if idx[k] == 0 else 0)
             if cost > budget:
-                prio[sb, c] = -1.0
+                prio[k] = -1.0
                 continue
-            idx[sb, c] += 1
+            idx[k] += 1
             budget -= cost
-            prio[sb, c] = (
-                -1.0 if idx[sb, c] + 1 >= len(lst)
-                else scf_top[sb, c] / lst[idx[sb, c]]
+            prio[k] = (
+                -1.0 if idx[k] + 1 >= len(lst) else top[k] / lst[idx[k]]
             )
 
         w = _BitWriter()
-        for sb in range(sblimit):
-            for c in range(ch):
-                w.write(int(idx[sb, c]), nbal[sb])
-        for sb in range(sblimit):
-            for c in range(ch):
-                if idx[sb, c]:
+        for k, (sb, _) in enumerate(slots):
+            w.write(int(idx[k]), nbal[sb])
+        for k, (sb, chans) in enumerate(slots):
+            if idx[k]:
+                for _ in chans:
                     w.write(0, 2)  # scfsi = 0: three scalefactors follow
-        for sb in range(sblimit):
-            for c in range(ch):
-                if idx[sb, c]:
+        for k, (sb, chans) in enumerate(slots):
+            if idx[k]:
+                for c in chans:
                     for p in range(3):
                         w.write(int(scf_idx[p, sb, c]), 6)
         # vectorized sample section (the decoder gathers from the same
-        # fixed layout): per coded subband, quantize all 12 granules and
+        # fixed layout): per coded slot, quantize all 12 granules and
         # scatter codeword bits in one shot
         lev_flat = np.array(
-            [
-                table[sb][idx[sb, c]]
-                for sb in range(sblimit)
-                for c in range(ch)
-            ],
+            [table[sb][idx[k]] for k, (sb, _) in enumerate(slots)],
             dtype=np.int64,
         )
         widths = np.array(
@@ -673,7 +724,8 @@ def _encode_layer2(
         sec = np.zeros(12 * stride, dtype=np.uint8)
         for k in np.flatnonzero(lev_flat):
             L = int(lev_flat[k])
-            sb, c = divmod(int(k), ch)
+            sb, chans = slots[k]
+            c = chans[0]  # shared slots folded both channels to the mean
             C, D = _l2_cd(L)
             xq = Sf[:, sb, c].reshape(12, 3) / scf_g[:, sb, c][:, None]
             if L in _L2_GROUP_BITS:
@@ -708,29 +760,35 @@ def _encode_layer2(
 def _decode_layer2(data: bytes, frames: list[Mp3Frame], ch: int) -> np.ndarray:
     """Parse Layer II frames into the (36*nframes, 32, ch) subband
     array (requantized, scalefactored); synthesis happens in the shared
-    decode_mp3 tail."""
+    decode_mp3 tail.  Joint (intensity) stereo frames (mode=1) share one
+    allocation and one sample block per subband above
+    bound = (mode_ext+1)*4, with scalefactors still per channel — each
+    channel reconstructs the shared codes at its own intensity
+    (ISO 11172-3 2.4.2.4)."""
     f0 = frames[0]
     table = _l2_table(f0.sample_rate, f0.bitrate_kbps // ch)
     sblimit = len(table)
     nbal = [len(lst).bit_length() - 1 for lst in table]
+    bound = (f0.mode_ext + 1) * 4 if (f0.mode == 1 and ch == 2) else sblimit
+    slots = _l2_slots(sblimit, ch, min(bound, sblimit))
+    nslots = len(slots)
     S = np.zeros((36 * len(frames), 32, ch))
     for fi, fr in enumerate(frames):
         pos = fr.offset + 4 + (2 if fr.protection == 0 else 0)
         bits = _FrameBits(data[pos : fr.offset + fr.length])
-        alloc = np.zeros((32, ch), dtype=np.int64)
-        for sb in range(sblimit):
-            for c in range(ch):
-                alloc[sb, c] = bits.read(nbal[sb])
+        alloc = np.zeros(nslots, dtype=np.int64)
+        for k, (sb, _) in enumerate(slots):
+            alloc[k] = bits.read(nbal[sb])
         scfsi = np.zeros((32, ch), dtype=np.int64)
-        for sb in range(sblimit):
-            for c in range(ch):
-                if alloc[sb, c]:
+        for k, (sb, chans) in enumerate(slots):
+            if alloc[k]:
+                for c in chans:
                     scfsi[sb, c] = bits.read(2)
         scf = np.ones((3, 32, ch))
-        for sb in range(sblimit):
-            for c in range(ch):
-                if not alloc[sb, c]:
-                    continue
+        for k, (sb, chans) in enumerate(slots):
+            if not alloc[k]:
+                continue
+            for c in chans:
                 n_scf = {0: 3, 1: 2, 2: 1, 3: 2}[int(scfsi[sb, c])]
                 vals = []
                 for _ in range(n_scf):
@@ -747,30 +805,26 @@ def _decode_layer2(data: bytes, frames: list[Mp3Frame], ch: int) -> np.ndarray:
                 else:  # 3: second covers parts 1+2
                     parts = [vals[0], vals[1], vals[1]]
                 scf[:, sb, c] = parts
-        # sample section: granule (g, sb, c) sits at off(sb, c) +
-        # g * stride with per-(sb, c) width gw (grouped codeword) or
-        # 3*nb (three consecutive codes) — each coded subband extracts
-        # its 12 granules in one numpy gather
-        levels = np.array(
-            [
-                [table[sb][alloc[sb, c]] if alloc[sb, c] else 0
-                 for c in range(ch)]
-                for sb in range(sblimit)
-            ],
+        # sample section: granule g of slot k sits at off(k) + g * stride
+        # with per-slot width gw (grouped codeword) or 3*nb (three
+        # consecutive codes) — each coded slot extracts its 12 granules
+        # in one numpy gather; a shared slot's codes fan out to both
+        # channels under each channel's own scalefactor
+        lev_flat = np.array(
+            [table[sb][alloc[k]] if alloc[k] else 0
+             for k, (sb, _) in enumerate(slots)],
             dtype=np.int64,
         )
         widths = np.array(
-            [[_l2_width(int(L)) if L else 0 for L in row] for row in levels],
-            dtype=np.int64,
-        ).reshape(-1)
+            [_l2_width(int(L)) if L else 0 for L in lev_flat], dtype=np.int64
+        )
         ends = np.cumsum(widths)
         offs, stride = ends - widths, int(ends[-1])
         grange = stride * np.arange(12, dtype=np.int64)
         scf_g = np.repeat(scf, 4, axis=0)  # part p covers granules 4p..4p+3
-        lev_flat = levels.reshape(-1)
         for k in np.flatnonzero(lev_flat):
             L = int(lev_flat[k])
-            sb, c = divmod(int(k), ch)
+            sb, chans = slots[k]
             C, D = _l2_cd(L)
             if L in _L2_GROUP_BITS:
                 v = bits.read_matrix(offs[k] + grange, _L2_GROUP_BITS[L])
@@ -784,9 +838,10 @@ def _decode_layer2(data: bytes, frames: list[Mp3Frame], ch: int) -> np.ndarray:
                 pos = (offs[k] + grange)[:, None] + b * np.arange(3)
                 codes = bits.read_matrix(pos, b) ^ (1 << (b - 1))
                 sq = C * (codes * 2.0 ** (1 - b) - 1.0 + D)
-            S[36 * fi : 36 * (fi + 1), sb, c] = (
-                sq * scf_g[:, sb, c][:, None]
-            ).reshape(-1)
+            for c in chans:
+                S[36 * fi : 36 * (fi + 1), sb, c] = (
+                    sq * scf_g[:, sb, c][:, None]
+                ).reshape(-1)
         bits.pos += 12 * stride
     return S
 
@@ -807,12 +862,14 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
             "code tables are codec-library-bound); Layers I and II decode "
             "for real"
         )
-    if f0.mode == 1:
-        raise NotImplementedError("mp3: intensity (joint) stereo")
+    if f0.mode == 1 and f0.layer != 2:
+        # Layer II joint stereo decodes for real (_decode_layer2 slots);
+        # the Layer I variant stays a documented capability boundary
+        raise NotImplementedError("mp3: Layer I intensity (joint) stereo")
     ch = 1 if f0.mode == 3 else 2
     for fr in frames:
-        if (fr.layer, fr.mode, fr.sample_rate) != (
-            f0.layer, f0.mode, f0.sample_rate,
+        if (fr.layer, fr.mode, fr.mode_ext, fr.sample_rate) != (
+            f0.layer, f0.mode, f0.mode_ext, f0.sample_rate,
         ):
             raise ValueError("mp3: inconsistent stream parameters")
 
