@@ -1691,6 +1691,40 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster.zonal_stats(imgs, zones, CFG)
 
 
+def q_zonal_stats_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster.zonal_stats_poly gate: the polygon-zone path (envelope
+    join -> window snap -> per-pixel-center ray-cast mask -> in-decode
+    reduction) over the SAME strip zones as ``zonal_stats``, expressed
+    as explicit 4-gon vertex rings.  For rects whose edges sit 0.3
+    cells inside pixel boundaries, the center-inside pixel set equals
+    the snapped window exactly, so the integer rect-overlap oracle
+    applies verbatim — while the query still exercises the general
+    polygon machinery (pip_grid over every window pixel)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(
+        spark, sf_dir, fmt="png", kind="mask", limit=_ZONAL_PK_CAP
+    )
+    cell = CFG.cell_size_m
+    zones = spark.range(200).select(
+        F.floor(F.col("id") / 4).cast("int").alias("c"),
+        (F.col("id") % 4).cast("int").alias("s"),
+    )
+    minx = F.col("c") * 210.0 + F.col("s") * 500 * cell + 0.3 * cell
+    maxx = F.col("c") * 210.0 + (F.col("s") + 1) * 500 * cell - 0.3 * cell
+    miny, maxy = F.lit(0.0), F.lit(10500.0 - 0.3 * cell)
+    zones = zones.select(
+        F.concat(
+            F.lit("z_"), F.col("c").cast("string"),
+            F.lit("_"), F.col("s").cast("string"),
+        ).alias("zone_id"),
+        F.array(minx, maxx, maxx, minx).alias("xs"),
+        F.array(miny, miny, maxy, maxy).alias("ys"),
+    )
+    return raster.zonal_stats_poly(imgs, zones, CFG)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -1756,6 +1790,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_compute": q_phash_compute,
     "phash_near_dup": q_phash_near_dup,
     "zonal_stats": q_zonal_stats,
+    "zonal_stats_poly": q_zonal_stats_poly,
     "phash_dedup_groups": q_phash_dedup_groups,
 }
 
@@ -1909,6 +1944,9 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "phash_compute": _phash_compute_sql(),
         "phash_near_dup": _phash_near_dup_sql(),
         "zonal_stats": _zonal_stats_sql(),
+        # margin-aligned rect 4-gons: center-inside set == snapped window,
+        # so the polygon path shares the rect path's integer oracle
+        "zonal_stats_poly": _zonal_stats_sql(),
         "phash_dedup_groups": _phash_dedup_groups_sql(),
         # the streamed grid must equal the batch grid bit-for-bit, so the
         # streaming gate reuses gen_tiles' exact closed-form oracle

@@ -196,6 +196,7 @@ def main() -> None:
         "phash_compute",
         "phash_near_dup",
         "zonal_stats",
+        "zonal_stats_poly",
         "phash_dedup_groups",
     ]
     qs = E.queries()

@@ -107,3 +107,94 @@ def test_zonal_on_error_skip_drops_bad_image(spark):
         ).collect()
     }
     assert got == _expected(arrays, zones)
+
+
+# ------------------------------------------------------ polygon zones
+
+
+def test_pip_grid_triangle_vs_halfplane():
+    """pip_grid against an independent convex-shape formulation: a
+    triangle is the intersection of three half-planes."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions.kernels_vector import pip_grid
+
+    xs, ys = [1.2, 9.7, 3.1], [0.8, 2.3, 8.9]
+    px = np.arange(12) + 0.5
+    py = np.arange(11) + 0.5
+    got = pip_grid(xs, ys, px, py)
+    P = np.stack(np.meshgrid(px, py), axis=-1)  # (len(py), len(px), 2)
+    # orientation-independent half-plane sign
+    sgn = np.sign(
+        (xs[1] - xs[0]) * (ys[2] - ys[0]) - (ys[1] - ys[0]) * (xs[2] - xs[0])
+    )
+    want = np.ones(got.shape, dtype=bool)
+    for k in range(3):
+        ax, ay = xs[k], ys[k]
+        bx, by = xs[(k + 1) % 3], ys[(k + 1) % 3]
+        cross = (bx - ax) * (P[..., 1] - ay) - (by - ay) * (P[..., 0] - ax)
+        want &= sgn * cross > 0
+    assert (got == want).all()
+
+
+def test_zonal_poly_rect_equals_rect_path(spark):
+    """A margin-aligned rectangle expressed as a 4-gon must reproduce the
+    rect path exactly (center-inside set == snapped window)."""
+    specs = [
+        ("imA", 3, 120, 100, 0.0, 100.0),
+        ("imB", 7, 80, 90, 12.0, 100.0),
+    ]
+    imgs, _ = _mk_images(spark, specs)
+    m = 0.3 * CELL
+    rects = [
+        ("z1", 2.0 + m, 92.0 + m, 14.0 - m, 99.0 - m),
+        ("z2", 0.0 + m, 91.0 + m, 6.0 - m, 96.0 - m),
+    ]
+    rect_out = {
+        r.zone_id: (r.n_images, r.n_px, r.fg_px, r.sum_val)
+        for r in raster.zonal_stats(imgs, _zones_df(spark, rects)).collect()
+    }
+    polys = spark.createDataFrame(
+        [
+            (z, [x0, x1, x1, x0], [y0, y0, y1, y1])
+            for z, x0, y0, x1, y1 in rects
+        ],
+        "zone_id string, xs array<double>, ys array<double>",
+    )
+    poly_out = {
+        r.zone_id: (r.n_images, r.n_px, r.fg_px, r.sum_val)
+        for r in raster.zonal_stats_poly(imgs, polys).collect()
+    }
+    assert poly_out == rect_out and len(poly_out) == 2
+
+
+def test_zonal_poly_triangle_matches_numpy(spark):
+    """General polygon: per-pixel-center mask recomputed in the test."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions.kernels_vector import pip_grid
+
+    specs = [("imC", 11, 100, 100, 4.0, 80.0)]
+    imgs, arrays = _mk_images(spark, specs)
+    xs = [5.125, 9.625, 6.375]
+    ys = [71.125, 72.875, 78.625]
+    zdf = spark.createDataFrame(
+        [("tri", xs, ys)], "zone_id string, xs array<double>, ys array<double>"
+    )
+    got = {
+        r.zone_id: (r.n_images, r.n_px, r.fg_px, r.sum_val)
+        for r in raster.zonal_stats_poly(imgs, zdf).collect()
+    }
+    a, ulx, uly = arrays["imC"]
+    # snap the envelope like box_windows, then mask pixel centers
+    wx0 = max(int(np.floor((min(xs) - ulx) / CELL + 1e-6)), 0)
+    wx1 = min(int(np.ceil((max(xs) - ulx) / CELL - 1e-6)), a.shape[1])
+    wy0 = max(int(np.floor((uly - max(ys)) / CELL + 1e-6)), 0)
+    wy1 = min(int(np.ceil((uly - min(ys)) / CELL - 1e-6)), a.shape[0])
+    px = ulx + (np.arange(wx0, wx1) + 0.5) * CELL
+    py = uly - (np.arange(wy0, wy1) + 0.5) * CELL
+    mask = pip_grid(xs, ys, px, py)
+    win = a[wy0:wy1, wx0:wx1]
+    want = (
+        1,
+        int(mask.sum()),
+        int(((win > 0) & mask).sum()),
+        int(win[mask].sum(dtype=np.int64)),
+    )
+    assert got == {"tri": want}

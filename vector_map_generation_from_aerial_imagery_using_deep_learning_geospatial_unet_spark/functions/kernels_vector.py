@@ -32,6 +32,7 @@ __all__ = [
     "convex_hull",
     "minimum_bounding_rectangle",
     "polygon_area",
+    "pip_grid",
 ]
 
 
@@ -293,3 +294,32 @@ def polygon_area(x, y) -> float:
     correction = x[-1] * y[0] - y[-1] * x[0]
     main_area = np.dot(x[:-1], y[1:]) - np.dot(y[:-1], x[1:])
     return round(0.5 * np.abs(main_area + correction), 2)
+
+
+def pip_grid(xs, ys, px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Even-odd point-in-polygon over a separable point grid: bool
+    (len(py), len(px)) — True where (px[j], py[i]) is inside the simple
+    polygon (xs, ys) (closing edge implicit).  The same ray-cast rule as
+    the join-side PIP (operators/joins.py) but vectorized per edge over
+    the whole pixel grid: cost O(edges * pixels) with numpy inner loops,
+    the raster-side refinement for polygon zonal statistics.  Points on
+    an edge follow the half-open crossing rule — callers choose
+    off-boundary sample coordinates (pixel CENTERS) so ties cannot
+    arise."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    if xs.shape != ys.shape or xs.size < 3:
+        raise ValueError("pip_grid: need >= 3 vertices with matching shapes")
+    px = np.asarray(px, dtype=np.float64)[None, :]
+    py = np.asarray(py, dtype=np.float64)[:, None]
+    inside = np.zeros((py.shape[0], px.shape[1]), dtype=bool)
+    n = xs.size
+    for k in range(n):
+        x1, y1 = xs[k], ys[k]
+        x2, y2 = xs[(k + 1) % n], ys[(k + 1) % n]
+        if y1 == y2:
+            continue  # horizontal edge never crosses a horizontal ray
+        crosses = (y1 > py) != (y2 > py)
+        xi = (x2 - x1) * (py - y1) / (y2 - y1) + x1
+        inside ^= crosses & (px < xi)
+    return inside

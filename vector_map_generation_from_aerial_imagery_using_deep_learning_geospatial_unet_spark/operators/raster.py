@@ -410,6 +410,113 @@ def zonal_stats(
     )
 
 
+def zonal_stats_poly(
+    images: DataFrame,
+    zones: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    grid=None,
+    on_error: str = "fail",
+    broadcast: str | None = None,
+) -> DataFrame:
+    """Polygon-zone twin of :func:`zonal_stats`: zones are simple
+    polygons ``(zone_id, xs array<double>, ys array<double>)`` in world
+    coordinates (closing edge implicit) — e.g. building footprints —
+    and a pixel counts when its CENTER lies inside the polygon
+    (``functions/kernels_vector.pip_grid``, the raster-side analogue of
+    the join-side ray-cast refinement).
+
+    Plan shape is zonal_stats' with one extra refine step: the
+    polygon's envelope drives the cell-index spatial join and the
+    outward window snap; inside the decode pass each window additionally
+    masks by per-pixel-center PIP before reducing, so still only 4 ints
+    per (image, zone) window leave Python.  Same output schema
+    (``n_px`` now counts center-inside pixels)."""
+    _check_on_error(on_error, allowed=("fail", "skip"))
+    from ..functions.kernels_vector import pip_grid
+
+    cell = cfg.cell_size_m
+    zmeta = zones.select(
+        F.col("zone_id").alias("box_id"),
+        F.array_min("xs").alias("minx"),
+        F.array_min("ys").alias("miny"),
+        F.array_max("xs").alias("maxx"),
+        F.array_max("ys").alias("maxy"),
+        "xs",
+        "ys",
+    )
+    wins = box_windows(
+        images.select("image_id", "w", "h", "ulx", "uly"),
+        zmeta.select("box_id", "minx", "miny", "maxx", "maxy"),
+        cfg,
+        grid,
+        broadcast,
+    ).join(zmeta.select("box_id", "xs", "ys"), "box_id")
+    grouped = wins.groupBy("image_id").agg(
+        F.collect_list(
+            F.struct("box_id", "wx0", "wy0", "ww", "wh", "xs", "ys")
+        ).alias("wins")
+    )
+    n = int(images.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    src = _spread(
+        images.select("image_id", "bytes", "fmt", "w", "h", "ulx", "uly"),
+        "image_id",
+        n=n,
+    ).hint("merge").join(grouped, "image_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    full = codec.decode(
+                        bytes(r.bytes), r.fmt, int(r.w), int(r.h)
+                    )
+                except _ROW_ERRORS:
+                    if on_error == "fail":
+                        raise
+                    continue
+                plane = full[:, :, 0] if full.ndim == 3 else full
+                ulx, uly = float(r.ulx), float(r.uly)
+                for d in r.wins:
+                    x0, y0, ww, wh = (
+                        int(d["wx0"]), int(d["wy0"]), int(d["ww"]), int(d["wh"])
+                    )
+                    if (
+                        x0 < 0 or y0 < 0 or ww <= 0 or wh <= 0
+                        or y0 + wh > plane.shape[0] or x0 + ww > plane.shape[1]
+                    ):
+                        if on_error == "fail":
+                            raise ValueError("window outside raster bounds")
+                        continue
+                    px = ulx + (x0 + np.arange(ww) + 0.5) * cell
+                    py = uly - (y0 + np.arange(wh) + 0.5) * cell
+                    mask = pip_grid(d["xs"], d["ys"], px, py)
+                    if not mask.any():
+                        continue
+                    win = plane[y0 : y0 + wh, x0 : x0 + ww]
+                    rows.append(
+                        (
+                            d["box_id"],
+                            int(mask.sum(dtype=np.int64)),
+                            int(((win > 0) & mask).sum(dtype=np.int64)),
+                            int(win[mask].sum(dtype=np.int64)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["zone_id", "n_px", "fg_px", "sum_val"]
+            )
+
+    per_window = src.mapInPandas(
+        run, schema="zone_id string, n_px long, fg_px long, sum_val long"
+    )
+    return per_window.groupBy("zone_id").agg(
+        F.count("*").cast("long").alias("n_images"),
+        F.sum("n_px").alias("n_px"),
+        F.sum("fg_px").alias("fg_px"),
+        F.sum("sum_val").alias("sum_val"),
+    )
+
+
 def _spread(df: DataFrame, *cols: str, n: int | None = None) -> DataFrame:
     """Explicit hash repartition ahead of CPU-heavy Python stages.
 
