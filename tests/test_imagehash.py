@@ -139,3 +139,37 @@ def test_lossy_reencode_found_as_near_dup(spark):
         for r in IH.hamming_near_dup(hashes, max_hamming=6).collect()
     }
     assert pairs == {(f"jpg_{pk}", f"png_{pk}") for pk in (21, 22, 23)}
+
+
+def test_pigeonhole_banding_property():
+    """Pure-python pigeonhole property behind hamming_near_dup's
+    completeness: for ANY two hashes within max_hamming, at least one
+    of the max_hamming+1 bands is bit-identical (so the band equi-join
+    cannot miss a pair)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=0, max_value=(1 << 64) - 1),
+        st.integers(min_value=0, max_value=63),
+        st.lists(st.integers(min_value=0, max_value=63), max_size=7),
+        st.integers(min_value=0, max_value=7),
+    )
+    def check(h, first_bit, more_bits, max_h):
+        flips = ({first_bit} | set(more_bits))
+        flips = set(list(flips)[: max_h]) if max_h else set()
+        g = h
+        for b in flips:
+            g ^= 1 << b
+        d = bin(h ^ g).count("1")
+        assert d <= max_h or not flips
+        specs = IH._band_specs(max(max_h, d, 0) if max_h else 0)
+        if d <= len(specs) - 1:
+            agree = any(
+                (h >> s) & ((1 << w) - 1) == (g >> s) & ((1 << w) - 1)
+                for s, w in specs
+            )
+            assert agree, (hex(h), hex(g), d, specs)
+
+    check()
