@@ -173,3 +173,16 @@ def test_pigeonhole_banding_property():
             assert agree, (hex(h), hex(g), d, specs)
 
     check()
+
+
+def test_hamming_near_dup_zero_distance_single_band(spark):
+    """max_hamming=0 degenerates to exact-dup pairs through the single
+    64-bit band (regression: the full-width band mask used to overflow
+    LongType)."""
+    rows = [("a", 5), ("b", 5), ("c", -7), ("d", -7), ("e", 9)]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in IH.hamming_near_dup(df, max_hamming=0).collect()
+    }
+    assert got == {("a", "b", 0), ("c", "d", 0)}

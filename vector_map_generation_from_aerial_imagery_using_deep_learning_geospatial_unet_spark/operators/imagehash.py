@@ -157,13 +157,17 @@ def hamming_near_dup(
         F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
     ).filter(F.col("_h").isNotNull())
 
+    def band_val(shift: int, width: int):
+        v = F.shiftrightunsigned(F.col("_h"), shift)
+        if width >= HASH_BITS:  # max_hamming=0: the single band IS the hash
+            return v
+        return v.bitwiseAND(F.lit((1 << width) - 1))
+
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftrightunsigned(F.col("_h"), shift)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("val"),
+                band_val(shift, width).alias("val"),
             )
             for b, (shift, width) in enumerate(specs)
         ]
