@@ -1725,6 +1725,36 @@ def q_zonal_stats_poly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raster.zonal_stats_poly(imgs, zones, CFG)
 
 
+def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vectortiles gate: polygon rows -> Mapbox Vector Tile blobs (z=3,
+    8x8 tiles over a 10752 m square world, extent 4096) -> decode the
+    blobs back and aggregate the DECODED integer geometry per tile.
+    Exercises the full encode -> shuffle -> protobuf decode loop: tile
+    assignment (envelope + sequence explode, JVM-side), Sutherland-
+    Hodgman clip, floor quantization, MVT 2.1 winding, command-stream
+    and zigzag-delta coding, tags/values tables, feature ids.  The 300
+    synthetic rects are formula-derived (many straddle tile borders; 63
+    of 64 tiles covered), so the oracle closes in pure clamp+floor
+    arithmetic — for axis-aligned rects the clip IS the clamp."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import vectortiles as VT
+
+    pk = F.col("id")
+    x0 = (pk * 37 % 97) * 110.0 + 17.0
+    y0 = (pk * 53 % 89) * 115.0 + 23.0
+    x1 = F.least(x0 + 420.0 + (pk % 7) * 310.0, F.lit(10752.0))
+    y1 = F.least(y0 + 380.0 + (pk % 5) * 290.0, F.lit(10752.0))
+    polys = spark.range(300).select(
+        pk.alias("polygon_id"),
+        F.array(
+            F.array(x0, y0), F.array(x1, y0),
+            F.array(x1, y1), F.array(x0, y1),
+        ).alias("ring"),
+        ((pk % 13) - 3).alias("value"),
+    )
+    tiles = VT.polygons_to_mvt(polys, (0.0, 0.0, 10752.0, 10752.0), zoom=3)
+    return VT.mvt_tile_stats(tiles)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -1792,6 +1822,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats": q_zonal_stats,
     "zonal_stats_poly": q_zonal_stats_poly,
     "phash_dedup_groups": q_phash_dedup_groups,
+    "mvt_tiles": q_mvt_tiles,
 }
 
 
@@ -1948,6 +1979,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         # so the polygon path shares the rect path's integer oracle
         "zonal_stats_poly": _zonal_stats_sql(),
         "phash_dedup_groups": _phash_dedup_groups_sql(),
+        "mvt_tiles": _mvt_tiles_sql(),
         # the streamed grid must equal the batch grid bit-for-bit, so the
         # streaming gate reuses gen_tiles' exact closed-form oracle
         "stream_tiles": derived.with_ctes(
@@ -2858,6 +2890,51 @@ def _phash_dedup_groups_sql() -> str:
 SELECT min(image_id) AS component, CAST(count(*) AS BIGINT) AS n_members
 FROM images_meta_pk GROUP BY CAST(FLOOR(pk / 4) AS BIGINT)"""
     )
+
+
+def _mvt_tiles_sql() -> str:
+    """Twin of q_mvt_tiles in pure clamp+floor arithmetic.  For an
+    axis-aligned rect, Sutherland-Hodgman clipping to the tile window is
+    GREATEST/LEAST on each corner, quantization is FLOOR of the identical
+    IEEE-double product (both engines evaluate the same expression tree,
+    so the floors agree bit-for-bit), and a (polygon, tile) pair survives
+    iff the quantized rect has nonzero width AND height — exactly the
+    operator's degenerate-ring drop.  Decoded-side identities: 4 vertices
+    per ring, coordinate sum = 2*(l+r) / 2*(t+b), doubled signed area =
+    +2*w*h (positive iff the encoder enforced MVT 2.1 winding)."""
+    return """
+WITH polys AS (
+  SELECT range AS pk,
+         ((range*37) % 97)*110.0 + 17.0 AS x0,
+         ((range*53) % 89)*115.0 + 23.0 AS y0,
+         LEAST(((range*37) % 97)*110.0 + 17.0 + 420.0 + (range % 7)*310.0,
+               10752.0) AS x1,
+         LEAST(((range*53) % 89)*115.0 + 23.0 + 380.0 + (range % 5)*290.0,
+               10752.0) AS y1,
+         (range % 13) - 3 AS value
+  FROM range(300)
+), pairs AS (
+  SELECT p.*, g1.range AS tx, g2.range AS ty,
+         0.0 + g1.range*1344.0 AS wx0,
+         10752.0 - g2.range*1344.0 AS wtop
+  FROM polys p, range(8) g1, range(8) g2
+), q AS (
+  SELECT pk, tx, ty, value,
+    CAST(FLOOR((GREATEST(x0, wx0) - wx0) * (4096.0/1344.0)) AS BIGINT) AS qxl,
+    CAST(FLOOR((LEAST(x1, wx0 + 1344.0) - wx0) * (4096.0/1344.0)) AS BIGINT)
+      AS qxr,
+    CAST(FLOOR((wtop - LEAST(y1, wtop)) * (4096.0/1344.0)) AS BIGINT) AS qyt,
+    CAST(FLOOR((wtop - GREATEST(y0, wtop - 1344.0)) * (4096.0/1344.0))
+      AS BIGINT) AS qyb
+  FROM pairs
+)
+SELECT CAST(3 AS INT) AS z, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       COUNT(*) AS n_features, COUNT(*) AS n_rings,
+       4*COUNT(*) AS n_vertices, SUM(pk) AS sum_id,
+       SUM(2*(qxl + qxr)) AS sum_qx, SUM(2*(qyt + qyb)) AS sum_qy,
+       SUM(2*(qxr - qxl)*(qyb - qyt)) AS sum_area2, SUM(value) AS sum_value
+FROM q WHERE qxr > qxl AND qyb > qyt
+GROUP BY tx, ty"""
 
 
 def _zonal_stats_sql() -> str:

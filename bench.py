@@ -198,6 +198,8 @@ def main() -> None:
         "zonal_stats",
         "zonal_stats_poly",
         "phash_dedup_groups",
+        # round-4 continuation: Mapbox Vector Tile pyramid sink
+        "mvt_tiles",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

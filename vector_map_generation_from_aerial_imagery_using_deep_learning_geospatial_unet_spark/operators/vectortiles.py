@@ -1,0 +1,232 @@
+"""Vector-tile sink: polygon layers -> Mapbox Vector Tiles (MVT 2.1).
+
+The reference's end product is a vector map written as one monolithic
+shapefile/GeoJSON (/root/reference/src/postprocess.py:147-155,333-342).
+At web scale that product is served as a z/x/y pyramid of Mapbox Vector
+Tiles; this operator closes the gap Spark-first:
+
+1. tile assignment is pure JVM expression work — per-polygon envelope
+   (``transform``/``array_min`` over the ring, whole-stage codegen), the
+   covered tile-index range by floor division, ``sequence`` x ``sequence``
+   explode for the (polygon, tile) candidate pairs — no Python, no join;
+2. per-tile assembly is ONE Arrow-batched ``applyInPandas`` over the
+   natural ``(tx, ty)`` grouping key: Sutherland–Hodgman clip to the tile
+   (+ optional buffer), floor quantization to tile-local integer coords,
+   MVT 2.1 winding enforcement, and protobuf encoding (functions/mvt.py)
+   — each tile's features meet exactly once, in one task, already
+   co-located by the shuffle that the groupBy needs anyway.
+
+Scale: the shuffle is O(sum of polygon-tile overlaps) rows of ring
+coordinates — the minimum any tiler must move — partitioned by tile key,
+so 10^8 polygons over a z15 pyramid fan out across executors with no
+driver involvement and no skew beyond real spatial skew (AQE splits hot
+tiles).  Feature order inside a tile is sorted by id for deterministic
+bytes.
+
+``mvt_tile_stats`` decodes blobs back (the same from-scratch parser) into
+exact integer per-tile aggregates — the driver gate proves the full
+encode -> shuffle -> decode loop against a pure-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import mvt as M
+
+__all__ = ["polygons_to_mvt", "mvt_tile_stats"]
+
+
+def polygons_to_mvt(
+    polygons: DataFrame,
+    bounds: tuple[float, float, float, float],
+    zoom: int,
+    extent: int = 4096,
+    buffer_px: int = 0,
+    layer_name: str = "polygons",
+    id_col: str = "polygon_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Encode polygon rows into one MVT blob per covered z/x/y tile.
+
+    ``polygons``: rows with ``id_col``, ``ring`` (array<array<double>>
+    world [x, y], open or closed), optional ``holes`` (array of rings)
+    and ``value_col`` (integer attribute, written as a layer tag).
+    ``bounds`` = (minx, miny, maxx, maxy) of the tiling scheme at zoom 0;
+    zoom ``z`` splits it into 2^z x 2^z tiles, rows counted from the TOP
+    (y-down, slippy-map convention).  Returns
+    (z, tx, ty, n_features, mvt binary).
+    """
+    bx0, by0, bx1, by1 = (float(v) for v in bounds)
+    n = 1 << zoom
+    tile_w = (bx1 - bx0) / n
+    tile_h = (by1 - by0) / n
+    scale = extent / tile_w
+    scale_y = extent / tile_h
+    buf_wx = buffer_px * tile_w / extent
+    buf_wy = buffer_px * tile_h / extent
+    has_holes = "holes" in polygons.columns
+    has_value = value_col is not None and value_col in polygons.columns
+
+    ring = F.col("ring")
+    xs = F.transform(ring, lambda p: p[0])
+    ys = F.transform(ring, lambda p: p[1])
+    cols = [
+        F.col(id_col).alias("_pid"),
+        ring.alias("_ring"),
+        F.array_min(xs).alias("_minx"),
+        F.array_max(xs).alias("_maxx"),
+        F.array_min(ys).alias("_miny"),
+        F.array_max(ys).alias("_maxy"),
+    ]
+    if has_holes:
+        cols.append(F.col("holes").alias("_holes"))
+    if has_value:
+        cols.append(F.col(value_col).cast("long").alias("_value"))
+    env = polygons.select(*cols)
+
+    # Covered tile range by envelope (buffer-padded), clamped to the grid.
+    # y rows count from the top: row(ty) covers world
+    # [by1 - (ty+1)*tile_h, by1 - ty*tile_h].
+    def _clamp(c):
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), c.cast("int")))
+
+    tx0 = _clamp(F.floor((F.col("_minx") - buf_wx - F.lit(bx0)) / tile_w))
+    tx1 = _clamp(F.floor((F.col("_maxx") + buf_wx - F.lit(bx0)) / tile_w))
+    ty0 = _clamp(F.floor((F.lit(by1) - F.col("_maxy") - buf_wy) / tile_h))
+    ty1 = _clamp(F.floor((F.lit(by1) - F.col("_miny") + buf_wy) / tile_h))
+    cand = (
+        env.withColumn("tx", F.explode(F.sequence(tx0, tx1)))
+        .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
+    )
+
+    out_schema = "z int, tx int, ty int, n_features long, mvt binary"
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        # Tile world window (+ buffer); y-down local coords from the top.
+        wx0 = bx0 + tx * tile_w
+        wy_top = by1 - ty * tile_h
+        wy1 = wy_top - tile_h
+        cx0, cx1 = wx0 - buf_wx, wx0 + tile_w + buf_wx
+        cy0, cy1 = wy1 - buf_wy, wy_top + buf_wy
+        pdf = pdf.sort_values("_pid", kind="mergesort")
+        pids = pdf["_pid"].values
+        rings = pdf["_ring"].values
+        holes_col = pdf["_holes"].values if has_holes else None
+        vals_col = pdf["_value"].values if has_value else None
+        features, values, vidx = [], [], {}
+        for i in range(len(pdf)):
+            rings_q: list[np.ndarray] = []
+            ext = M.clip_ring_box(np.array(list(rings[i]), np.float64),
+                                  cx0, cy0, cx1, cy1)
+            if ext is None:
+                continue
+            q = M.quantize_ring(ext, wx0, wy_top, scale)
+            if q is None:
+                continue
+            rings_q.append(M.ensure_winding(q, exterior=True))
+            if holes_col is not None and holes_col[i] is not None:
+                for h in holes_col[i]:
+                    hc = M.clip_ring_box(np.array(list(h), np.float64),
+                                         cx0, cy0, cx1, cy1)
+                    if hc is None:
+                        continue
+                    hq = M.quantize_ring(hc, wx0, wy_top, scale)
+                    if hq is not None:
+                        rings_q.append(M.ensure_winding(hq, exterior=False))
+            feat = {"id": None, "type": M.GEOM_POLYGON, "rings": rings_q}
+            pid = pids[i]
+            if isinstance(pid, (int, np.integer)) and pid >= 0:
+                feat["id"] = int(pid)
+            if has_value:
+                v = int(vals_col[i])
+                if v not in vidx:
+                    vidx[v] = len(values)
+                    values.append(v)
+                feat["tags"] = [0, vidx[v]]
+            features.append(feat)
+        if not features:
+            return pd.DataFrame(
+                columns=["z", "tx", "ty", "n_features", "mvt"]
+            ).astype({"z": "int32", "tx": "int32", "ty": "int32",
+                      "n_features": "int64"})
+        keys = ["value"] if has_value else []
+        blob = M.encode_tile(
+            [M.encode_layer(layer_name, features, keys, values, extent)]
+        )
+        return pd.DataFrame({
+            "z": pd.array([zoom], "int32"),
+            "tx": pd.array([tx], "int32"),
+            "ty": pd.array([ty], "int32"),
+            "n_features": pd.array([len(features)], "int64"),
+            "mvt": [blob],
+        })
+
+    # NB: scale_y == scale whenever the scheme is square (the slippy-map
+    # case); quantize_ring assumes it — assert rather than mis-tile.
+    if abs(scale_y - scale) > 1e-12 * abs(scale):
+        raise ValueError(
+            f"polygons_to_mvt: non-square tiles (scale x {scale} != y "
+            f"{scale_y}); use a square bounds/zoom scheme"
+        )
+    return cand.groupBy("tx", "ty").applyInPandas(assemble, out_schema)
+
+
+def mvt_tile_stats(tiles: DataFrame) -> DataFrame:
+    """Decode MVT blobs (functions/mvt.decode_tile — the same from-scratch
+    parser) into exact integer per-tile aggregates over the decoded
+    geometry: ring/vertex counts, coordinate sums, doubled signed area
+    (positive iff winding is spec-correct), and the summed ``value`` tag.
+    The driver gate's decode half: proves bytes on the wire reconstruct
+    the quantized geometry exactly."""
+    schema = (
+        "z int, tx int, ty int, n_features long, n_rings long, "
+        "n_vertices long, sum_id long, sum_qx long, sum_qy long, "
+        "sum_area2 long, sum_value long"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "z", "tx", "ty", "n_features", "n_rings", "n_vertices",
+                "sum_id", "sum_qx", "sum_qy", "sum_area2", "sum_value",
+            )}
+            for row in pdf.itertuples(index=False):
+                layers = M.decode_tile(bytes(row.mvt))
+                nf = nr = nv = si = sx = sy = sa = sv = 0
+                for layer in layers:
+                    vals = layer["values"]
+                    for f in layer["features"]:
+                        nf += 1
+                        if f["id"] is not None:
+                            si += int(f["id"])
+                        tags = f["tags"]
+                        for ki, vi in zip(tags[::2], tags[1::2]):
+                            if layer["keys"][ki] == "value":
+                                sv += int(vals[vi])
+                        for r in f["rings"]:
+                            nr += 1
+                            nv += len(r)
+                            sx += int(r[:, 0].sum())
+                            sy += int(r[:, 1].sum())
+                            sa += M.ring_area2(r)
+                out["z"].append(row.z)
+                out["tx"].append(row.tx)
+                out["ty"].append(row.ty)
+                out["n_features"].append(nf)
+                out["n_rings"].append(nr)
+                out["n_vertices"].append(nv)
+                out["sum_id"].append(si)
+                out["sum_qx"].append(sx)
+                out["sum_qy"].append(sy)
+                out["sum_area2"].append(sa)
+                out["sum_value"].append(sv)
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(run, schema=schema)
