@@ -1755,6 +1755,35 @@ def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VT.mvt_tile_stats(tiles)
 
 
+def q_mvt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vectortiles LINESTRING gate (the road-centerline half of the
+    vector map): 400 axis-aligned formula segments, alternating
+    horizontal/vertical, many spanning several tiles -> lines_to_mvt
+    (Liang-Barsky clip + floor quantization + MVT type-2 command
+    stream) -> decode back and aggregate.  Axis-aligned segments make
+    the clip a clamp on one axis and the fixed coordinate pins the
+    covered row/column, so the oracle closes in CASE-on-parity
+    clamp+floor SQL; a 2-vertex part has zero shoelace area, so
+    sum_area2 = 0 doubles as a degenerate-geometry check."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import vectortiles as VT
+
+    pk = F.col("id")
+    horiz = (pk % 2) == 0
+    c = (pk * 29 % 83) * 129.0 + 7.5
+    a0 = (pk * 31 % 71) * 95.0 + 11.0
+    a1 = F.least(a0 + 700.0 + (pk % 9) * 430.0, F.lit(10752.0))
+    path = F.when(
+        horiz, F.array(F.array(a0, c), F.array(a1, c))
+    ).otherwise(F.array(F.array(c, a0), F.array(c, a1)))
+    lines = spark.range(400).select(
+        pk.alias("line_id"),
+        path.alias("path"),
+        ((pk % 11) - 5).alias("value"),
+    )
+    tiles = VT.lines_to_mvt(lines, (0.0, 0.0, 10752.0, 10752.0), zoom=3)
+    return VT.mvt_tile_stats(tiles)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -1823,6 +1852,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_poly": q_zonal_stats_poly,
     "phash_dedup_groups": q_phash_dedup_groups,
     "mvt_tiles": q_mvt_tiles,
+    "mvt_lines": q_mvt_lines,
 }
 
 
@@ -1980,6 +2010,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "zonal_stats_poly": _zonal_stats_sql(),
         "phash_dedup_groups": _phash_dedup_groups_sql(),
         "mvt_tiles": _mvt_tiles_sql(),
+        "mvt_lines": _mvt_lines_sql(),
         # the streamed grid must equal the batch grid bit-for-bit, so the
         # streaming gate reuses gen_tiles' exact closed-form oracle
         "stream_tiles": derived.with_ctes(
@@ -2934,6 +2965,65 @@ SELECT CAST(3 AS INT) AS z, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
        SUM(2*(qxl + qxr)) AS sum_qx, SUM(2*(qyt + qyb)) AS sum_qy,
        SUM(2*(qxr - qxl)*(qyb - qyt)) AS sum_area2, SUM(value) AS sum_value
 FROM q WHERE qxr > qxl AND qyb > qyt
+GROUP BY tx, ty"""
+
+
+def _mvt_lines_sql() -> str:
+    """Twin of q_mvt_lines.  A horizontal segment lives in exactly the
+    row ``floor((10752 - y)/1344)`` and clips by clamping x; a vertical
+    one lives in column ``floor(x/1344)`` and clamps y.  A (segment,
+    tile) pair survives iff the quantized endpoints differ on the
+    varying axis (Liang-Barsky's empty-interval drop + quantize_line's
+    single-point drop, in one inequality)."""
+    return """
+WITH segs AS (
+  SELECT range AS pk,
+         range % 2 = 0 AS horiz,
+         ((range*29) % 83)*129.0 + 7.5 AS c,
+         ((range*31) % 71)*95.0 + 11.0 AS a0,
+         LEAST(((range*31) % 71)*95.0 + 11.0 + 700.0 + (range % 9)*430.0,
+               10752.0) AS a1,
+         (range % 11) - 5 AS value
+  FROM range(400)
+), pairs AS (
+  SELECT s.*, g1.range AS tx, g2.range AS ty,
+         0.0 + g1.range*1344.0 AS wx0,
+         10752.0 - g2.range*1344.0 AS wtop
+  FROM segs s, range(8) g1, range(8) g2
+  WHERE CASE WHEN horiz
+        THEN ty = CAST(FLOOR((10752.0 - c)/1344.0) AS BIGINT)
+        ELSE tx = CAST(FLOOR(c/1344.0) AS BIGINT) END
+), q AS (
+  SELECT pk, tx, ty, value, horiz,
+    CASE WHEN horiz
+      THEN CAST(FLOOR((GREATEST(a0, wx0) - wx0) * (4096.0/1344.0))
+           AS BIGINT)
+      ELSE CAST(FLOOR((c - wx0) * (4096.0/1344.0)) AS BIGINT)
+    END AS q1x,
+    CASE WHEN horiz
+      THEN CAST(FLOOR((LEAST(a1, wx0 + 1344.0) - wx0) * (4096.0/1344.0))
+           AS BIGINT)
+      ELSE CAST(FLOOR((c - wx0) * (4096.0/1344.0)) AS BIGINT)
+    END AS q2x,
+    CASE WHEN horiz
+      THEN CAST(FLOOR((wtop - c) * (4096.0/1344.0)) AS BIGINT)
+      ELSE CAST(FLOOR((wtop - LEAST(a1, wtop)) * (4096.0/1344.0))
+           AS BIGINT)
+    END AS q1y,
+    CASE WHEN horiz
+      THEN CAST(FLOOR((wtop - c) * (4096.0/1344.0)) AS BIGINT)
+      ELSE CAST(FLOOR((wtop - GREATEST(a0, wtop - 1344.0)) *
+                      (4096.0/1344.0)) AS BIGINT)
+    END AS q2y
+  FROM pairs
+)
+SELECT CAST(3 AS INT) AS z, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       COUNT(*) AS n_features, COUNT(*) AS n_rings,
+       2*COUNT(*) AS n_vertices, SUM(pk) AS sum_id,
+       SUM(q1x + q2x) AS sum_qx, SUM(q1y + q2y) AS sum_qy,
+       CAST(0 AS BIGINT) AS sum_area2, SUM(value) AS sum_value
+FROM q
+WHERE (horiz AND q2x > q1x) OR (NOT horiz AND q2y > q1y)
 GROUP BY tx, ty"""
 
 

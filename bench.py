@@ -200,6 +200,7 @@ def main() -> None:
         "phash_dedup_groups",
         # round-4 continuation: Mapbox Vector Tile pyramid sink
         "mvt_tiles",
+        "mvt_lines",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -132,6 +132,57 @@ def test_decode_geometry_malformed():
         M.decode_geometry([(5 & 7) | (1 << 3)])  # unknown command id
 
 
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(-10000, 10000), st.integers(-10000, 10000)
+            ),
+            min_size=2,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_linestring_geometry_roundtrip_property(parts):
+    parts = [np.array(p, dtype=np.int64) for p in parts]
+    cmds = M.encode_geometry(parts, M.GEOM_LINESTRING)
+    back = M.decode_geometry(cmds, M.GEOM_LINESTRING)
+    assert len(back) == len(parts)
+    for a, b in zip(parts, back):
+        assert (a == b).all()
+
+
+def test_clip_line_box_shapes():
+    # crosses the box twice -> two parts
+    path = np.array([[-5.0, 5.0], [15.0, 5.0], [15.0, 20.0], [-5.0, 20.0]])
+    parts = M.clip_line_box(path, 0, 0, 10, 30)
+    assert [p.tolist() for p in parts] == [
+        [[0.0, 5.0], [10.0, 5.0]],
+        [[10.0, 20.0], [0.0, 20.0]],
+    ]
+    # diagonal clipped to the box corner-to-corner
+    d = M.clip_line_box(np.array([[-10.0, -10.0], [20.0, 20.0]]), 0, 0, 10, 10)
+    assert [p.tolist() for p in d] == [[[0.0, 0.0], [10.0, 10.0]]]
+    # fully inside -> identity, one part
+    inside = np.array([[1.0, 1.0], [2.0, 3.0], [4.0, 1.0]])
+    got = M.clip_line_box(inside, 0, 0, 10, 10)
+    assert len(got) == 1 and (got[0] == inside).all()
+    # fully outside -> nothing
+    assert M.clip_line_box(np.array([[50.0, 50.0], [60.0, 60.0]]),
+                           0, 0, 10, 10) == []
+
+
+def test_quantize_line_degenerates():
+    seg = np.array([[0.0, 0.0], [0.4, 0.0]])
+    assert M.quantize_line(seg, 0.0, 1.0, 1.0) is None  # collapses
+    seg2 = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 0.0], [3.0, 2.0]])
+    q = M.quantize_line(seg2, 0.0, 2.0, 1.0)
+    assert q is not None and len(q) == 3  # consecutive dup dropped
+
+
 # ------------------------------------------------- clip + quantize kernels
 
 
@@ -300,6 +351,38 @@ def test_buffer_px_expands_tiles(spark):
     assert (0, 1) in got and (1, 1) in got
     stats = {(r.tx, r.ty): r for r in VT.mvt_tile_stats(buf).collect()}
     assert stats[(0, 1)].n_features == 1  # the buffered sliver
+
+
+def test_lines_to_mvt_multipart(spark):
+    """A path that leaves and re-enters one tile becomes ONE feature with
+    two parts there; a segment crossing the tile border appears (clipped)
+    in both tiles."""
+    zigzag_path = [[100.0, 100.0], [450.0, 100.0], [450.0, 800.0],
+                   [100.0, 800.0], [100.0, 300.0], [300.0, 300.0]]
+    lines = spark.createDataFrame(
+        [(1, zigzag_path, 7), (2, [[400.0, 250.0], [700.0, 250.0]], 2)],
+        "line_id long, path array<array<double>>, value long",
+    )
+    tiles = VT.lines_to_mvt(lines, (0.0, 0.0, 1000.0, 1000.0), zoom=1)
+    stats = {(r.tx, r.ty): r for r in VT.mvt_tile_stats(tiles).collect()}
+    # tile (0,1): world x,y in [0,500]: path 1 enters, exits to y>500,
+    # re-enters (two parts); segment 2's left half also lives here.
+    r01 = stats[(0, 1)]
+    assert r01.n_features == 2 and r01.sum_id == 3
+    assert r01.n_rings == 3  # two parts + one clipped segment
+    assert r01.sum_value == 7 + 2 and r01.sum_area2 == 0
+    # tile (1,1): only segment 2's right half
+    r11 = stats[(1, 1)]
+    assert r11.n_features == 1 and r11.sum_id == 2 and r11.n_rings == 1
+    # tile (0,0): the path's upper loop (y in [500,800]), one part
+    r00 = stats[(0, 0)]
+    assert r00.n_features == 1 and r00.sum_id == 1
+    # decoded blob parses as type-2 features with our own parser
+    blob = next(r.mvt for r in tiles.collect()
+                if (r.tx, r.ty) == (0, 1))
+    layer = M.decode_tile(bytes(blob))[0]
+    assert layer["name"] == "lines"
+    assert {f["type"] for f in layer["features"]} == {M.GEOM_LINESTRING}
 
 
 def test_non_square_scheme_rejected(spark):

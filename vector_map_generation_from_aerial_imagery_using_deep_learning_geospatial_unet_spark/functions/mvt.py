@@ -38,9 +38,11 @@ __all__ = [
     "encode_tile",
     "decode_tile",
     "quantize_ring",
+    "quantize_line",
     "ensure_winding",
     "ring_area2",
     "clip_ring_box",
+    "clip_line_box",
 ]
 
 GEOM_POINT, GEOM_LINESTRING, GEOM_POLYGON = 1, 2, 3
@@ -127,16 +129,23 @@ def _fields(data: bytes):
 
 # -------------------------------------------------------------- geometry
 
-def encode_geometry(rings: list[np.ndarray]) -> list[int]:
-    """Command-integer stream for a polygon's rings (each (n,2) int array,
-    NOT closed — the ClosePath command closes it).  Cursor persists across
-    rings within one feature, per spec."""
+def encode_geometry(
+    rings: list[np.ndarray], geom_type: int = GEOM_POLYGON
+) -> list[int]:
+    """Command-integer stream for a feature's parts.  POLYGON: each part
+    is an open ring (>= 3 vertices) terminated by ClosePath.  LINESTRING:
+    each part is a path (>= 2 vertices), no ClosePath.  Cursor persists
+    across parts within one feature, per spec."""
+    closed = geom_type == GEOM_POLYGON
+    min_n = 3 if closed else 2
     cmds: list[int] = []
     cx = cy = 0
     for ring in rings:
         r = np.asarray(ring, dtype=np.int64)
-        if len(r) < 3:
-            raise ValueError(f"mvt: ring with {len(r)} < 3 vertices")
+        if len(r) < min_n:
+            raise ValueError(
+                f"mvt: part with {len(r)} < {min_n} vertices"
+            )
         cmds.append((_MOVE_TO & 0x7) | (1 << 3))
         cmds.append(_zigzag(int(r[0, 0]) - cx))
         cmds.append(_zigzag(int(r[0, 1]) - cy))
@@ -146,7 +155,8 @@ def encode_geometry(rings: list[np.ndarray]) -> list[int]:
             cmds.append(_zigzag(int(x) - cx))
             cmds.append(_zigzag(int(y) - cy))
             cx, cy = int(x), int(y)
-        cmds.append((_CLOSE_PATH & 0x7) | (1 << 3))
+        if closed:
+            cmds.append((_CLOSE_PATH & 0x7) | (1 << 3))
     return cmds
 
 
@@ -165,7 +175,12 @@ def decode_geometry(cmds: list[int], geom_type: int = GEOM_POLYGON):
         op, count = cmd & 0x7, cmd >> 3
         if op == _MOVE_TO:
             if cur:
-                raise ValueError("mvt: MoveTo inside open ring")
+                if geom_type == GEOM_POLYGON:
+                    raise ValueError("mvt: MoveTo inside open ring")
+                if len(cur) < 2:
+                    raise ValueError("mvt: linestring part with 1 vertex")
+                rings.append(np.array(cur, dtype=np.int64))
+                cur = []
             if count != 1 and geom_type == GEOM_POLYGON:
                 raise ValueError(f"mvt: polygon MoveTo count {count} != 1")
             for _ in range(count):
@@ -199,6 +214,8 @@ def decode_geometry(cmds: list[int], geom_type: int = GEOM_POLYGON):
     if cur:
         if geom_type == GEOM_POLYGON:
             raise ValueError("mvt: unclosed polygon ring")
+        if len(cur) < 2:
+            raise ValueError("mvt: linestring part with 1 vertex")
         rings.append(np.array(cur, dtype=np.int64))
     return rings
 
@@ -277,9 +294,10 @@ def encode_layer(
         if tags:
             packed = b"".join(_uvarint(int(t)) for t in tags)
             msg += _ld(2, packed)
-        msg += _vint(3, int(f.get("type", GEOM_POLYGON)))
+        ftype = int(f.get("type", GEOM_POLYGON))
+        msg += _vint(3, ftype)
         geom = b"".join(
-            _uvarint(c) for c in encode_geometry(f["rings"])
+            _uvarint(c) for c in encode_geometry(f["rings"], ftype)
         )
         msg += _ld(4, geom)
         out += _ld(2, bytes(msg))
@@ -411,6 +429,77 @@ def quantize_ring(
     if len(q) < 3 or ring_area2(q) == 0:
         return None
     return q
+
+
+def quantize_line(
+    path_world: np.ndarray,
+    tile_x0: float,
+    tile_y_top: float,
+    scale: float,
+) -> np.ndarray | None:
+    """World polyline -> tile-local integer coords (same floor/flip as
+    :func:`quantize_ring`, but open: no closing-vertex collapse, minimum
+    2 distinct vertices).  Returns None when the part degenerates to a
+    point at this zoom."""
+    p = np.asarray(path_world, dtype=np.float64)
+    qx = np.floor((p[:, 0] - tile_x0) * scale).astype(np.int64)
+    qy = np.floor((tile_y_top - p[:, 1]) * scale).astype(np.int64)
+    q = np.stack([qx, qy], axis=1)
+    if len(q) > 1:
+        keep = np.ones(len(q), dtype=bool)
+        keep[1:] = (q[1:] != q[:-1]).any(axis=1)
+        q = q[keep]
+    return q if len(q) >= 2 else None
+
+
+def clip_line_box(
+    path: np.ndarray, x0: float, y0: float, x1: float, y1: float
+) -> list[np.ndarray]:
+    """Clip an open polyline to the axis-aligned box: Liang-Barsky per
+    segment, with consecutive in-box segments stitched into maximal
+    parts.  Returns a list of (n,2) float parts (possibly empty)."""
+    p = np.asarray(path, dtype=np.float64)
+    parts: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for i in range(len(p) - 1):
+        a, b = p[i], p[i + 1]
+        d = b - a
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for axis, lo, hi in ((0, x0, x1), (1, y0, y1)):
+            if d[axis] == 0.0:
+                if a[axis] < lo or a[axis] > hi:
+                    ok = False
+                    break
+            else:
+                ta = (lo - a[axis]) / d[axis]
+                tb = (hi - a[axis]) / d[axis]
+                if ta > tb:
+                    ta, tb = tb, ta
+                t0, t1 = max(t0, ta), min(t1, tb)
+                if t0 > t1:
+                    ok = False
+                    break
+        if not ok:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = []
+            continue
+        ca = a if t0 == 0.0 else np.clip(a + t0 * d, [x0, y0], [x1, y1])
+        cb = b if t1 == 1.0 else np.clip(a + t1 * d, [x0, y0], [x1, y1])
+        if cur and np.array_equal(cur[-1], ca):
+            cur.append(cb)
+        else:
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = [ca, cb]
+        if t1 < 1.0:  # exits the box: close this part
+            if len(cur) >= 2:
+                parts.append(cur)
+            cur = []
+    if len(cur) >= 2:
+        parts.append(cur)
+    return [np.array(part) for part in parts]
 
 
 def clip_ring_box(

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from ..functions import mvt as M
 
-__all__ = ["polygons_to_mvt", "mvt_tile_stats"]
+__all__ = ["polygons_to_mvt", "lines_to_mvt", "mvt_tile_stats"]
 
 
 def polygons_to_mvt(
@@ -178,6 +178,122 @@ def polygons_to_mvt(
     return cand.groupBy("tx", "ty").applyInPandas(assemble, out_schema)
 
 
+def lines_to_mvt(
+    lines: DataFrame,
+    bounds: tuple[float, float, float, float],
+    zoom: int,
+    extent: int = 4096,
+    buffer_px: int = 0,
+    layer_name: str = "lines",
+    id_col: str = "line_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """LINESTRING twin of :func:`polygons_to_mvt` — the road-centerline
+    half of the vector map (skeletonize -> paths -> tiles).  ``lines``:
+    rows with ``id_col``, ``path`` (array<array<double>> world [x, y])
+    and optional ``value_col``.  Clipping is Liang-Barsky per segment
+    with in-tile stitching (functions/mvt.clip_line_box), so one path
+    crossing a tile repeatedly becomes one multi-part MVT feature.  Same
+    JVM envelope/explode tile assignment, same one-applyInPandas-per-
+    tile shape, same (z, tx, ty, n_features, mvt) output."""
+    bx0, by0, bx1, by1 = (float(v) for v in bounds)
+    n = 1 << zoom
+    tile_w = (bx1 - bx0) / n
+    tile_h = (by1 - by0) / n
+    scale = extent / tile_w
+    if abs(extent / tile_h - scale) > 1e-12 * abs(scale):
+        raise ValueError(
+            "lines_to_mvt: non-square tiles; use a square bounds/zoom "
+            "scheme"
+        )
+    buf_wx = buffer_px * tile_w / extent
+    buf_wy = buffer_px * tile_h / extent
+    has_value = value_col is not None and value_col in lines.columns
+
+    path = F.col("path")
+    xs = F.transform(path, lambda p: p[0])
+    ys = F.transform(path, lambda p: p[1])
+    cols = [
+        F.col(id_col).alias("_pid"),
+        path.alias("_path"),
+        F.array_min(xs).alias("_minx"),
+        F.array_max(xs).alias("_maxx"),
+        F.array_min(ys).alias("_miny"),
+        F.array_max(ys).alias("_maxy"),
+    ]
+    if has_value:
+        cols.append(F.col(value_col).cast("long").alias("_value"))
+    env = lines.select(*cols)
+
+    def _clamp(c):
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), c.cast("int")))
+
+    tx0 = _clamp(F.floor((F.col("_minx") - buf_wx - F.lit(bx0)) / tile_w))
+    tx1 = _clamp(F.floor((F.col("_maxx") + buf_wx - F.lit(bx0)) / tile_w))
+    ty0 = _clamp(F.floor((F.lit(by1) - F.col("_maxy") - buf_wy) / tile_h))
+    ty1 = _clamp(F.floor((F.lit(by1) - F.col("_miny") + buf_wy) / tile_h))
+    cand = (
+        env.withColumn("tx", F.explode(F.sequence(tx0, tx1)))
+        .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
+    )
+
+    out_schema = "z int, tx int, ty int, n_features long, mvt binary"
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        wx0 = bx0 + tx * tile_w
+        wy_top = by1 - ty * tile_h
+        wy1 = wy_top - tile_h
+        cx0, cx1 = wx0 - buf_wx, wx0 + tile_w + buf_wx
+        cy0, cy1 = wy1 - buf_wy, wy_top + buf_wy
+        pdf = pdf.sort_values("_pid", kind="mergesort")
+        pids = pdf["_pid"].values
+        paths = pdf["_path"].values
+        vals_col = pdf["_value"].values if has_value else None
+        features, values, vidx = [], [], {}
+        for i in range(len(pdf)):
+            parts_q: list[np.ndarray] = []
+            for part in M.clip_line_box(
+                np.array(list(paths[i]), np.float64), cx0, cy0, cx1, cy1
+            ):
+                q = M.quantize_line(part, wx0, wy_top, scale)
+                if q is not None:
+                    parts_q.append(q)
+            if not parts_q:
+                continue
+            feat = {
+                "id": None, "type": M.GEOM_LINESTRING, "rings": parts_q,
+            }
+            pid = pids[i]
+            if isinstance(pid, (int, np.integer)) and pid >= 0:
+                feat["id"] = int(pid)
+            if has_value:
+                v = int(vals_col[i])
+                if v not in vidx:
+                    vidx[v] = len(values)
+                    values.append(v)
+                feat["tags"] = [0, vidx[v]]
+            features.append(feat)
+        if not features:
+            return pd.DataFrame(
+                columns=["z", "tx", "ty", "n_features", "mvt"]
+            ).astype({"z": "int32", "tx": "int32", "ty": "int32",
+                      "n_features": "int64"})
+        keys = ["value"] if has_value else []
+        blob = M.encode_tile(
+            [M.encode_layer(layer_name, features, keys, values, extent)]
+        )
+        return pd.DataFrame({
+            "z": pd.array([zoom], "int32"),
+            "tx": pd.array([tx], "int32"),
+            "ty": pd.array([ty], "int32"),
+            "n_features": pd.array([len(features)], "int64"),
+            "mvt": [blob],
+        })
+
+    return cand.groupBy("tx", "ty").applyInPandas(assemble, out_schema)
+
+
 def mvt_tile_stats(tiles: DataFrame) -> DataFrame:
     """Decode MVT blobs (functions/mvt.decode_tile — the same from-scratch
     parser) into exact integer per-tile aggregates over the decoded
@@ -210,12 +326,15 @@ def mvt_tile_stats(tiles: DataFrame) -> DataFrame:
                         for ki, vi in zip(tags[::2], tags[1::2]):
                             if layer["keys"][ki] == "value":
                                 sv += int(vals[vi])
+                        is_poly = f["type"] == M.GEOM_POLYGON
                         for r in f["rings"]:
                             nr += 1
                             nv += len(r)
                             sx += int(r[:, 0].sum())
                             sy += int(r[:, 1].sum())
-                            sa += M.ring_area2(r)
+                            if is_poly:  # shoelace of an open path is
+                                sa += M.ring_area2(r)  # meaningless
+
                 out["z"].append(row.z)
                 out["tx"].append(row.tx)
                 out["ty"].append(row.ty)
