@@ -1755,6 +1755,28 @@ def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VT.mvt_tile_stats(tiles)
 
 
+def q_skeleton_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster.skeleton_paths gate: P2 skeleton planes -> vector
+    centerline polylines (8-connected chain tracing + exact collinear
+    merge).  On the bar fixtures each dilated bar thins to one straight
+    horizontal run, so per image: n_paths = bar count, per-path pixel
+    count = bw - bh (diff >= 4 by construction), and the collinear
+    merge leaves exactly the 2 endpoints per path — all closed-form in
+    SQL over the same bar formulas."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="bars", limit=60)
+    paths = raster.skeleton_paths(raster.skeletonize_stage(imgs, CFG), CFG)
+    return paths.groupBy("image_id").agg(
+        F.count("*").alias("n_paths"),
+        F.sum("n_px").alias("sum_px"),
+        F.max("n_px").alias("max_px"),
+        F.min("n_px").alias("min_px"),
+        F.sum("n_vertices").alias("sum_vertices"),
+    )
+
+
 def q_mvt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vectortiles LINESTRING gate (the road-centerline half of the
     vector map): 400 axis-aligned formula segments, alternating
@@ -1853,6 +1875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_dedup_groups": q_phash_dedup_groups,
     "mvt_tiles": q_mvt_tiles,
     "mvt_lines": q_mvt_lines,
+    "skeleton_paths": q_skeleton_paths,
 }
 
 
@@ -2011,6 +2034,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "phash_dedup_groups": _phash_dedup_groups_sql(),
         "mvt_tiles": _mvt_tiles_sql(),
         "mvt_lines": _mvt_lines_sql(),
+        "skeleton_paths": _skeleton_paths_sql(),
         # the streamed grid must equal the batch grid bit-for-bit, so the
         # streaming gate reuses gen_tiles' exact closed-form oracle
         "stream_tiles": derived.with_ctes(
@@ -3227,6 +3251,32 @@ def _skeletonize_bars_sql() -> str:
         + """
 SELECT image_id,
   CAST(sum(greatest(abs(bw - bh), 1)) AS BIGINT) AS skeleton_px
+FROM bars WHERE pk <= 60
+GROUP BY image_id"""
+    )
+
+
+def _skeleton_paths_sql() -> str:
+    """Closed-form twin of q_skeleton_paths: each bar contributes one
+    straight run of bw - bh pixels whose collinear merge keeps exactly
+    its two endpoints."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import (
+        IMAGES_META_PK_SQL,
+        bars_sql,
+    )
+
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + ","
+        + bars_sql()
+        + """
+SELECT image_id,
+  COUNT(*) AS n_paths,
+  CAST(SUM(bw - bh) AS BIGINT) AS sum_px,
+  CAST(MAX(bw - bh) AS BIGINT) AS max_px,
+  CAST(MIN(bw - bh) AS BIGINT) AS min_px,
+  CAST(2*COUNT(*) AS BIGINT) AS sum_vertices
 FROM bars WHERE pk <= 60
 GROUP BY image_id"""
     )

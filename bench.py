@@ -201,6 +201,7 @@ def main() -> None:
         # round-4 continuation: Mapbox Vector Tile pyramid sink
         "mvt_tiles",
         "mvt_lines",
+        "skeleton_paths",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -33,6 +33,7 @@ __all__ = [
     "minimum_bounding_rectangle",
     "polygon_area",
     "pip_grid",
+    "trace_skeleton_paths",
 ]
 
 
@@ -323,3 +324,85 @@ def pip_grid(xs, ys, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         xi = (x2 - x1) * (py - y1) / (y2 - y1) + x1
         inside ^= crosses & (px < xi)
     return inside
+
+
+_N8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _collinear_merge(path: np.ndarray) -> np.ndarray:
+    """Drop interior vertices whose incoming and outgoing integer
+    directions match — a straight pixel run becomes its two endpoints.
+    Exact (integer direction compare), orientation-stable."""
+    if len(path) <= 2:
+        return path
+    d = np.diff(path, axis=0)
+    keep = np.ones(len(path), dtype=bool)
+    keep[1:-1] = (d[1:] != d[:-1]).any(axis=1)
+    return path[keep]
+
+
+def trace_skeleton_paths(
+    skel: np.ndarray, simplify: bool = True
+) -> list[np.ndarray]:
+    """Vectorize a 1-px skeleton mask (P2 output) into centerline
+    polylines: 8-connected pixels form a graph; endpoints and junctions
+    (degree != 2) are nodes, and each maximal degree-2 chain between
+    nodes becomes one path.  Pure cycles (no node) close on their lowest
+    pixel; isolated pixels become 1-point paths.  Every skeleton edge is
+    emitted exactly once.  Returns (n, 2) int arrays of (col, row) pixel
+    coordinates; with ``simplify`` straight runs collapse to their
+    endpoints (exact integer collinear merge, no tolerance).
+
+    The reference stops at the skeleton raster
+    (/root/reference/src/postprocess.py:193-217) and writes it out as
+    pixels; tracing it into vector centerlines is what a road layer
+    needs before simplify/export (S8/MVT LINESTRING)."""
+    rr, cc = np.nonzero(skel)
+    pts = set(zip(rr.tolist(), cc.tolist()))
+    if not pts:
+        return []
+    nbrs: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for p in pts:
+        r, c = p
+        nbrs[p] = [
+            (r + dr, c + dc) for dr, dc in _N8 if (r + dr, c + dc) in pts
+        ]
+    used: set[tuple[tuple[int, int], tuple[int, int]]] = set()
+    paths: list[np.ndarray] = []
+
+    def walk(a, b):
+        """Follow the chain starting with edge a->b until a node or a
+        revisited edge; marks edges used in both directions."""
+        chain = [a, b]
+        used.add((a, b))
+        used.add((b, a))
+        prev, cur = a, b
+        while len(nbrs[cur]) == 2:
+            nxt = nbrs[cur][0] if nbrs[cur][0] != prev else nbrs[cur][1]
+            if (cur, nxt) in used:
+                break  # closed a cycle
+            used.add((cur, nxt))
+            used.add((nxt, cur))
+            chain.append(nxt)
+            prev, cur = cur, nxt
+        return np.array(chain, dtype=np.int64)
+
+    nodes = sorted(p for p in pts if len(nbrs[p]) != 2)
+    for p in nodes:
+        if not nbrs[p]:
+            paths.append(np.array([p], dtype=np.int64))
+            continue
+        for q in sorted(nbrs[p]):
+            if (p, q) not in used:
+                paths.append(walk(p, q))
+    # leftover pure cycles: every pixel degree 2, no node touched them
+    for p in sorted(pts):
+        if len(nbrs[p]) == 2:
+            for q in sorted(nbrs[p]):
+                if (p, q) not in used:
+                    paths.append(walk(p, q))
+    out = []
+    for path in paths:
+        xy = path[:, ::-1].copy()  # (row, col) -> (col, row)
+        out.append(_collinear_merge(xy) if simplify else xy)
+    return out

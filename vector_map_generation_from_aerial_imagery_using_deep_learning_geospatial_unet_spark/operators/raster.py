@@ -638,6 +638,50 @@ def skeletonize_stage(
     return _map_pixels(images, kern)
 
 
+def skeleton_paths(
+    skel_images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Vectorize skeleton planes (P2 output) into world-coordinate
+    centerline polylines — the step the reference leaves as raster
+    (src/postprocess.py:193-217 writes the skeleton pixels back out):
+    8-connected chain tracing (kernels_vector.trace_skeleton_paths),
+    exact collinear merge, pixel centers -> geo via the per-image
+    origin.  One Arrow hop per image; output rows (image_id, path_id,
+    n_px, n_vertices, path) feed simplify (P5), vector sinks (S8), and
+    ``vectortiles.lines_to_mvt``.  Path enumeration is deterministic
+    (nodes visited in sorted pixel order)."""
+    cell = cfg.cell_size_m
+    schema = (
+        "image_id string, path_id int, n_px long, n_vertices int, "
+        "path array<array<double>>"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                skel = _decode_any(r.bytes, r.fmt, r.w, r.h)
+                ulx, uly = float(r.ulx), float(r.uly)
+                for pid, chain in enumerate(
+                    kv.trace_skeleton_paths(skel, simplify=False), start=1
+                ):
+                    geom = kv._collinear_merge(chain)
+                    world = [
+                        [ulx + (c + 0.5) * cell, uly - (rw + 0.5) * cell]
+                        for c, rw in geom.tolist()
+                    ]
+                    rows.append(
+                        (r.image_id, pid, len(chain), len(geom), world)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "path_id", "n_px", "n_vertices",
+                         "path"],
+            )
+
+    return skel_images.mapInPandas(run, schema=schema)
+
+
 def mask_clean_stage(
     images: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
