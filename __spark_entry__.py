@@ -1755,6 +1755,23 @@ def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VT.mvt_tile_stats(tiles)
 
 
+def q_mvt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vectortiles POINT gate (detection centroids / POI markers over
+    REAL derived data): the events-derived point table -> points_to_mvt
+    (single-MoveTo type-1 geometry, one tile per point at buffer 0) ->
+    decode back and aggregate.  Every point is strictly inside the z=3
+    scheme, so tile assignment and quantization are the same floor
+    expressions DuckDB evaluates over POINTS_META_SQL."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import vectortiles as VT
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import derived
+
+    pts = derived.points_meta(spark, sf_dir)
+    tiles = VT.points_to_mvt(
+        pts, (0.0, 0.0, 10752.0, 10752.0), zoom=3, id_col="pt_id"
+    )
+    return VT.mvt_tile_stats(tiles)
+
+
 def q_skeleton_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """raster.skeleton_paths gate: P2 skeleton planes -> vector
     centerline polylines (8-connected chain tracing + exact collinear
@@ -1875,6 +1892,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "phash_dedup_groups": q_phash_dedup_groups,
     "mvt_tiles": q_mvt_tiles,
     "mvt_lines": q_mvt_lines,
+    "mvt_points": q_mvt_points,
     "skeleton_paths": q_skeleton_paths,
 }
 
@@ -2034,6 +2052,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "phash_dedup_groups": _phash_dedup_groups_sql(),
         "mvt_tiles": _mvt_tiles_sql(),
         "mvt_lines": _mvt_lines_sql(),
+        "mvt_points": _mvt_points_sql(),
         "skeleton_paths": _skeleton_paths_sql(),
         # the streamed grid must equal the batch grid bit-for-bit, so the
         # streaming gate reuses gen_tiles' exact closed-form oracle
@@ -3253,6 +3272,37 @@ SELECT image_id,
   CAST(sum(greatest(abs(bw - bh), 1)) AS BIGINT) AS skeleton_px
 FROM bars WHERE pk <= 60
 GROUP BY image_id"""
+    )
+
+
+def _mvt_points_sql() -> str:
+    """Twin of q_mvt_points: tile index = clamped floor division,
+    quantized coords = floor of the identical IEEE product; a point is
+    a 1-vertex feature with zero area and no value tags."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import derived
+
+    return derived.with_ctes(
+        derived.POINTS_META_SQL,
+        body="""
+, q AS (
+  SELECT pt_id, px, py,
+    GREATEST(0, LEAST(7, CAST(FLOOR(px / 1344.0) AS INT))) AS tx,
+    GREATEST(0, LEAST(7, CAST(FLOOR((10752.0 - py) / 1344.0) AS INT)))
+      AS ty
+  FROM points_meta
+), qq AS (
+  SELECT pt_id, tx, ty,
+    CAST(FLOOR((px - tx*1344.0) * (4096.0/1344.0)) AS BIGINT) AS qx,
+    CAST(FLOOR(((10752.0 - ty*1344.0) - py) * (4096.0/1344.0)) AS BIGINT)
+      AS qy
+  FROM q
+)
+SELECT CAST(3 AS INT) AS z, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       COUNT(*) AS n_features, COUNT(*) AS n_rings,
+       COUNT(*) AS n_vertices, SUM(pt_id) AS sum_id,
+       SUM(qx) AS sum_qx, SUM(qy) AS sum_qy,
+       CAST(0 AS BIGINT) AS sum_area2, CAST(0 AS BIGINT) AS sum_value
+FROM qq GROUP BY tx, ty""",
     )
 
 

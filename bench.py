@@ -201,6 +201,7 @@ def main() -> None:
         # round-4 continuation: Mapbox Vector Tile pyramid sink
         "mvt_tiles",
         "mvt_lines",
+        "mvt_points",
         "skeleton_paths",
     ]
     qs = E.queries()

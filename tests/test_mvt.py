@@ -385,6 +385,63 @@ def test_lines_to_mvt_multipart(spark):
     assert {f["type"] for f in layer["features"]} == {M.GEOM_LINESTRING}
 
 
+def test_point_geometry_roundtrip_and_guards():
+    pts = np.array([[5, 7], [3, 2], [5, 7]])  # duplicates legal
+    cmds = M.encode_geometry([pts], M.GEOM_POINT)
+    assert cmds[0] == (1 & 0x7) | (3 << 3)  # one MoveTo, count 3
+    (back,) = M.decode_geometry(cmds, M.GEOM_POINT)
+    assert (back == pts).all()
+    import pytest as _pt
+    with _pt.raises(ValueError):  # LineTo illegal in point geometry
+        M.decode_geometry([9, 2, 2, (2 & 7) | (1 << 3), 2, 2],
+                          M.GEOM_POINT)
+    with _pt.raises(ValueError):  # second MoveTo illegal
+        M.decode_geometry([9, 2, 2, 9, 2, 2], M.GEOM_POINT)
+
+
+def test_points_to_mvt_end_to_end(spark):
+    pts = spark.createDataFrame(
+        [(1, 100.0, 100.0, 5), (2, 600.0, 100.0, 5), (3, 600.0, 900.0, 2),
+         (4, 100.1, 100.1, 7)],
+        "point_id long, px double, py double, value long",
+    )
+    tiles = VT.points_to_mvt(pts, (0.0, 0.0, 1000.0, 1000.0), zoom=1)
+    stats = {(r.tx, r.ty): r for r in VT.mvt_tile_stats(tiles).collect()}
+    assert set(stats) == {(0, 1), (1, 1), (1, 0)}
+    r01 = stats[(0, 1)]  # points 1 and 4, lower-left quadrant
+    assert r01.n_features == 2 and r01.sum_id == 5
+    assert r01.n_vertices == 2 and r01.sum_area2 == 0
+    assert r01.sum_value == 5 + 7
+    scale = 4096 / 500.0
+    assert r01.sum_qx == int(np.floor(100.0 * scale)) + int(
+        np.floor(100.1 * scale)
+    )
+    # decoded blob: type-1 features, ids intact
+    blob = next(r.mvt for r in tiles.collect() if (r.tx, r.ty) == (1, 0))
+    layer = M.decode_tile(bytes(blob))[0]
+    assert layer["name"] == "points"
+    (f,) = layer["features"]
+    assert f["type"] == M.GEOM_POINT and f["id"] == 3
+
+
+def test_points_buffer_duplicates_into_neighbour(spark):
+    pts = spark.createDataFrame(
+        [(1, 501.0, 250.0, 0)],
+        "point_id long, px double, py double, value long",
+    )
+    no_buf = VT.points_to_mvt(pts, (0.0, 0.0, 1000.0, 1000.0), zoom=1)
+    assert {(r.tx, r.ty) for r in no_buf.collect()} == {(1, 1)}
+    buf = VT.points_to_mvt(
+        pts, (0.0, 0.0, 1000.0, 1000.0), zoom=1, buffer_px=64
+    )
+    got = {(r.tx, r.ty) for r in buf.collect()}
+    assert got == {(0, 1), (1, 1)}
+    # the buffered copy sits just past the left tile's extent edge
+    blob = next(r.mvt for r in buf.collect() if (r.tx, r.ty) == (0, 1))
+    (f,) = M.decode_tile(bytes(blob))[0]["features"]
+    assert f["rings"][0][0, 0] > 4096  # legally outside [0, extent]
+
+
 def test_non_square_scheme_rejected(spark):
     polys = spark.createDataFrame(
         [(1, [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]], 0)],

@@ -136,6 +136,20 @@ def encode_geometry(
     is an open ring (>= 3 vertices) terminated by ClosePath.  LINESTRING:
     each part is a path (>= 2 vertices), no ClosePath.  Cursor persists
     across parts within one feature, per spec."""
+    if geom_type == GEOM_POINT:
+        # multipoint: ONE MoveTo command carrying every point, per spec
+        pts = np.asarray(
+            rings[0] if len(rings) == 1 else np.vstack(rings), np.int64
+        )
+        if len(pts) < 1:
+            raise ValueError("mvt: empty point geometry")
+        cmds = [(_MOVE_TO & 0x7) | (len(pts) << 3)]
+        cx = cy = 0
+        for x, y in pts:
+            cmds.append(_zigzag(int(x) - cx))
+            cmds.append(_zigzag(int(y) - cy))
+            cx, cy = int(x), int(y)
+        return cmds
     closed = geom_type == GEOM_POLYGON
     min_n = 3 if closed else 2
     cmds: list[int] = []
@@ -177,6 +191,8 @@ def decode_geometry(cmds: list[int], geom_type: int = GEOM_POLYGON):
             if cur:
                 if geom_type == GEOM_POLYGON:
                     raise ValueError("mvt: MoveTo inside open ring")
+                if geom_type == GEOM_POINT:
+                    raise ValueError("mvt: second MoveTo in point geometry")
                 if len(cur) < 2:
                     raise ValueError("mvt: linestring part with 1 vertex")
                 rings.append(np.array(cur, dtype=np.int64))
@@ -191,6 +207,8 @@ def decode_geometry(cmds: list[int], geom_type: int = GEOM_POLYGON):
                 i += 2
                 cur.append((cx, cy))
         elif op == _LINE_TO:
+            if geom_type == GEOM_POINT:
+                raise ValueError("mvt: LineTo in point geometry")
             if not cur:
                 raise ValueError("mvt: LineTo before MoveTo")
             if count < 1:
@@ -203,6 +221,8 @@ def decode_geometry(cmds: list[int], geom_type: int = GEOM_POLYGON):
                 i += 2
                 cur.append((cx, cy))
         elif op == _CLOSE_PATH:
+            if geom_type == GEOM_POINT:
+                raise ValueError("mvt: ClosePath in point geometry")
             if count != 1:
                 raise ValueError(f"mvt: ClosePath count {count} != 1")
             if len(cur) < 3:
@@ -214,7 +234,7 @@ def decode_geometry(cmds: list[int], geom_type: int = GEOM_POLYGON):
     if cur:
         if geom_type == GEOM_POLYGON:
             raise ValueError("mvt: unclosed polygon ring")
-        if len(cur) < 2:
+        if geom_type != GEOM_POINT and len(cur) < 2:
             raise ValueError("mvt: linestring part with 1 vertex")
         rings.append(np.array(cur, dtype=np.int64))
     return rings

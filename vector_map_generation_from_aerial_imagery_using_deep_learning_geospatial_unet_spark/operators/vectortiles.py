@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 
 from ..functions import mvt as M
 
-__all__ = ["polygons_to_mvt", "lines_to_mvt", "mvt_tile_stats"]
+__all__ = [
+    "polygons_to_mvt", "lines_to_mvt", "points_to_mvt", "mvt_tile_stats",
+]
 
 
 def polygons_to_mvt(
@@ -263,6 +265,113 @@ def lines_to_mvt(
                 continue
             feat = {
                 "id": None, "type": M.GEOM_LINESTRING, "rings": parts_q,
+            }
+            pid = pids[i]
+            if isinstance(pid, (int, np.integer)) and pid >= 0:
+                feat["id"] = int(pid)
+            if has_value:
+                v = int(vals_col[i])
+                if v not in vidx:
+                    vidx[v] = len(values)
+                    values.append(v)
+                feat["tags"] = [0, vidx[v]]
+            features.append(feat)
+        if not features:
+            return pd.DataFrame(
+                columns=["z", "tx", "ty", "n_features", "mvt"]
+            ).astype({"z": "int32", "tx": "int32", "ty": "int32",
+                      "n_features": "int64"})
+        keys = ["value"] if has_value else []
+        blob = M.encode_tile(
+            [M.encode_layer(layer_name, features, keys, values, extent)]
+        )
+        return pd.DataFrame({
+            "z": pd.array([zoom], "int32"),
+            "tx": pd.array([tx], "int32"),
+            "ty": pd.array([ty], "int32"),
+            "n_features": pd.array([len(features)], "int64"),
+            "mvt": [blob],
+        })
+
+    return cand.groupBy("tx", "ty").applyInPandas(assemble, out_schema)
+
+
+def points_to_mvt(
+    points: DataFrame,
+    bounds: tuple[float, float, float, float],
+    zoom: int,
+    extent: int = 4096,
+    buffer_px: int = 0,
+    layer_name: str = "points",
+    id_col: str = "point_id",
+    x_col: str = "px",
+    y_col: str = "py",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """POINT twin of :func:`polygons_to_mvt` (detection centroids, POI
+    markers).  Each row carries scalar ``x_col``/``y_col`` world
+    coordinates; a point lands in exactly one tile (plus neighbours
+    within ``buffer_px``), encoded per spec as a single-MoveTo type-1
+    geometry.  Tile assignment is a pure-JVM floor + sequence explode
+    over the buffered range — for buffer_px=0 the sequence is one tile
+    and the explode is a no-op column."""
+    bx0, by0, bx1, by1 = (float(v) for v in bounds)
+    n = 1 << zoom
+    tile_w = (bx1 - bx0) / n
+    tile_h = (by1 - by0) / n
+    scale = extent / tile_w
+    if abs(extent / tile_h - scale) > 1e-12 * abs(scale):
+        raise ValueError(
+            "points_to_mvt: non-square tiles; use a square bounds/zoom "
+            "scheme"
+        )
+    buf_wx = buffer_px * tile_w / extent
+    buf_wy = buffer_px * tile_h / extent
+    has_value = value_col is not None and value_col in points.columns
+
+    cols = [
+        F.col(id_col).alias("_pid"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ]
+    if has_value:
+        cols.append(F.col(value_col).cast("long").alias("_value"))
+    env = points.select(*cols)
+
+    def _clamp(c):
+        return F.greatest(F.lit(0), F.least(F.lit(n - 1), c.cast("int")))
+
+    tx0 = _clamp(F.floor((F.col("_x") - buf_wx - F.lit(bx0)) / tile_w))
+    tx1 = _clamp(F.floor((F.col("_x") + buf_wx - F.lit(bx0)) / tile_w))
+    ty0 = _clamp(F.floor((F.lit(by1) - F.col("_y") - buf_wy) / tile_h))
+    ty1 = _clamp(F.floor((F.lit(by1) - F.col("_y") + buf_wy) / tile_h))
+    cand = (
+        env.withColumn("tx", F.explode(F.sequence(tx0, tx1)))
+        .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
+    )
+
+    out_schema = "z int, tx int, ty int, n_features long, mvt binary"
+
+    def assemble(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        tx, ty = int(key[0]), int(key[1])
+        wx0 = bx0 + tx * tile_w
+        wy_top = by1 - ty * tile_h
+        lo = -float(buffer_px)
+        hi = float(extent + buffer_px)
+        pdf = pdf.sort_values("_pid", kind="mergesort")
+        pids = pdf["_pid"].values
+        xs = pdf["_x"].values
+        ys = pdf["_y"].values
+        vals_col = pdf["_value"].values if has_value else None
+        features, values, vidx = [], [], {}
+        for i in range(len(pdf)):
+            qx = float(np.floor((xs[i] - wx0) * scale))
+            qy = float(np.floor((wy_top - ys[i]) * scale))
+            if not (lo <= qx <= hi and lo <= qy <= hi):
+                continue  # outside tile + buffer (envelope over-approx)
+            feat = {
+                "id": None, "type": M.GEOM_POINT,
+                "rings": [np.array([[int(qx), int(qy)]], np.int64)],
             }
             pid = pids[i]
             if isinstance(pid, (int, np.integer)) and pid >= 0:
