@@ -195,6 +195,20 @@ def _tag1(tags: dict, tag: int, default=None):
     return v[0] if v else default
 
 
+def _tag_int(tags: dict, tag: int, default=None):
+    """``_tag1`` for numeric tags: a hostile byte flip can rewrite a
+    SHORT/LONG entry's type field to ASCII/RATIONAL, turning the value
+    into bytes or a tuple — arithmetic on it must fail as a clean
+    ValueError (the fuzz contract), not a TypeError."""
+    v = _tag1(tags, tag, default)
+    if v is not None and not isinstance(v, (int, np.integer)):
+        raise ValueError(
+            f"tiff: tag {tag} has non-integer value type "
+            f"{type(v).__name__}"
+        )
+    return v
+
+
 # --------------------------------------------------------------------- #
 # LZW (TIFF variant: MSB-first, early change) — compression 5
 # --------------------------------------------------------------------- #
@@ -472,18 +486,18 @@ def _decode_tiff_impl(
     data: bytes, ifd: int, window: tuple[int, int, int, int] | None
 ) -> np.ndarray:
     tags, bo = _read_ifd(data, index=ifd)
-    w = _tag1(tags, 256)
-    h = _tag1(tags, 257)
+    w = _tag_int(tags, 256)
+    h = _tag_int(tags, 257)
     if not w or not h or w < 0 or h < 0:
         raise ValueError("tiff: missing/zero dimensions")
-    spp = _tag1(tags, 277, 1)
+    spp = _tag_int(tags, 277, 1)
     bits = _tag(tags, 258, [8])
     if len(set(bits)) != 1:
         raise NotImplementedError("tiff: mixed per-channel bit depths")
     bps = bits[0]
     if spp not in (1, 3, 4):
         raise NotImplementedError(f"tiff: {spp} samples/px not supported")
-    sf = _tag1(tags, 339, 1)
+    sf = _tag_int(tags, 339, 1)
     if sf == 1:  # unsigned int
         if bps not in (8, 16):
             raise NotImplementedError(f"tiff: {bps}-bit uint samples not supported")
@@ -495,11 +509,11 @@ def _decode_tiff_impl(
         kind = "f"
     else:
         raise NotImplementedError(f"tiff: sample format {sf} not supported")
-    if _tag1(tags, 284, 1) != 1:
+    if _tag_int(tags, 284, 1) != 1:
         raise NotImplementedError("tiff: planar configuration 2 not supported")
-    photo = _tag1(tags, 262, 1)
-    comp = _tag1(tags, 259, 1)
-    pred = _tag1(tags, 317, 1)
+    photo = _tag_int(tags, 262, 1)
+    comp = _tag_int(tags, 259, 1)
+    pred = _tag_int(tags, 317, 1)
     if comp == _COMP_JPEG_OLD:
         raise NotImplementedError(
             "tiff: old-style JPEG (compression 6) not supported"
@@ -574,7 +588,7 @@ def _decode_tiff_impl(
 
     tiled = 322 in tags or 324 in tags
     if tiled:
-        tw, th = _tag1(tags, 322), _tag1(tags, 323)
+        tw, th = _tag_int(tags, 322), _tag_int(tags, 323)
         offs, cnts = _tag(tags, 324), _tag(tags, 325)
         if not tw or not th or tw % 16 or th % 16:
             raise ValueError("tiff: bad tile dimensions")
@@ -617,7 +631,7 @@ def _decode_tiff_impl(
                 )
     else:
         offs, cnts = _tag(tags, 273), _tag(tags, 279)
-        rps = _tag1(tags, 278, h)
+        rps = _tag_int(tags, 278, h)
         if rps <= 0:
             raise ValueError("tiff: non-positive rows-per-strip")
         nstrips = -(-h // rps)
@@ -702,8 +716,8 @@ def geotiff_geodata(data: bytes, ifd: int = 0) -> dict:
         "uly": uly,
         "sx": sx,
         "sy": -sy_abs,
-        "w": _tag1(tags, 256),
-        "h": _tag1(tags, 257),
+        "w": _tag_int(tags, 256),
+        "h": _tag_int(tags, 257),
         "crs": crs,
     }
 
