@@ -1823,22 +1823,42 @@ def q_mvt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return VT.mvt_tile_stats(tiles)
 
 
+# Ordered for the driver's budget-bound correctness sweep: gates that have
+# never appeared in a driver CORRECTNESS artifact run FIRST (the r1-r4 sweeps
+# truncated at ~50 queries, always dropping the tail), then the cheap
+# long-evidenced gates, with the most expensive already-evidenced pipelines
+# last so a truncated sweep loses only redundant evidence.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- never driver-sampled before round 5: run first ------------------- #
+    "phash_compute": q_phash_compute,
+    "phash_near_dup": q_phash_near_dup,
+    "phash_dedup_groups": q_phash_dedup_groups,
+    "zonal_stats": q_zonal_stats,
+    "zonal_stats_poly": q_zonal_stats_poly,
+    "mvt_tiles": q_mvt_tiles,
+    "mvt_lines": q_mvt_lines,
+    "mvt_points": q_mvt_points,
+    "skeleton_paths": q_skeleton_paths,
+    "stream_ingest_stats": q_stream_ingest_stats,
+    "stream_tiles": q_stream_tiles,
+    "stream_dedup": q_stream_dedup,
+    "stream_completion": q_stream_completion,
+    "video_frames": q_video_frames,
+    "video_pixels": q_video_pixels,
+    "video_audio": q_video_audio,
+    "mp3_meta": q_mp3_meta,
+    "mp3_audio": q_mp3_audio,
+    "mp3_audio_l2": q_mp3_audio_l2,
+    "flac_audio": q_flac_audio,
+    # --- previously driver-evidenced, cheap metadata/text gates ----------- #
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
     "gen_tiles_overlap20": q_gen_tiles_overlap20,
     "image_extents": q_image_extents,
     "mosaic_extent": q_mosaic_extent,
-    "pip_join": q_pip_join,
-    "pip_join_arrow": q_pip_join_arrow,
-    "knn_join": q_knn_join,
-    "bbox_join": q_bbox_join,
-    "point_tile_assign": q_point_tile_assign,
-    "pipeline_polygons": q_pipeline_polygons,
-    "pipeline_watershed": q_pipeline_watershed,
-    "skeletonize": q_skeletonize,
-    "skeletonize_bars": q_skeletonize_bars,
-    "dice_jaccard": q_dice_jaccard,
+    "pyramid_meta": q_pyramid_meta,
+    "pyramid_tiles": q_pyramid_tiles,
+    "multires_meta": q_multires_meta,
     "exact_dedup": q_exact_dedup,
     "minhash_signature": q_minhash_signature,
     "lsh_pairs": q_lsh_pairs,
@@ -1853,47 +1873,35 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "embedding_near_dup_lsh": q_embedding_near_dup_lsh,
-    "pyramid_meta": q_pyramid_meta,
-    "pyramid_tiles": q_pyramid_tiles,
-    "multires_meta": q_multires_meta,
+    "video_meta": q_video_meta,
+    "audio_features": q_audio_features,
+    "gif_frames": q_gif_frames,
     "multimodal_features": q_multimodal_features,
     "multimodal_jpeg": q_multimodal_jpeg,
     "multimodal_pixel_sums": q_multimodal_pixel_sums,
     "multimodal_webp": q_multimodal_webp,
     "multimodal_tiff": q_multimodal_tiff,
     "multimodal_tiff_jpeg": q_multimodal_tiff_jpeg,
+    "multimodal_quarantine": q_multimodal_quarantine,
     "geotiff_extents": q_geotiff_extents,
     "geotiff_window": q_geotiff_window,
     "window_chips": q_window_chips,
     "box_chips": q_box_chips,
-    "multimodal_quarantine": q_multimodal_quarantine,
-    "cc_distributed": q_cc_distributed,
-    "audio_features": q_audio_features,
-    "gif_frames": q_gif_frames,
+    # --- previously driver-evidenced, expensive raster/join pipelines ----- #
+    "bbox_join": q_bbox_join,
+    "point_tile_assign": q_point_tile_assign,
+    "pip_join": q_pip_join,
+    "pip_join_arrow": q_pip_join_arrow,
+    "knn_join": q_knn_join,
     "training_tensors": q_training_tensors,
     "edt_weight_hist": q_edt_weight_hist,
+    "skeletonize": q_skeletonize,
+    "skeletonize_bars": q_skeletonize_bars,
+    "dice_jaccard": q_dice_jaccard,
+    "cc_distributed": q_cc_distributed,
     "watershed_split": q_watershed_split,
-    "video_meta": q_video_meta,
-    "video_frames": q_video_frames,
-    "mp3_meta": q_mp3_meta,
-    "video_pixels": q_video_pixels,
-    "video_audio": q_video_audio,
-    "flac_audio": q_flac_audio,
-    "mp3_audio": q_mp3_audio,
-    "mp3_audio_l2": q_mp3_audio_l2,
-    "stream_ingest_stats": q_stream_ingest_stats,
-    "stream_tiles": q_stream_tiles,
-    "stream_dedup": q_stream_dedup,
-    "stream_completion": q_stream_completion,
-    "phash_compute": q_phash_compute,
-    "phash_near_dup": q_phash_near_dup,
-    "zonal_stats": q_zonal_stats,
-    "zonal_stats_poly": q_zonal_stats_poly,
-    "phash_dedup_groups": q_phash_dedup_groups,
-    "mvt_tiles": q_mvt_tiles,
-    "mvt_lines": q_mvt_lines,
-    "mvt_points": q_mvt_points,
-    "skeleton_paths": q_skeleton_paths,
+    "pipeline_polygons": q_pipeline_polygons,
+    "pipeline_watershed": q_pipeline_watershed,
 }
 
 
