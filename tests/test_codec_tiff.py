@@ -301,6 +301,46 @@ def test_truncated_and_flipped_raise_cleanly():
                 pass
 
 
+def _flip_tag_type(blob: bytes, tag: int, new_type: int) -> bytes:
+    """Rewrite one IFD entry's type field in a little-endian classic
+    TIFF produced by encode_tiff (header at 0, IFD offset at byte 4)."""
+    mut = bytearray(blob)
+    (ifd,) = struct.unpack("<I", mut[4:8])
+    (n,) = struct.unpack("<H", mut[ifd : ifd + 2])
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        (t,) = struct.unpack("<H", mut[e : e + 2])
+        if t == tag:
+            mut[e + 2 : e + 4] = struct.pack("<H", new_type)
+            return bytes(mut)
+    raise AssertionError(f"tag {tag} not in IFD")
+
+
+@pytest.mark.parametrize("tag", [258, 273, 279, 322, 323])
+def test_type_flipped_numeric_tags_raise_valueerror(tag):
+    """A hostile type flip on ARRAY-valued numeric tags (BitsPerSample,
+    strip offsets/counts) must fail as ValueError — float elements would
+    otherwise TypeError out of bytes slicing / np.dtype arithmetic,
+    escaping the ROW_ERRORS quarantine contract."""
+    arr = RNG.integers(0, 256, (40, 30, 3), dtype=np.uint8)
+    blob = T.encode_tiff(arr, compression="none")
+    try:
+        mut = _flip_tag_type(blob, tag, 5)  # RATIONAL -> float values
+    except AssertionError:
+        pytest.skip(f"encoder does not emit tag {tag} for strip layout")
+    with pytest.raises((ValueError, NotImplementedError)):
+        T.decode_tiff(mut)
+
+
+def test_type_flipped_tile_offsets_raise_valueerror():
+    arr = RNG.integers(0, 256, (48, 48), dtype=np.uint8)
+    blob = T.encode_tiff(arr, tiling=(16, 16))
+    for tag in (324, 325):
+        mut = _flip_tag_type(blob, tag, 5)
+        with pytest.raises((ValueError, NotImplementedError)):
+            T.decode_tiff(mut)
+
+
 # ------------------------------------------- raster-directory ingest
 def test_load_raster_dir(spark, tmp_path):
     """binaryFile ingest of a GeoTIFF folder -> images-shaped table:

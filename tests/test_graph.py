@@ -94,3 +94,18 @@ def test_dedup_keep_one(spark):
         for r in G.dedup_keep_one(df, pairs).collect()
     }
     assert got == {("id0", "payload-0"), ("id3", "payload-3"), ("id4", "payload-4")}
+
+
+def test_cc_releases_superseded_checkpoints(spark):
+    """Block-manager hygiene: a multi-round CC run must not leave one
+    persistent RDD per round behind — only the final state (the
+    result's backing checkpoint) may remain."""
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    # a 40-node chain needs several pointer-jump rounds
+    pairs = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(40)]
+    out = G.connected_components(_edges_df(spark, pairs))
+    assert out.count() == 41
+    after = jsc.getPersistentRDDs().size()
+    # tolerance 1: the final comp checkpoint backs the returned frame
+    assert after - before <= 1, f"leaked {after - before} persistent RDDs"

@@ -120,6 +120,30 @@ def test_phash64_quarantine(spark):
     assert out["bad"][0] is None and out["bad"][1]
 
 
+def test_phash64_quarantine_same_batch_keeps_exact_hashes(spark):
+    """A bad row in the SAME Arrow batch must not disturb good rows'
+    hashes: a mixed int/None pandas column silently coerces to float64,
+    which rounds away low bits of 64-bit hashes (|x| > 2**53)."""
+    arrs = {f"im{i}": render_rgb(i + 30, 200 + i, 150 + i) for i in range(6)}
+    rows = [
+        (k, codec.encode(a, "png"), a.shape[1], a.shape[0], "png")
+        for k, a in arrs.items()
+    ]
+    rows.append(("bad", b"\x00\x01garbage", 8, 8, "png"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    ).coalesce(1)  # force every row into one mapInPandas batch
+    out = {
+        r.image_id: r.phash
+        for r in IH.phash64(df, on_error="quarantine").collect()
+    }
+    want = {k: IH.phash_kernel(a) for k, a in arrs.items()}
+    # bit-exact, not approximately-equal: float64 coercion loses low bits
+    for k, h in want.items():
+        assert out[k] == h, f"{k}: {out[k]} != {h}"
+    assert out["bad"] is None
+
+
 def test_lossy_reencode_found_as_near_dup(spark):
     """End-to-end purpose of the pair: the SAME scene re-encoded lossily
     (JPEG q95) hashes within a few bits of its PNG original, and

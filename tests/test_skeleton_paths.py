@@ -122,3 +122,28 @@ def test_roads_story_end_to_end(spark):
         int(np.floor(p[0] * scale)) for p in (px0, px1)
     )
     assert xs == exp
+
+
+def test_skeleton_paths_cycle_counts_distinct_pixels(spark):
+    """Loop-shaped skeletons (ring roads) close their chain by repeating
+    the start pixel — n_px must count DISTINCT pixels (8 for a diamond
+    cycle), not the chain length including the closing vertex (9)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.config import DEFAULT_CONFIG as CFG
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import raster
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec
+
+    h = w = 8
+    m = np.zeros((h, w), np.uint8)
+    for x, y in [(3, 1), (4, 2), (5, 3), (4, 4), (3, 5), (2, 4), (1, 3),
+                 (2, 2)]:
+        m[y, x] = 255
+    png = codec.encode_png(m)
+    imgs = spark.createDataFrame(
+        [("ring", png, "png", w, h, 0.0, float(h) * CFG.cell_size_m)],
+        "image_id string, bytes binary, fmt string, w int, h int, "
+        "ulx double, uly double",
+    )
+    (row,) = raster.skeleton_paths(imgs, CFG).collect()
+    assert row.n_px == 8
+    # the world path still carries the closing vertex (first == last)
+    assert row.path[0] == row.path[-1] and len(row.path) >= 3

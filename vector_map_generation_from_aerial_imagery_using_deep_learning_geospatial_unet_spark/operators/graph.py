@@ -31,6 +31,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _unpersist_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint``'s block-manager storage.
+
+    ``DataFrame.unpersist()`` only uncaches CacheManager entries, not
+    the checkpointed RDD a LogicalRDD leaf holds — so a loop that
+    checkpoints per round would otherwise accumulate superseded blocks
+    for the life of the session.  Reaching the RDD through the analyzed
+    plan is internal API; failure is harmless (blocks are reclaimed by
+    the ContextCleaner on GC eventually), so this is best-effort."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        plan.rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -76,6 +92,9 @@ def connected_components(
     # truncates lineage so every round's plan is constant-size (the same
     # device GraphFrames uses for its CC loop); a production job with a
     # checkpoint dir configured can use reliable checkpoints instead.
+    # Superseded checkpoints are freed as soon as the next round's
+    # checkpoint materializes, so block-manager storage stays O(1) in
+    # rounds instead of accumulating for the life of the session.
     comp = verts.withColumn("_c", F.col("_id")).localCheckpoint()
     for _ in range(max_rounds):
         neigh = sym.join(
@@ -103,6 +122,10 @@ def connected_components(
         changed = (
             jumped.join(comp, ["_id", "_c"], "left_anti").limit(1).count()
         )
+        # jumped is materialized (eager checkpoint) and the convergence
+        # count above consumed comp — both inputs are now superseded
+        _unpersist_checkpoint(new)
+        _unpersist_checkpoint(comp)
         comp = jumped
         if changed == 0:
             break

@@ -40,7 +40,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ._policy import ROW_ERRORS, check_on_error, guarded_rows
+from ._policy import ROW_ERRORS, check_on_error, guarded_rows, rows_frame
 from ..sources import codec
 
 HASH_BITS = 64
@@ -113,10 +113,11 @@ def phash64(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = guarded_rows(pdf, one, "image_id", 1, on_error)
-            cols = ["image_id", hash_col] + (
-                ["error"] if on_error == "quarantine" else []
-            )
-            yield pd.DataFrame(rows, columns=cols)
+            # rows_frame keeps the hash column object-dtyped under
+            # quarantine: a single None row would otherwise coerce the
+            # whole batch to float64 and round away low bits of good
+            # rows' 64-bit hashes.
+            yield rows_frame(rows, ["image_id", hash_col], on_error)
 
     return images.mapInPandas(run, schema=schema)
 

@@ -670,8 +670,14 @@ def skeleton_paths(
                         [ulx + (c + 0.5) * cell, uly - (rw + 0.5) * cell]
                         for c, rw in geom.tolist()
                     ]
+                    # pure cycles (ring roads) repeat the start pixel as
+                    # a closing vertex — n_px counts DISTINCT pixels, so
+                    # subtract the duplicate
+                    n_px = len(chain)
+                    if n_px > 1 and (chain[0] == chain[-1]).all():
+                        n_px -= 1
                     rows.append(
-                        (r.image_id, pid, len(chain), len(geom), world)
+                        (r.image_id, pid, n_px, len(geom), world)
                     )
             yield pd.DataFrame(
                 rows,

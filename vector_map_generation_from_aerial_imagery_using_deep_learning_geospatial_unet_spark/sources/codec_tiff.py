@@ -209,6 +209,24 @@ def _tag_int(tags: dict, tag: int, default=None):
     return v
 
 
+def _tag_ints(tags: dict, tag: int, default=None):
+    """``_tag`` for ARRAY-valued numeric tags (BitsPerSample, strip/tile
+    offsets and byte counts): a type-flipped entry (e.g. RATIONAL 258)
+    parses to floats/tuples whose arithmetic or bytes-slicing raises
+    TypeError — outside the ROW_ERRORS contract.  Validate every element
+    so hostile inputs fail as a clean ValueError."""
+    v = _tag(tags, tag)
+    if v is None:
+        return default
+    for x in v:
+        if not isinstance(x, (int, np.integer)):
+            raise ValueError(
+                f"tiff: tag {tag} has non-integer element type "
+                f"{type(x).__name__}"
+            )
+    return v
+
+
 # --------------------------------------------------------------------- #
 # LZW (TIFF variant: MSB-first, early change) — compression 5
 # --------------------------------------------------------------------- #
@@ -491,7 +509,7 @@ def _decode_tiff_impl(
     if not w or not h or w < 0 or h < 0:
         raise ValueError("tiff: missing/zero dimensions")
     spp = _tag_int(tags, 277, 1)
-    bits = _tag(tags, 258, [8])
+    bits = _tag_ints(tags, 258, [8])
     if len(set(bits)) != 1:
         raise NotImplementedError("tiff: mixed per-channel bit depths")
     bps = bits[0]
@@ -589,7 +607,7 @@ def _decode_tiff_impl(
     tiled = 322 in tags or 324 in tags
     if tiled:
         tw, th = _tag_int(tags, 322), _tag_int(tags, 323)
-        offs, cnts = _tag(tags, 324), _tag(tags, 325)
+        offs, cnts = _tag_ints(tags, 324), _tag_ints(tags, 325)
         if not tw or not th or tw % 16 or th % 16:
             raise ValueError("tiff: bad tile dimensions")
         ntx, nty = -(-w // tw), -(-h // th)
@@ -630,7 +648,7 @@ def _decode_tiff_impl(
                     t.reshape(th, tw, spp)[:ch, :cw].reshape(ch, cw * spp)
                 )
     else:
-        offs, cnts = _tag(tags, 273), _tag(tags, 279)
+        offs, cnts = _tag_ints(tags, 273), _tag_ints(tags, 279)
         rps = _tag_int(tags, 278, h)
         if rps <= 0:
             raise ValueError("tiff: non-positive rows-per-strip")
