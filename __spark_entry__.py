@@ -1738,12 +1738,21 @@ def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic — for axis-aligned rects the clip IS the clamp."""
     from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import vectortiles as VT
 
+    tiles = VT.polygons_to_mvt(
+        _mvt_test_polys(spark), (0.0, 0.0, 10752.0, 10752.0), zoom=3
+    )
+    return VT.mvt_tile_stats(tiles)
+
+
+def _mvt_test_polys(spark: SparkSession) -> DataFrame:
+    """300 formula-derived axis-aligned rects over the 10752 m square
+    world — shared by the single-zoom and pyramid MVT gates."""
     pk = F.col("id")
     x0 = (pk * 37 % 97) * 110.0 + 17.0
     y0 = (pk * 53 % 89) * 115.0 + 23.0
     x1 = F.least(x0 + 420.0 + (pk % 7) * 310.0, F.lit(10752.0))
     y1 = F.least(y0 + 380.0 + (pk % 5) * 290.0, F.lit(10752.0))
-    polys = spark.range(300).select(
+    return spark.range(300).select(
         pk.alias("polygon_id"),
         F.array(
             F.array(x0, y0), F.array(x1, y0),
@@ -1751,8 +1760,25 @@ def q_mvt_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ring"),
         ((pk % 13) - 3).alias("value"),
     )
-    tiles = VT.polygons_to_mvt(polys, (0.0, 0.0, 10752.0, 10752.0), zoom=3)
-    return VT.mvt_tile_stats(tiles)
+
+
+def q_mvt_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom vector-tile pyramid gate (the reference's product is a
+    multi-level overview pyramid, /root/reference/src/io.py:188-192 +
+    O7): the SAME polygon layer tiled at zooms 0..3 in one output —
+    1 + 4 + 16 + 64 tile grid, every level encoded, shuffled, and
+    protobuf-decoded back.  Each zoom's tile width 10752/2^z is an exact
+    binary division, so the clamp+floor oracle of q_mvt_tiles holds at
+    every level with ts parameterized per zoom."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import vectortiles as VT
+
+    polys = _mvt_test_polys(spark)
+    bounds = (0.0, 0.0, 10752.0, 10752.0)
+    out = None
+    for z in range(4):
+        stats = VT.mvt_tile_stats(VT.polygons_to_mvt(polys, bounds, zoom=z))
+        out = stats if out is None else out.unionByName(stats)
+    return out
 
 
 def q_mvt_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1836,6 +1862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats": q_zonal_stats,
     "zonal_stats_poly": q_zonal_stats_poly,
     "mvt_tiles": q_mvt_tiles,
+    "mvt_pyramid": q_mvt_pyramid,
     "mvt_lines": q_mvt_lines,
     "mvt_points": q_mvt_points,
     "skeleton_paths": q_skeleton_paths,
@@ -2059,6 +2086,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "zonal_stats_poly": _zonal_stats_sql(),
         "phash_dedup_groups": _phash_dedup_groups_sql(),
         "mvt_tiles": _mvt_tiles_sql(),
+        "mvt_pyramid": _mvt_pyramid_sql(),
         "mvt_lines": _mvt_lines_sql(),
         "mvt_points": _mvt_points_sql(),
         "skeleton_paths": _skeleton_paths_sql(),
@@ -3017,6 +3045,48 @@ SELECT CAST(3 AS INT) AS z, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
        SUM(2*(qxr - qxl)*(qyb - qyt)) AS sum_area2, SUM(value) AS sum_value
 FROM q WHERE qxr > qxl AND qyb > qyt
 GROUP BY tx, ty"""
+
+
+def _mvt_pyramid_sql() -> str:
+    """Twin of q_mvt_pyramid: the q_mvt_tiles clamp+floor oracle with the
+    tile size parameterized per zoom.  The zoom table carries literal
+    tile widths (10752/2^z is exact in binary) so no POWER() rounding
+    can split the two engines' IEEE expression trees."""
+    return """
+WITH polys AS (
+  SELECT range AS pk,
+         ((range*37) % 97)*110.0 + 17.0 AS x0,
+         ((range*53) % 89)*115.0 + 23.0 AS y0,
+         LEAST(((range*37) % 97)*110.0 + 17.0 + 420.0 + (range % 7)*310.0,
+               10752.0) AS x1,
+         LEAST(((range*53) % 89)*115.0 + 23.0 + 380.0 + (range % 5)*290.0,
+               10752.0) AS y1,
+         (range % 13) - 3 AS value
+  FROM range(300)
+), zooms(z, ts, n) AS (
+  VALUES (0, 10752.0, 1), (1, 5376.0, 2), (2, 2688.0, 4), (3, 1344.0, 8)
+), pairs AS (
+  SELECT p.*, zz.z, zz.ts, g1.range AS tx, g2.range AS ty,
+         0.0 + g1.range*zz.ts AS wx0,
+         10752.0 - g2.range*zz.ts AS wtop
+  FROM polys p, zooms zz, range(8) g1, range(8) g2
+  WHERE g1.range < zz.n AND g2.range < zz.n
+), q AS (
+  SELECT pk, z, tx, ty, value,
+    CAST(FLOOR((GREATEST(x0, wx0) - wx0) * (4096.0/ts)) AS BIGINT) AS qxl,
+    CAST(FLOOR((LEAST(x1, wx0 + ts) - wx0) * (4096.0/ts)) AS BIGINT) AS qxr,
+    CAST(FLOOR((wtop - LEAST(y1, wtop)) * (4096.0/ts)) AS BIGINT) AS qyt,
+    CAST(FLOOR((wtop - GREATEST(y0, wtop - ts)) * (4096.0/ts)) AS BIGINT)
+      AS qyb
+  FROM pairs
+)
+SELECT CAST(z AS INT) AS z, CAST(tx AS INT) AS tx, CAST(ty AS INT) AS ty,
+       COUNT(*) AS n_features, COUNT(*) AS n_rings,
+       4*COUNT(*) AS n_vertices, SUM(pk) AS sum_id,
+       SUM(2*(qxl + qxr)) AS sum_qx, SUM(2*(qyt + qyb)) AS sum_qy,
+       SUM(2*(qxr - qxl)*(qyb - qyt)) AS sum_area2, SUM(value) AS sum_value
+FROM q WHERE qxr > qxl AND qyb > qyt
+GROUP BY z, tx, ty"""
 
 
 def _mvt_lines_sql() -> str:

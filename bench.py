@@ -180,6 +180,7 @@ def main() -> None:
         "mp3_audio",
         "mp3_audio_l2",
         "stream_ingest_stats",
+        "stream_tiles",
         "stream_dedup",
         "stream_completion",
         # round-4 continuation: decode with per-row quarantine policy
@@ -203,6 +204,8 @@ def main() -> None:
         "mvt_lines",
         "mvt_points",
         "skeleton_paths",
+        # round-5 additions
+        "mvt_pyramid",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}
