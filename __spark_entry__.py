@@ -726,6 +726,51 @@ def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.pixel_sums(imgs)
 
 
+def q_multimodal_tiff_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter gate for the NATIVE TIFF decode path: every 4th
+    image's payload becomes a forged TIFF — a structurally valid
+    little-endian container whose BitsPerSample IFD entry is
+    type-flipped to RATIONAL, exactly the hostile shape the fuzz suite
+    found escaping as TypeError before codec_tiff._tag_ints.  The gate
+    proves the fix at the ROW level: pixel_sums(on_error='quarantine')
+    must return exact closed-form sums for intact rows and a NULL-
+    feature ok=false row for each forgery — one hostile IFD never costs
+    a good row or a task.  Companion to multimodal_quarantine (PNG
+    path); reference analogue /root/reference/src/io.py:41-63 where one
+    unreadable file aborts the ingest run."""
+    import struct
+
+    import numpy as np
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_tiff
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    base = codec_tiff.encode_tiff(
+        np.zeros((4, 4, 3), np.uint8), compression="none"
+    )
+    mut = bytearray(base)
+    (ifd,) = struct.unpack("<I", mut[4:8])
+    (n_entries,) = struct.unpack("<H", mut[ifd : ifd + 2])
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        if struct.unpack("<H", mut[e : e + 2])[0] == 258:
+            mut[e + 2 : e + 4] = struct.pack("<H", 5)  # SHORT -> RATIONAL
+    hostile = bytes(mut)
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="tif", kind="rgb", limit=60)
+    pk = F.substring("image_id", 5, 18).cast("long")
+    corrupted = imgs.withColumn(
+        "bytes",
+        F.when(pk % 4 == 0, F.lit(hostile)).otherwise(F.col("bytes")),
+    )
+    out = MM.pixel_sums(corrupted, on_error="quarantine")
+    return out.select(
+        "image_id", "n_px", "sum_r", "sum_g", "sum_b",
+        F.col("error").isNull().alias("ok"),
+    )
+
+
 def q_geotiff_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 getGeodata through REAL GeoTIFF bytes: write_tif with the
     ModelPixelScale/ModelTiepoint georeference tags, then recover the
@@ -1877,6 +1922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp3_audio": q_mp3_audio,
     "mp3_audio_l2": q_mp3_audio_l2,
     "flac_audio": q_flac_audio,
+    "multimodal_tiff_quarantine": q_multimodal_tiff_quarantine,
     # --- previously driver-evidenced, cheap metadata/text gates ----------- #
     "tile_counts": q_tile_counts,
     "gen_tiles": q_gen_tiles,
@@ -2057,6 +2103,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "multimodal_quarantine": _multimodal_quarantine_sql(),
         "multimodal_webp": _multimodal_webp_sql(),
         "multimodal_tiff": _multimodal_tiff_sql(),
+        "multimodal_tiff_quarantine": _multimodal_tiff_quarantine_sql(),
         "multimodal_tiff_jpeg": _multimodal_tiff_jpeg_sql(),
         "geotiff_extents": _geotiff_extents_sql(),
         "geotiff_window": _geotiff_window_sql(),
@@ -2815,6 +2862,33 @@ SELECT i.image_id,
   40 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 180 * bl.a - bl.b AS sum_r,
   57 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 153 * bl.a - bl.b AS sum_g,
   71 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 129 * bl.a - bl.b AS sum_b
+FROM imgs i
+JOIN rowsums rs USING (image_id)
+JOIN colsums cs USING (image_id)
+JOIN blob bl USING (image_id)"""
+    )
+
+
+def _multimodal_tiff_quarantine_sql() -> str:
+    """Twin of q_multimodal_tiff_quarantine: _multimodal_tiff_sql's
+    closed-form sums for intact rows (pk % 4 != 0), NULL features +
+    ok=false for the forged-IFD ones."""
+    return (
+        _rgb_sums_ctes(60)
+        + """
+SELECT i.image_id,
+  CASE WHEN i.pk % 4 = 0 THEN NULL
+       ELSE CAST(i.w * i.h AS BIGINT) END AS n_px,
+  CASE WHEN i.pk % 4 = 0 THEN NULL
+       ELSE 40 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 180 * bl.a - bl.b
+       END AS sum_r,
+  CASE WHEN i.pk % 4 = 0 THEN NULL
+       ELSE 57 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 153 * bl.a - bl.b
+       END AS sum_g,
+  CASE WHEN i.pk % 4 = 0 THEN NULL
+       ELSE 71 * i.w * i.h + i.w * rs.syy + i.h * cs.sxx + 129 * bl.a - bl.b
+       END AS sum_b,
+  (i.pk % 4 <> 0) AS ok
 FROM imgs i
 JOIN rowsums rs USING (image_id)
 JOIN colsums cs USING (image_id)

@@ -206,6 +206,7 @@ def main() -> None:
         "skeleton_paths",
         # round-5 additions
         "mvt_pyramid",
+        "multimodal_tiff_quarantine",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}
