@@ -449,3 +449,36 @@ def test_non_square_scheme_rejected(spark):
     )
     with pytest.raises(ValueError, match="non-square"):
         VT.polygons_to_mvt(polys, (0.0, 0.0, 100.0, 50.0), zoom=1)
+
+
+def test_polygons_to_mvt_max_features_budget(spark):
+    """Per-tile density cap: keeps the max_features LOWEST-id features
+    that survive clipping (deterministic, tippecanoe-style), other
+    tiles unaffected."""
+    rows = []
+    # 20 small rects in tile (0,0), 3 in tile (1,1) of a z=1 scheme
+    for i in range(20):
+        x = 10.0 + (i % 5) * 80.0
+        y = 10.0 + (i // 5) * 80.0
+        rows.append((i, [[x, y], [x + 40.0, y], [x + 40.0, y + 40.0],
+                         [x, y + 40.0]], i))
+    for i in (100, 101, 102):
+        x = 600.0 + (i - 100) * 90.0
+        rows.append((i, [[x, 100.0], [x + 40.0, 100.0], [x + 40.0, 140.0],
+                         [x, 140.0]], i))
+    polys = spark.createDataFrame(
+        rows, "polygon_id long, ring array<array<double>>, value long"
+    )
+    tiles = VT.polygons_to_mvt(
+        polys, (0.0, 0.0, 1000.0, 1000.0), zoom=1, max_features=7
+    )
+    got = {(r.tx, r.ty): r.n_features for r in tiles.collect()}
+    assert got == {(0, 1): 7, (1, 1): 3}
+    # the survivors are exactly ids 0..6 (lowest ids, sorted order)
+    blob = [r.mvt for r in tiles.collect() if (r.tx, r.ty) == (0, 1)][0]
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.functions import mvt as M
+
+    ids = sorted(
+        f["id"] for f in M.decode_tile(bytes(blob))[0]["features"]
+    )
+    assert ids == list(range(7))

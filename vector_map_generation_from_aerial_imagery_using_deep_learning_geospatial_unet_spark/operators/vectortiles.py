@@ -53,6 +53,7 @@ def polygons_to_mvt(
     layer_name: str = "polygons",
     id_col: str = "polygon_id",
     value_col: str | None = "value",
+    max_features: int | None = None,
 ) -> DataFrame:
     """Encode polygon rows into one MVT blob per covered z/x/y tile.
 
@@ -63,6 +64,14 @@ def polygons_to_mvt(
     zoom ``z`` splits it into 2^z x 2^z tiles, rows counted from the TOP
     (y-down, slippy-map convention).  Returns
     (z, tx, ty, n_features, mvt binary).
+
+    ``max_features``: per-tile feature budget — a pathologically hot
+    tile (a whole city's footprints in one key) is ONE applyInPandas
+    group, which no AQE trick can split without breaking tile
+    semantics.  Real tilers cap density instead (tippecanoe's
+    --maximum-features); here the cap keeps the ``max_features``
+    lowest-id features that survive clipping, deterministically, and
+    bounds the hot task's assembly loop.  None = unlimited.
     """
     bx0, by0, bx1, by1 = (float(v) for v in bounds)
     n = 1 << zoom
@@ -124,6 +133,8 @@ def polygons_to_mvt(
         vals_col = pdf["_value"].values if has_value else None
         features, values, vidx = [], [], {}
         for i in range(len(pdf)):
+            if max_features is not None and len(features) >= max_features:
+                break  # ids are sorted: budget keeps the lowest-id set
             rings_q: list[np.ndarray] = []
             ext = M.clip_ring_box(np.array(list(rings[i]), np.float64),
                                   cx0, cy0, cx1, cy1)
