@@ -1455,6 +1455,63 @@ def q_mp3_audio_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(audio)
 
 
+def q_mp3_audio_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III payload decode (sources/codec_mp3_l3.py,
+    from scratch: 17/32-byte side-info bit layout, part2 scalefactor
+    decode, Huffman big-values pairs + count1 quadruples, x^(4/3)
+    requantization, alias-reduction butterflies, 36-point IMDCT with
+    overlap-add, frequency inversion, the shared polyphase synthesis
+    filterbank).  Restricted profile documented in the module docstring
+    (long blocks, tables 0/1 + count1B, no bit reservoir) — the last
+    MPEG-1 audio layer, leaving AAC as the only audio stub.  Oracle:
+    frozen single-process expectations
+    (tools/build_mp3_fixture.py :: mp3_l3_signal, which documents the
+    signal spec); rate/distortion pinned by tests/test_mp3.py."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+
+    meta = _capped_media_meta(spark, sf_dir)
+
+    def synth(batches):
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_mp3
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                rate = [32000, 44100, 48000][pk % 3]
+                n = 2600 + (pk % 6) * 500
+                i = np.arange(n, dtype=np.float64)
+                f1 = 160 + 23 * (pk % 13)
+                f2 = 870 + 43 * (pk % 11)
+                f3 = 3100 + 61 * (pk % 7)
+                x = (
+                    0.3 * np.sin(2 * np.pi * f1 / rate * i)
+                    + 0.25 * np.sin(2 * np.pi * f2 / rate * i + 1.0)
+                    + 0.2 * np.sin(2 * np.pi * f3 / rate * i + 2.0)
+                )
+                ch0 = np.rint(32767 * x).astype(np.int16)
+                if pk % 2:
+                    sig = np.stack([ch0, ch0[::-1] // 2], axis=1)
+                else:
+                    sig = ch0
+                rows.append(
+                    (
+                        r.image_id,
+                        codec_mp3.encode_mp3(sig, rate, 13 + pk % 2, layer=3),
+                        "mp3",
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    audio = meta.mapInPandas(
+        synth, schema="audio_id string, bytes binary, fmt string"
+    )
+    return MM.audio_features(audio)
+
+
 def q_stream_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming path under an exact oracle: the images
     catalog lands as files, a readStream -> watermarked 5 s window ->
@@ -1921,6 +1978,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mp3_meta": q_mp3_meta,
     "mp3_audio": q_mp3_audio,
     "mp3_audio_l2": q_mp3_audio_l2,
+    "mp3_audio_l3": q_mp3_audio_l3,
     "flac_audio": q_flac_audio,
     "multimodal_tiff_quarantine": q_multimodal_tiff_quarantine,
     # --- previously driver-evidenced, cheap metadata/text gates ----------- #
@@ -2122,6 +2180,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "flac_audio": _flac_audio_sql(),
         "mp3_audio": _mp3_audio_sql(),
         "mp3_audio_l2": _mp3_audio_l2_sql(),
+        "mp3_audio_l3": _mp3_audio_l3_sql(),
         "stream_ingest_stats": _stream_ingest_stats_sql(),
         "stream_dedup": _stream_dedup_sql(),
         "stream_completion": _stream_completion_sql(),
@@ -3007,6 +3066,7 @@ _MM_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_jpeg_sf0_01.parquet"
 _MM_TIFF_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_tiff_jpeg_sf0_01.parquet"
 _MP3_AUDIO_FIXTURE = "/root/repo/fixtures/mp3_audio_sf0_01.parquet"
 _MP3_AUDIO_L2_FIXTURE = "/root/repo/fixtures/mp3_audio_l2_sf0_01.parquet"
+_MP3_AUDIO_L3_FIXTURE = "/root/repo/fixtures/mp3_audio_l3_sf0_01.parquet"
 
 
 _SKELETON_FIXTURE = "/root/repo/fixtures/skeleton_sf0_01.parquet"
@@ -3356,6 +3416,17 @@ def _mp3_audio_l2_sql() -> str:
 SELECT audio_id, n_samples, n_channels, sample_rate,
        duration_ms, sum_abs, zero_crossings
 FROM read_parquet('{_MP3_AUDIO_L2_FIXTURE}')"""
+
+
+def _mp3_audio_l3_sql() -> str:
+    """Twin of q_mp3_audio_l3: the Layer III expectations table frozen
+    by the same single-process fixture run (tools/build_mp3_fixture.py
+    :: mp3_l3_signal) — no Spark machinery shared with the gated
+    query."""
+    return f"""
+SELECT audio_id, n_samples, n_channels, sample_rate,
+       duration_ms, sum_abs, zero_crossings
+FROM read_parquet('{_MP3_AUDIO_L3_FIXTURE}')"""
 
 
 def _multimodal_features_sql() -> str:

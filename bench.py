@@ -207,6 +207,7 @@ def main() -> None:
         # round-5 additions
         "mvt_pyramid",
         "multimodal_tiff_quarantine",
+        "mp3_audio_l3",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

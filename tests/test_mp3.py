@@ -85,8 +85,13 @@ def test_silence_roundtrip_exact():
     assert int(np.abs(dec).max()) == 0
 
 
-def test_layer3_payload_capability_guard():
-    with pytest.raises(NotImplementedError, match="layer III"):
+def test_layer3_garbage_payload_raises_cleanly():
+    """build_mp3's filler payload is not a valid restricted-profile
+    Layer III main-data section: decode must fail with one of the two
+    contract exceptions (NotImplementedError for an out-of-profile
+    side-info shape, ValueError for corrupt Huffman data), never
+    TypeError/IndexError."""
+    with pytest.raises((NotImplementedError, ValueError)):
         codec_mp3.decode_mp3(codec_mp3.build_mp3(4, 5, 1))
 
 
@@ -373,3 +378,115 @@ def test_l1_joint_stays_guarded():
         enc[fr.offset + 3] = (enc[fr.offset + 3] & 0x3F) | 0x40
     with pytest.raises(NotImplementedError):
         codec_mp3.decode_mp3(bytes(enc))
+
+
+# ---------------------------------------------------------------------
+# Layer III (restricted profile: codec_mp3_l3.py)
+# ---------------------------------------------------------------------
+
+from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_mp3_l3
+
+
+def _l3_delay() -> int:
+    # filterbank group delay + one 18-slot MDCT overlap block
+    return codec_mp3.codec_delay() + 576
+
+
+def test_l3_mdct_perfect_reconstruction():
+    rng = np.random.default_rng(0)
+    sig = rng.normal(size=18 * 20)
+    prev, ov = np.zeros(18), np.zeros(18)
+    rec = np.zeros_like(sig)
+    for t in range(20):
+        cur = sig[18 * t : 18 * t + 18]
+        y = codec_mp3_l3._imdct36(
+            codec_mp3_l3._mdct36(np.concatenate([prev, cur]))
+        )
+        prev = cur
+        rec[18 * t : 18 * t + 18] = y[:18] + ov
+        ov = y[18:]
+    assert np.abs(rec[18:] - sig[:-18]).max() < 1e-12
+
+
+def test_l3_alias_butterflies_invert():
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=576)
+    back = codec_mp3_l3._alias_reduce(codec_mp3_l3._alias_unreduce(x))
+    assert np.abs(back - x).max() < 1e-12
+
+
+def test_l3_roundtrip_snr_all_rates():
+    """The profile's rate/distortion contract on multisine content
+    (the Layer I/II analogue of the JPEG PSNR>=40 gate): a 1-bit-
+    magnitude band-exponent codec lands >= 8 dB at every MPEG-1 rate
+    (the exact figure shifts with where the sines fall relative to
+    scalefactor-band edges)."""
+    for rate in (32000, 44100, 48000):
+        sig = _multisine(4000, rate)
+        enc = codec_mp3.encode_mp3(sig, rate, bitrate_idx=14, layer=3)
+        dec, r = codec_mp3.decode_mp3(enc)
+        assert r == rate and dec.shape[1] == 1
+        d = _l3_delay()
+        assert _snr_db(sig, dec[d : d + len(sig), 0]) > 8.0, rate
+
+
+def test_l3_stereo_roundtrip():
+    ch0 = _multisine(3000, 44100)
+    sig = np.stack([ch0, ch0[::-1] // 2], axis=1)
+    enc = codec_mp3.encode_mp3(sig, 44100, bitrate_idx=14, layer=3)
+    dec, _ = codec_mp3.decode_mp3(enc)
+    assert dec.shape[1] == 2
+    d = _l3_delay()
+    assert _snr_db(sig, dec[d : d + len(sig)]) > 10.0
+
+
+def test_l3_silence_roundtrip_exact():
+    sig = np.zeros(2304, dtype=np.int16)
+    dec, _ = codec_mp3.decode_mp3(
+        codec_mp3.encode_mp3(sig, 44100, bitrate_idx=14, layer=3)
+    )
+    assert int(np.abs(dec).max()) == 0
+
+
+def test_l3_stream_is_spec_framed():
+    """Headers parse as Layer III CBR; side-info fields land where the
+    17/32-byte layout puts them (main_data_begin = 0 in byte 4-5)."""
+    sig = _multisine(2400, 48000)
+    enc = codec_mp3.encode_mp3(sig, 48000, bitrate_idx=14, layer=3)
+    frames = codec_mp3.walk_frames(enc)
+    assert len(frames) >= 4
+    for fr in frames:
+        assert fr.layer == 3 and fr.sample_rate == 48000
+        # main_data_begin: first 9 bits of the side info are zero
+        assert enc[fr.offset + 4] == 0 and (enc[fr.offset + 5] >> 7) == 0
+
+
+def test_l3_out_of_profile_side_info_raises():
+    sig = _multisine(1200, 44100)
+    enc = bytearray(codec_mp3.encode_mp3(sig, 44100, bitrate_idx=14, layer=3))
+    fr = codec_mp3.walk_frames(bytes(enc))[0]
+    # force main_data_begin != 0 -> bit-reservoir boundary
+    enc[fr.offset + 4] = 0xFF
+    with pytest.raises(NotImplementedError, match="reservoir"):
+        codec_mp3.decode_mp3(bytes(enc))
+
+
+def test_l3_hostile_bits_raise_cleanly():
+    """Truncations and bit flips across the whole stream obey the
+    two-exception contract."""
+    sig = _multisine(1800, 44100)
+    enc = codec_mp3.encode_mp3(sig, 44100, bitrate_idx=13, layer=3)
+    for cut in range(0, len(enc), max(1, len(enc) // 23)):
+        try:
+            codec_mp3.decode_mp3(enc[:cut])
+        except (ValueError, NotImplementedError):
+            pass
+    rng = np.random.default_rng(3)
+    for _ in range(60):
+        mut = bytearray(enc)
+        for _ in range(int(rng.integers(1, 6))):
+            mut[int(rng.integers(0, len(mut)))] = int(rng.integers(0, 256))
+        try:
+            codec_mp3.decode_mp3(bytes(mut))
+        except (ValueError, NotImplementedError):
+            pass

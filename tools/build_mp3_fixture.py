@@ -92,6 +92,29 @@ def mp3_l2_signal(pk: int) -> tuple[np.ndarray, int, int]:
     return ch0, rate, 3 + pk % 8
 
 
+def mp3_l3_signal(pk: int) -> tuple[np.ndarray, int, int]:
+    """Layer III twin (q_mp3_audio_l3's spec): a third multisine family
+    through the restricted-profile codec (sources/codec_mp3_l3.py).
+    High bitrates only (idx 13/14): the 1-bit-magnitude profile spends
+    up to ~5 bits/line + scalefactors, and main_data_begin = 0 means
+    every granule must fit its own frame."""
+    rate = [32000, 44100, 48000][pk % 3]
+    n = 2600 + (pk % 6) * 500
+    i = np.arange(n, dtype=np.float64)
+    f1 = 160 + 23 * (pk % 13)
+    f2 = 870 + 43 * (pk % 11)
+    f3 = 3100 + 61 * (pk % 7)
+    x = (
+        0.3 * np.sin(2 * np.pi * f1 / rate * i)
+        + 0.25 * np.sin(2 * np.pi * f2 / rate * i + 1.0)
+        + 0.2 * np.sin(2 * np.pi * f3 / rate * i + 2.0)
+    )
+    ch0 = np.rint(32767 * x).astype(np.int16)
+    if pk % 2:
+        return np.stack([ch0, ch0[::-1] // 2], axis=1), rate, 13 + pk % 2
+    return ch0, rate, 13 + pk % 2
+
+
 def _freeze(signal_fn, layer: int, out_name: str) -> None:
     part = pd.read_parquet(f"{SF_DIR}/part.parquet", columns=["p_partkey"])
     rows = []
@@ -130,6 +153,7 @@ def _freeze(signal_fn, layer: int, out_name: str) -> None:
 def main() -> None:
     _freeze(mp3_signal, 1, "mp3_audio_sf0_01.parquet")
     _freeze(mp3_l2_signal, 2, "mp3_audio_l2_sf0_01.parquet")
+    _freeze(mp3_l3_signal, 3, "mp3_audio_l3_sf0_01.parquet")
 
 
 if __name__ == "__main__":

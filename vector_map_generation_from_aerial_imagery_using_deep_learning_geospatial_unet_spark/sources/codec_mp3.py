@@ -428,8 +428,14 @@ def encode_mp3(
         raise ValueError("bitrate_idx in 1..14")
     if layer == 2:
         return _encode_layer2(sig, sample_rate, bitrate_idx, joint_bound)
+    if layer == 3:
+        if joint_bound is not None:
+            raise ValueError("mp3: joint_bound is Layer II only")
+        from . import codec_mp3_l3
+
+        return codec_mp3_l3.encode_mp3_l3(sig, sample_rate, bitrate_idx)
     if layer != 1:
-        raise ValueError("mp3: encoder supports layer 1 or 2")
+        raise ValueError("mp3: encoder supports layer 1, 2 or 3")
     if joint_bound is not None:
         raise ValueError("mp3: joint_bound is Layer II only")
     sr_idx = _SR_IDX_V1[sample_rate]
@@ -850,18 +856,32 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     """Decode an MPEG audio stream to PCM: (samples int16 (n, ch), rate).
     Layers I and II decode for real (allocation/scalefactor/sample
     parse, Table 3-B.4 requantization s'' = C * (s''' + D), 32-band
-    synthesis filterbank); Layer III payloads raise NotImplementedError —
-    its Huffman tables are the documented codec-library boundary."""
+    synthesis filterbank); Layer III decodes through the restricted
+    profile in codec_mp3_l3.py (long blocks, Huffman tables 0/1 +
+    count1B, scalefactors, no bit reservoir) — streams outside that
+    profile raise NotImplementedError naming the specific boundary."""
     frames = walk_frames(data)
     if not frames:
         raise ValueError("no MPEG audio frames found")
     f0 = frames[0]
     if f0.layer == 3:
-        raise NotImplementedError(
-            "mp3: layer III payload decode not implemented (its Huffman "
-            "code tables are codec-library-bound); Layers I and II decode "
-            "for real"
-        )
+        # restricted-profile Layer III (codec_mp3_l3.py): long blocks,
+        # Huffman tables 0/1 + count1B, no bit reservoir; anything
+        # outside the profile raises NotImplementedError from the
+        # side-info / Huffman parse with the specific boundary named
+        from . import codec_mp3_l3
+
+        if f0.mode == 1:
+            raise NotImplementedError(
+                "mp3 L3: joint stereo not supported (LR/mono profile)"
+            )
+        ch3 = 1 if f0.mode == 3 else 2
+        for fr in frames:
+            if (fr.layer, fr.mode, fr.sample_rate) != (
+                f0.layer, f0.mode, f0.sample_rate,
+            ):
+                raise ValueError("mp3: inconsistent stream parameters")
+        return codec_mp3_l3.decode_mp3_l3(data, frames, ch3)
     if f0.mode == 1 and f0.layer != 2:
         # Layer II joint stereo decodes for real (_decode_layer2 slots);
         # the Layer I variant stays a documented capability boundary
