@@ -610,6 +610,50 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(audio)
 
 
+def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telephony + studio WAV layouts (r5): the same deterministic
+    sawtooth as q_audio_features, routed per-pk through G.711 mu-law
+    (pk%3==0), G.711 A-law (pk%3==1), or 24-bit PCM (pk%3==2, scaled
+    x201 into the 24-bit range).  The SQL twin re-derives every decoded
+    sample — the companding laws are closed-form segment quantizers, so
+    the oracle is exact integer arithmetic, no fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav
+
+    meta = _capped_media_meta(spark, sf_dir)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                a, b = 3 + pk % 7, (pk * 97) % 65536
+                n = 3000 + (pk % 40) * 101
+                i = np.arange(n, dtype=np.int64)
+                s0 = (((i * a + b) % 65536) - 32768).astype(np.int16)
+                ch = 1 + pk % 2
+                s = np.stack([s0] * ch, axis=1)
+                variant = pk % 3
+                if variant == 0:
+                    blob = codec_wav.encode_wav_g711(s, 8000, "mu")
+                elif variant == 1:
+                    blob = codec_wav.encode_wav_g711(s, 8000, "a")
+                else:
+                    blob = codec_wav.encode_wav24(
+                        s.astype(np.int32) * 201, 48000
+                    )
+                rows.append((r.image_id, blob, "wav"))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    audio = meta.mapInPandas(
+        synth, schema="audio_id string, bytes binary, fmt string"
+    )
+    return MM.audio_features(audio)
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real animation path: deterministic animated GIFs (encoded through
     the real LZW codec), frame-sampled every 2nd frame, per-frame exact
@@ -1958,6 +2002,7 @@ def q_mvt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last so a truncated sweep loses only redundant evidence.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never driver-sampled before round 5: run first ------------------- #
+    "audio_g711": q_audio_g711,
     "phash_compute": q_phash_compute,
     "phash_near_dup": q_phash_near_dup,
     "phash_dedup_groups": q_phash_dedup_groups,
@@ -2171,6 +2216,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "multimodal_jpeg": _multimodal_jpeg_sql(),
         "cc_distributed": _cc_distributed_sql(),
         "audio_features": _audio_features_sql(),
+        "audio_g711": _audio_g711_sql(),
         "gif_frames": _gif_frames_sql(),
         "video_meta": _video_meta_sql(),
         "video_frames": _video_frames_sql(),
@@ -2772,6 +2818,80 @@ SELECT audio_id,
   CAST(count(*) FILTER (WHERE prev_s * s < 0) AS BIGINT) AS zero_crossings
 FROM vals
 GROUP BY audio_id, n, ch"""
+
+
+def _audio_g711_sql() -> str:
+    """Closed-form twin of q_audio_g711: the G.711 companding laws are
+    segment quantizers (ITU-T G.711 / the Sun g711.c lattice), so every
+    decoded sample is exact integer arithmetic — mag -> segment ->
+    mantissa -> reconstruction, sign reapplied; the 24-bit variant is a
+    x201 scale.  lag() supplies the previous sample for the strict
+    zero-crossing count."""
+    return """
+WITH meta AS (
+  SELECT concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS audio_id,
+         p_partkey AS pk
+  FROM part WHERE p_partkey <= 60
+),
+params AS (
+  SELECT audio_id, pk,
+    3 + pk % 7 AS a, (pk * 97) % 65536 AS b,
+    3000 + (pk % 40) * 101 AS n,
+    CAST(1 + pk % 2 AS INT) AS ch,
+    pk % 3 AS variant
+  FROM meta
+),
+samples AS (
+  SELECT audio_id, a, b, n, ch, variant,
+         unnest(generate_series(0, n - 1)) AS i
+  FROM params
+),
+lin AS (
+  SELECT audio_id, n, ch, variant, i,
+    ((i * a + b) % 65536) - 32768 AS s
+  FROM samples
+),
+mags AS (
+  SELECT *, CASE WHEN variant = 0 THEN least(abs(s), 32635) + 132
+                 ELSE least(abs(s), 32767) END AS mag
+  FROM lin
+),
+segs AS (
+  SELECT *, CASE WHEN mag < 256 THEN 0 WHEN mag < 512 THEN 1
+                 WHEN mag < 1024 THEN 2 WHEN mag < 2048 THEN 3
+                 WHEN mag < 4096 THEN 4 WHEN mag < 8192 THEN 5
+                 WHEN mag < 16384 THEN 6 ELSE 7 END AS e
+  FROM mags
+),
+quant AS (
+  SELECT audio_id, n, ch, variant, i,
+    CASE
+      WHEN variant = 2 THEN s * 201
+      WHEN variant = 0 THEN
+        (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        * ((((mag >> (e + 3)) & 15) * 8 + 132) * (1 << e) - 132)
+      ELSE
+        (CASE WHEN s < 0 THEN -1 ELSE 1 END)
+        * (CASE WHEN e = 0 THEN (mag >> 4) * 16 + 8
+                ELSE (((mag >> (e + 3)) & 15) * 16 + 264) * (1 << (e - 1))
+           END)
+    END AS val
+  FROM segs
+),
+vals AS (
+  SELECT *, lag(val) OVER (PARTITION BY audio_id ORDER BY i) AS prev_val
+  FROM quant
+)
+SELECT audio_id,
+  CAST(n AS BIGINT) AS n_samples,
+  ch AS n_channels,
+  CAST(CASE WHEN variant = 2 THEN 48000 ELSE 8000 END AS INT) AS sample_rate,
+  CAST(n * 1000 // (CASE WHEN variant = 2 THEN 48000 ELSE 8000 END) AS BIGINT)
+    AS duration_ms,
+  CAST(ch * sum(abs(val)) AS BIGINT) AS sum_abs,
+  CAST(count(*) FILTER (WHERE prev_val * val < 0) AS BIGINT) AS zero_crossings
+FROM vals
+GROUP BY audio_id, n, ch, variant"""
 
 
 def _gif_frames_sql() -> str:

@@ -208,6 +208,7 @@ def main() -> None:
         "mvt_pyramid",
         "multimodal_tiff_quarantine",
         "mp3_audio_l3",
+        "audio_g711",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}
