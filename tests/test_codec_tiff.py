@@ -227,8 +227,11 @@ def test_unsupported_variants_raise_notimplemented():
         T.decode_tiff(patched(258, 1))  # bilevel
     with pytest.raises(NotImplementedError):
         T.decode_tiff(patched(339, 3))  # float samples
-    with pytest.raises(NotImplementedError):
-        T.decode_tiff(patched(284, 2))  # planar
+    # planar (284=2) decodes for real since r5 — on a single-band image
+    # it is layout-identical to chunky (tests/test_tiff_planar.py covers
+    # the real multi-plane paths; only invalid values reject)
+    with pytest.raises(ValueError):
+        T.decode_tiff(patched(284, 3))
 
     pred_base = T.encode_tiff(np.zeros((6, 6), np.uint8), compression="deflate")
     blob = bytearray(pred_base)

@@ -17,7 +17,7 @@ segments, via this repo's from-scratch baseline JPEG decoder) / 8 &
 alpha via SamplesPerPixel=4) / 6 (YCbCr, JPEG-compressed only), 8- and
 16-bit unsigned plus float32/float64 (SampleFormat=3) samples.
 
-encode — little-endian, strip or tile, chunky, compression none/
+encode — little-endian, strip or tile, chunky or planar (r5), compression none/
 deflate/packbits/lzw with optional predictor 2 or jpeg (standalone
 baseline 4:4:4 segments, photometric 6), plus the GeoTIFF georeference
 tags (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory
@@ -25,8 +25,9 @@ tags (ModelPixelScale 33550, ModelTiepoint 33922, GeoKeyDirectory
 geotransform, not just pixels.
 
 Out-of-scope variants raise loudly (``NotImplementedError`` for valid-
-but-unsupported: palette, planar, old-style JPEG (6), CCITT, signed
-samples, sub-byte depths); hostile bytes raise
+but-unsupported: palette, planar-with-JPEG, old-style JPEG (6), CCITT,
+signed samples, sub-byte depths); planar configuration 2 decodes and
+encodes for real (r5) on every non-JPEG path; hostile bytes raise
 ``ValueError`` via the shared ``malformed_guard`` contract
 (tests/test_codec_fuzz.py).  Allocation is bounded BEFORE it happens:
 raster size is validated against a hard cap and every inflate is capped
@@ -527,11 +528,20 @@ def _decode_tiff_impl(
         kind = "f"
     else:
         raise NotImplementedError(f"tiff: sample format {sf} not supported")
-    if _tag_int(tags, 284, 1) != 1:
-        raise NotImplementedError("tiff: planar configuration 2 not supported")
+    planar = _tag_int(tags, 284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"tiff: invalid planar configuration {planar}")
+    # planar=2 stores each component's segments contiguously (all plane-0
+    # strips/tiles, then plane 1, ...); each segment carries ONE sample
+    nplanes = spp if (planar == 2 and spp > 1) else 1
+    spp_seg = 1 if nplanes > 1 else spp
     photo = _tag_int(tags, 262, 1)
     comp = _tag_int(tags, 259, 1)
     pred = _tag_int(tags, 317, 1)
+    if comp == _COMP_JPEG and nplanes > 1:
+        raise NotImplementedError(
+            "tiff: planar configuration 2 with JPEG compression not supported"
+        )
     if comp == _COMP_JPEG_OLD:
         raise NotImplementedError(
             "tiff: old-style JPEG (compression 6) not supported"
@@ -611,7 +621,8 @@ def _decode_tiff_impl(
         if not tw or not th or tw % 16 or th % 16:
             raise ValueError("tiff: bad tile dimensions")
         ntx, nty = -(-w // tw), -(-h // th)
-        if offs is None or cnts is None or len(offs) != ntx * nty or len(cnts) != ntx * nty:
+        nseg = ntx * nty * nplanes
+        if offs is None or cnts is None or len(offs) != nseg or len(cnts) != nseg:
             raise ValueError("tiff: tile offsets/counts mismatch")
         if window is not None:
             ty_lo, ty_hi = wy0 // th, (wy0 + wh - 1) // th
@@ -623,37 +634,45 @@ def _decode_tiff_impl(
         rw = min((tx_hi + 1) * tw, w) - rx0
         if rh * rw * spp * bsz > _MAX_RASTER_BYTES:
             raise ValueError("tiff: decoded region exceeds size cap")
-        img = np.zeros((rh, rw * spp), dtype=dt)
-        exp = th * tw * spp * bsz
-        for ty in range(ty_lo, ty_hi + 1):
-            for tx in range(tx_lo, tx_hi + 1):
-                i = ty * ntx + tx
-                seg = data[offs[i] : offs[i] + cnts[i]]
-                if len(seg) != cnts[i]:
-                    raise ValueError("tiff: tile beyond file")
-                if comp == _COMP_JPEG:
-                    t = _jpeg_seg(seg, th, tw)
-                elif pred == 3:
-                    buf = _decompress(seg, comp, exp)
-                    t = _undo_predictor_float(buf, th, tw, spp, bsz)
-                else:
-                    buf = _decompress(seg, comp, exp)
-                    t = np.frombuffer(buf, dtype=dt).reshape(th, tw * spp)
-                    if pred == 2:
-                        t = _undo_predictor(t, th, tw, spp)
-                ch = min(th, h - ty * th)
-                cw = min(tw, w - tx * tw)
-                oy, ox = ty * th - ry0, tx * tw - rx0
-                img[oy : oy + ch, ox * spp : (ox + cw) * spp] = (
-                    t.reshape(th, tw, spp)[:ch, :cw].reshape(ch, cw * spp)
-                )
+        img = np.zeros((rh, rw, spp), dtype=dt)
+        exp = th * tw * spp_seg * bsz
+        for p in range(nplanes):
+            for ty in range(ty_lo, ty_hi + 1):
+                for tx in range(tx_lo, tx_hi + 1):
+                    i = p * ntx * nty + ty * ntx + tx
+                    seg = data[offs[i] : offs[i] + cnts[i]]
+                    if len(seg) != cnts[i]:
+                        raise ValueError("tiff: tile beyond file")
+                    if comp == _COMP_JPEG:
+                        t = _jpeg_seg(seg, th, tw)
+                    elif pred == 3:
+                        buf = _decompress(seg, comp, exp)
+                        t = _undo_predictor_float(buf, th, tw, spp_seg, bsz)
+                    else:
+                        buf = _decompress(seg, comp, exp)
+                        t = np.frombuffer(buf, dtype=dt).reshape(th, tw * spp_seg)
+                        if pred == 2:
+                            t = _undo_predictor(t, th, tw, spp_seg)
+                    ch = min(th, h - ty * th)
+                    cw = min(tw, w - tx * tw)
+                    oy, ox = ty * th - ry0, tx * tw - rx0
+                    if nplanes > 1:
+                        img[oy : oy + ch, ox : ox + cw, p] = (
+                            t.reshape(th, tw)[:ch, :cw]
+                        )
+                    else:
+                        img[oy : oy + ch, ox : ox + cw, :] = (
+                            t.reshape(th, tw, spp)[:ch, :cw]
+                        )
+        img = img.reshape(rh, rw * spp)
     else:
         offs, cnts = _tag_ints(tags, 273), _tag_ints(tags, 279)
         rps = _tag_int(tags, 278, h)
         if rps <= 0:
             raise ValueError("tiff: non-positive rows-per-strip")
         nstrips = -(-h // rps)
-        if offs is None or cnts is None or len(offs) != nstrips or len(cnts) != nstrips:
+        nseg = nstrips * nplanes
+        if offs is None or cnts is None or len(offs) != nseg or len(cnts) != nseg:
             raise ValueError("tiff: strip offsets/counts mismatch")
         if window is not None:
             s_lo, s_hi = wy0 // rps, (wy0 + wh - 1) // rps
@@ -664,24 +683,31 @@ def _decode_tiff_impl(
         rw = w
         if rh * rw * spp * bsz > _MAX_RASTER_BYTES:
             raise ValueError("tiff: decoded region exceeds size cap")
-        parts = []
-        for i in range(s_lo, s_hi + 1):
-            rows = min(rps, h - i * rps)
-            seg = data[offs[i] : offs[i] + cnts[i]]
-            if len(seg) != cnts[i]:
-                raise ValueError("tiff: strip beyond file")
-            if comp == _COMP_JPEG:
-                s = _jpeg_seg(seg, rows, w)
-            elif pred == 3:
-                buf = _decompress(seg, comp, rows * w * spp * bsz)
-                s = _undo_predictor_float(buf, rows, w, spp, bsz)
-            else:
-                buf = _decompress(seg, comp, rows * w * spp * bsz)
-                s = np.frombuffer(buf, dtype=dt).reshape(rows, w * spp)
-                if pred == 2:
-                    s = _undo_predictor(s, rows, w, spp)
-            parts.append(s)
-        img = np.vstack(parts) if len(parts) > 1 else parts[0]
+        plane_imgs = []
+        for p in range(nplanes):
+            parts = []
+            for i in range(s_lo, s_hi + 1):
+                rows = min(rps, h - i * rps)
+                j = p * nstrips + i
+                seg = data[offs[j] : offs[j] + cnts[j]]
+                if len(seg) != cnts[j]:
+                    raise ValueError("tiff: strip beyond file")
+                if comp == _COMP_JPEG:
+                    s = _jpeg_seg(seg, rows, w)
+                elif pred == 3:
+                    buf = _decompress(seg, comp, rows * w * spp_seg * bsz)
+                    s = _undo_predictor_float(buf, rows, w, spp_seg, bsz)
+                else:
+                    buf = _decompress(seg, comp, rows * w * spp_seg * bsz)
+                    s = np.frombuffer(buf, dtype=dt).reshape(rows, w * spp_seg)
+                    if pred == 2:
+                        s = _undo_predictor(s, rows, w, spp_seg)
+                parts.append(s)
+            plane_imgs.append(np.vstack(parts) if len(parts) > 1 else parts[0])
+        if nplanes > 1:
+            img = np.stack(plane_imgs, axis=2).reshape(rh, rw * spp)
+        else:
+            img = plane_imgs[0]
 
     arr = np.ascontiguousarray(img.astype(dt.newbyteorder("=")))
     arr = arr.reshape(rh, rw, spp)
@@ -760,6 +786,7 @@ def _plan_level(
     level: int,
     tiling: tuple[int, int] | None,
     jpeg_quality: int = 95,
+    planar: bool = False,
 ) -> dict:
     """Validate one raster and build its compressed segments + layout
     metadata (no offsets yet — the multi-IFD assembler assigns those)."""
@@ -800,25 +827,28 @@ def _plan_level(
     use_pred = predictor and comp_id in (_COMP_DEFLATE_ADOBE, _COMP_LZW)
     pred_id = (2 if arr.dtype.kind == "u" else 3) if use_pred else 1
 
-    arr2d = np.ascontiguousarray(arr.astype("<" + arr.dtype.str[1:])).reshape(
-        h, w * spp
-    )
+    if planar:
+        if spp == 1:
+            planar = False  # one band: chunky and planar are identical
+        elif comp_id == _COMP_JPEG:
+            raise ValueError("tiff: planar layout with JPEG compression")
+    spp_seg = 1 if planar else spp  # samples carried by each segment
 
     def _pack(seg2d: np.ndarray, seg_w: int) -> bytes:
         if comp_id == _COMP_JPEG:
             # each segment is a standalone baseline stream (valid per
             # TechNote 2; no JPEGTables hoisting on encode — readers
             # must accept both, and decode_tiff does)
-            px = seg2d.reshape(seg2d.shape[0], seg_w, spp)
+            px = seg2d.reshape(seg2d.shape[0], seg_w, spp_seg)
             return encode_jpeg(
-                np.ascontiguousarray(px[:, :, 0] if spp == 1 else px),
+                np.ascontiguousarray(px[:, :, 0] if spp_seg == 1 else px),
                 quality=jpeg_quality,
             )
         if pred_id == 3:
             raw = _apply_predictor_float(seg2d)
         else:
             if pred_id == 2:
-                seg2d = _apply_predictor(seg2d, seg2d.shape[0], seg_w, spp)
+                seg2d = _apply_predictor(seg2d, seg2d.shape[0], seg_w, spp_seg)
             raw = seg2d.tobytes()
         if comp_id == _COMP_NONE:
             return raw
@@ -828,6 +858,16 @@ def _plan_level(
             return packbits_encode(raw)
         return lzw_encode(raw)
 
+    le = np.ascontiguousarray(arr.astype("<" + arr.dtype.str[1:]))
+    if planar:
+        # planar=2: all of plane 0's segments first, then plane 1, ...
+        plane_arrays = [
+            np.ascontiguousarray(le.reshape(h, w, spp)[:, :, p])
+            for p in range(spp)
+        ]
+    else:
+        plane_arrays = [le.reshape(h, w * spp)]
+
     segs: list[bytes] = []
     rps = None
     if tiling is not None:
@@ -835,26 +875,30 @@ def _plan_level(
         if tw % 16 or th % 16 or tw <= 0 or th <= 0:
             raise ValueError("tiff: tile dims must be positive multiples of 16")
         ntx, nty = -(-w // tw), -(-h // th)
-        for ty in range(nty):
-            for tx in range(ntx):
-                t = np.zeros((th, tw * spp), dtype=arr2d.dtype)
-                ch = min(th, h - ty * th)
-                cw = min(tw, w - tx * tw)
-                t[:ch, : cw * spp] = arr2d[
-                    ty * th : ty * th + ch, tx * tw * spp : (tx * tw + cw) * spp
-                ]
-                segs.append(_pack(t, tw))
+        for arr2d in plane_arrays:
+            for ty in range(nty):
+                for tx in range(ntx):
+                    t = np.zeros((th, tw * spp_seg), dtype=arr2d.dtype)
+                    ch = min(th, h - ty * th)
+                    cw = min(tw, w - tx * tw)
+                    t[:ch, : cw * spp_seg] = arr2d[
+                        ty * th : ty * th + ch,
+                        tx * tw * spp_seg : (tx * tw + cw) * spp_seg,
+                    ]
+                    segs.append(_pack(t, tw))
     else:
         if rows_per_strip is None:
             # target ~256 KiB strips so huge rasters stream segment-at-a-time
-            rows_per_strip = max(1, (256 << 10) // max(1, w * spp * (bps // 8)))
+            rows_per_strip = max(1, (256 << 10) // max(1, w * spp_seg * (bps // 8)))
         rps = min(rows_per_strip, h)
-        for y0 in range(0, h, rps):
-            segs.append(_pack(arr2d[y0 : y0 + rps], w))
+        for arr2d in plane_arrays:
+            for y0 in range(0, h, rps):
+                segs.append(_pack(arr2d[y0 : y0 + rps], w))
     return {
         "segs": segs, "w": w, "h": h, "spp": spp, "bps": bps,
         "comp_id": comp_id, "pred_id": pred_id, "rps": rps,
-        "tiling": tiling, "sfmt": 3 if arr.dtype.kind == "f" else 1,
+        "tiling": tiling, "planar": planar,
+        "sfmt": 3 if arr.dtype.kind == "f" else 1,
         "photo": (
             6
             if comp_id == _COMP_JPEG and spp == 3
@@ -894,7 +938,7 @@ def _level_entries(
         # it must be written explicitly
         add(530, 3, [1, 1])
     add(277, 3, [lv["spp"]])
-    add(284, 3, [1])  # chunky
+    add(284, 3, [2 if lv.get("planar") else 1])  # chunky / planar
     otyp = 16 if big else 4  # LONG8 offsets carry >4 GiB placements
     if lv["tiling"] is not None:
         add(322, 4, [lv["tiling"][0]])
@@ -1017,9 +1061,14 @@ def encode_tiff(
     tiling: tuple[int, int] | None = None,
     bigtiff: bool = False,
     jpeg_quality: int = 95,
+    planar: bool = False,
 ) -> bytes:
     """uint8 (h, w[, c]) or uint16/float32/float64 (h, w) ->
     little-endian TIFF.
+
+    ``planar=True`` writes PlanarConfiguration=2 (each component's
+    segments stored contiguously) — the layout some multi-band GDAL
+    exports use (``INTERLEAVE=BAND``); chunky (1) is the default.
 
     ``geo=(ulx, uly, sx, sy, crs)`` (sy negative, north-up) adds the
     GeoTIFF tags the reference's ``write_tif`` emits via GDAL
@@ -1031,7 +1080,8 @@ def encode_tiff(
     scanline strips.
     """
     lv = _plan_level(
-        arr, compression, rows_per_strip, predictor, level, tiling, jpeg_quality
+        arr, compression, rows_per_strip, predictor, level, tiling,
+        jpeg_quality, planar,
     )
     return _assemble([lv], [geo], bigtiff)
 
