@@ -757,6 +757,21 @@ def q_multimodal_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.pixel_sums(imgs)
 
 
+def q_multimodal_png16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit PNG decode gate over the DEM/elevation layout (the raster
+    shape GDAL most often hands the reference's ``read_tif``,
+    /root/reference/src/io.py:41-63): even-pk payloads are Adam7
+    INTERLACED, odd-pk straight, so one gate drives both reassembly
+    paths of sources/codec.py.  Oracle: closed-form sum + row/column-
+    weighted moments — position-sensitive, so a pass scattered to the
+    wrong rows preserves sum_elev but breaks sum_wy/sum_wx."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="dem16", limit=60)
+    return MM.elev_stats(imgs)
+
+
 def q_multimodal_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIFF decode gate: the reference's NATIVE raster format (GDAL
     GeoTIFF, /root/reference/src/io.py:41-63), from-scratch strip
@@ -2002,6 +2017,7 @@ def q_mvt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last so a truncated sweep loses only redundant evidence.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never driver-sampled before round 5: run first ------------------- #
+    "multimodal_png16": q_multimodal_png16,
     "audio_g711": q_audio_g711,
     "phash_compute": q_phash_compute,
     "phash_near_dup": q_phash_near_dup,
@@ -2203,6 +2219,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "skeletonize_bars": _skeletonize_bars_sql(),
         "skeletonize": _skeletonize_sql(),
         "multimodal_pixel_sums": _multimodal_pixel_sums_sql(),
+        "multimodal_png16": _multimodal_png16_sql(),
         "multimodal_quarantine": _multimodal_quarantine_sql(),
         "multimodal_webp": _multimodal_webp_sql(),
         "multimodal_tiff": _multimodal_tiff_sql(),
@@ -3161,6 +3178,32 @@ FROM imgs i
 JOIN rowsums rs USING (image_id)
 JOIN colsums cs USING (image_id)
 JOIN blob bl USING (image_id)"""
+    )
+
+
+def _multimodal_png16_sql() -> str:
+    """Closed-form twin of q_multimodal_png16 (see images.dem16_sums_ctes):
+    separable 16-bit gradient, so sum and both axis-weighted moments are
+    pure arithmetic over the mod-sequence sums.  ``//`` keeps the
+    triangular numbers BIGINT (DuckDB ``/`` is float division)."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import dem16_sums_ctes
+
+    return (
+        dem16_sums_ctes(60)
+        + """
+SELECT i.image_id,
+  CAST(i.w * i.h AS BIGINT) AS n_px,
+  512 * i.w * rs.syy + 23 * i.h * cs.sxx
+    + CAST(1000 AS BIGINT) * i.w * i.h                         AS sum_elev,
+  512 * i.w * rs.syy_w
+    + (23 * cs.sxx + CAST(1000 AS BIGINT) * i.w)
+      * ((CAST(i.h AS BIGINT) * (i.h - 1)) // 2)               AS sum_wy,
+  23 * i.h * cs.sxx_w
+    + (512 * rs.syy + CAST(1000 AS BIGINT) * i.h)
+      * ((CAST(i.w AS BIGINT) * (i.w - 1)) // 2)               AS sum_wx
+FROM imgs i
+JOIN rowsums rs USING (image_id)
+JOIN colsums cs USING (image_id)"""
     )
 
 

@@ -209,6 +209,7 @@ def main() -> None:
         "multimodal_tiff_quarantine",
         "mp3_audio_l3",
         "audio_g711",
+        "multimodal_png16",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

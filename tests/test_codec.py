@@ -139,3 +139,99 @@ def test_decode_palette_png_trns_alpha():
     assert got.shape == (2, 2, 4)
     assert got[0, 0, 3] == 128 and got[0, 1, 3] == 255
     np.testing.assert_array_equal(got[0, 0, :3], [10, 20, 30])
+
+
+@pytest.mark.parametrize("shape", [(7, 5), (13, 17), (5, 9, 3), (8, 8, 4), (1, 1), (9, 1, 3), (1, 9)])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+@pytest.mark.parametrize("interlace", [False, True])
+def test_png_16bit_adam7_roundtrip(shape, dtype, interlace):
+    """16-bit depth (DEM layout) and Adam7 interlace, all combinations."""
+    rng = np.random.RandomState(11)
+    hi = 256 if dtype == np.uint8 else 65536
+    arr = rng.randint(0, hi, size=shape).astype(dtype)
+    out = codec.decode_png(codec.encode_png(arr, interlace=interlace))
+    assert out.dtype == dtype
+    np.testing.assert_array_equal(out, arr)
+
+
+def test_png_adam7_pass_grid_partitions():
+    """The 7 passes tile every pixel exactly once, any dims."""
+    for w, h in [(1, 1), (8, 8), (17, 13), (9, 7), (3, 2), (2, 3), (16, 1)]:
+        cnt = np.zeros((h, w), int)
+        for x0, y0, dx, dy, pw, ph in codec._adam7_dims(w, h):
+            cnt[y0::dy, x0::dx] += 1
+        assert (cnt == 1).all(), (w, h)
+
+
+def test_png_interlaced_matches_straight():
+    """Same pixels through both layouts decode identically."""
+    rng = np.random.RandomState(5)
+    arr = rng.randint(0, 65536, size=(31, 23)).astype(np.uint16)
+    a = codec.decode_png(codec.encode_png(arr, interlace=False))
+    b = codec.decode_png(codec.encode_png(arr, interlace=True))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_png_16bit_byte_order_is_network():
+    """Depth-16 samples are big-endian per the PNG spec: a crafted
+    one-pixel stream with bytes 0x12 0x34 must decode to 0x1234."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    png = (
+        codec._PNG_SIG
+        + codec._chunk(b"IHDR", ihdr)
+        + codec._chunk(b"IDAT", zlib.compress(b"\x00\x12\x34"))
+        + codec._chunk(b"IEND", b"")
+    )
+    assert codec.decode_png(png)[0, 0] == 0x1234
+
+
+def test_png_interlaced_palette_rejected():
+    """Sub-byte interlaced palettes stay out of scope — loud reject."""
+    import struct
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 1)
+    png = (
+        codec._PNG_SIG
+        + codec._chunk(b"IHDR", ihdr)
+        + codec._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        codec.decode_png(png)
+
+
+def test_png_interlaced_bomb_guard():
+    """The inflate cap uses the per-pass expected size: oversized pixel
+    data in an interlaced stream still rejects."""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    png = (
+        codec._PNG_SIG
+        + codec._chunk(b"IHDR", ihdr)
+        + codec._chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + codec._chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        codec.decode_png(png)
+
+
+def test_render_dem16_closed_form():
+    """render_dem16 sums match the oracle's separable formulas."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import render_dem16
+
+    for pk, w, h in [(1, 200, 200), (7, 237, 411), (42, 1001, 353)]:
+        a = render_dem16(pk, w, h).astype(np.int64)
+        assert a.max() <= 52176 and a.min() >= 1000
+        y = np.arange(h, dtype=np.int64)
+        x = np.arange(w, dtype=np.int64)
+        syy = ((y * 7 + pk) % 97).sum()
+        sxx = ((x * 13 + pk) % 89).sum()
+        syy_w = (y * ((y * 7 + pk) % 97)).sum()
+        sxx_w = (x * ((x * 13 + pk) % 89)).sum()
+        assert a.sum() == 512 * w * syy + 23 * h * sxx + 1000 * w * h
+        assert (a * y[:, None]).sum() == 512 * w * syy_w + (23 * sxx + 1000 * w) * (h * (h - 1) // 2)
+        assert (a * x[None, :]).sum() == 23 * h * sxx_w + (512 * syy + 1000 * h) * (w * (w - 1) // 2)

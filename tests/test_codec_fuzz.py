@@ -53,6 +53,16 @@ _PCM = np.rint(9000 * np.sin(np.arange(3000) * 0.04)).astype(np.int16)
 _VALID = {
     "png": (codec.encode_png(_IMG_RGB), codec.decode_png),
     "png_gray": (codec.encode_png(_IMG_GRAY), codec.decode_png),
+    "png_adam7": (
+        codec.encode_png(_IMG_RGB, interlace=True),
+        codec.decode_png,
+    ),
+    "png_dem16": (
+        codec.encode_png(
+            (_IMG_GRAY.astype(np.uint16) * 257), interlace=True
+        ),
+        codec.decode_png,
+    ),
     "gif": (
         codec_gif.encode_gif(
             [_IMG_GRAY], np.arange(256 * 3, dtype=np.uint8).reshape(256, 3)

@@ -194,3 +194,68 @@ def test_slice_tiles_skip_drops_bad_image(spark):
     assert len(out) == 4  # 16/8 x 16/8
     with pytest.raises(ValueError, match="on_error"):
         raster.slice_tiles(df, cfg, on_error="quarantine")
+
+
+def _dem_df(spark, interlace_even=True):
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import render_dem16
+
+    rows = []
+    for pk in range(4):
+        arr = render_dem16(pk, 12, 9)
+        rows.append(
+            (f"dem-{pk}", codec.encode_png(arr, interlace=pk % 2 == 0), 12, 9, "png")
+        )
+    rows.append(("dem-bad", b"\x89PNG\r\n\x1a\ngarbage", 12, 9, "png"))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+    )
+
+
+def test_elev_stats_exact_and_position_sensitive(spark):
+    """elev_stats matches a driver-side numpy recompute (both interlaced
+    and straight payloads), and the weighted moments distinguish a
+    row-permuted plane with the same plain sum."""
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import render_dem16
+
+    out = {r.image_id: r for r in MM.elev_stats(_dem_df(spark), on_error="skip").collect()}
+    assert sorted(out) == [f"dem-{pk}" for pk in range(4)]
+    for pk in range(4):
+        a = render_dem16(pk, 12, 9).astype(np.int64)
+        r = out[f"dem-{pk}"]
+        assert r.n_px == a.size
+        assert r.sum_elev == int(a.sum())
+        assert r.sum_wy == int((a * np.arange(9)[:, None]).sum())
+        assert r.sum_wx == int((a * np.arange(12)[None, :]).sum())
+    # position sensitivity: flipping rows keeps sum_elev, changes sum_wy
+    a = render_dem16(1, 12, 9).astype(np.int64)
+    b = a[::-1]
+    assert a.sum() == b.sum()
+    assert (a * np.arange(9)[:, None]).sum() != (b * np.arange(9)[:, None]).sum()
+
+
+def test_elev_stats_quarantine_keeps_good_rows_exact(spark):
+    out = MM.elev_stats(_dem_df(spark), on_error="quarantine").collect()
+    assert len(out) == 5
+    by_id = {r.image_id: r for r in out}
+    assert by_id["dem-bad"].error is not None
+    assert by_id["dem-bad"].sum_elev is None
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources.images import render_dem16
+
+    for pk in range(4):
+        a = render_dem16(pk, 12, 9).astype(np.int64)
+        assert by_id[f"dem-{pk}"].sum_elev == int(a.sum())
+
+
+def test_elev_stats_rejects_multiband(spark):
+    from pyspark.errors.exceptions.base import PySparkException
+
+    rng = np.random.default_rng(4)
+    arr = rng.integers(0, 256, (6, 5, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("rgb-0", codec.encode_png(arr), 5, 6, "png")],
+            columns=["image_id", "bytes", "w", "h", "fmt"],
+        )
+    )
+    with pytest.raises(PySparkException, match="single band"):
+        MM.elev_stats(df).collect()

@@ -166,6 +166,48 @@ def pixel_sums(images: DataFrame, on_error: str = "fail") -> DataFrame:
     return images.mapInPandas(run, schema=schema)
 
 
+def elev_stats(images: DataFrame, on_error: str = "fail") -> DataFrame:
+    """16-bit single-band raster gate (DEM/elevation layout): per-image
+    int64 elevation sum plus row- and column-weighted sums.
+
+    The weighted moments make the oracle POSITION-sensitive: an Adam7
+    pass scattered to the wrong rows/columns preserves the plain sum but
+    breaks ``sum_wy``/``sum_wx``, so interlace reassembly bugs cannot
+    hide.  Closed-form for the separable render_dem16 plane.  Replaces
+    the reference's GDAL DEM read (``read_tif``,
+    /root/reference/src/io.py:41-63).  ``on_error``: see module policy."""
+    _check_on_error(on_error)
+    cols = ["image_id", "n_px", "sum_elev", "sum_wy", "sum_wx"]
+    schema = (
+        "image_id string, n_px long, sum_elev long, sum_wy long, sum_wx long"
+    )
+    if on_error == "quarantine":
+        schema += ", error string"
+
+    def one(r):
+        arr = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+        if arr.ndim != 2:
+            raise ValueError(f"elev_stats wants a single band, got {arr.shape}")
+        a = arr.astype(np.int64, copy=False)
+        h, w = a.shape
+        rows_sum = a.sum(axis=1)          # int64 per-row totals
+        cols_sum = a.sum(axis=0)
+        return (
+            r.image_id,
+            int(h * w),
+            int(rows_sum.sum()),
+            int((rows_sum * np.arange(h, dtype=np.int64)).sum()),
+            int((cols_sum * np.arange(w, dtype=np.int64)).sum()),
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = _guarded_rows(pdf, one, "image_id", 4, on_error)
+            yield _rows_frame(rows, cols, on_error)
+
+    return images.mapInPandas(run, schema=schema)
+
+
 def audio_features(audio: DataFrame, on_error: str = "fail") -> DataFrame:
     """Real audio path: per-row integer features — sample/channel counts,
     duration, sum|s|, strict zero-crossings of channel 0 — all exact ints

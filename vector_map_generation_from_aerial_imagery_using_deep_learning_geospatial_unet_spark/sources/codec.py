@@ -7,9 +7,12 @@ inside Arrow UDFs on binary columns.  Both codecs are lossless, so the
 per-row pixel invariant (decoded allclose; PSNR>=40 dB only applies to lossy
 formats) degenerates to exact equality.
 
-The PNG implementation covers exactly what the engine needs: 8-bit
-greyscale / RGB / RGBA, non-interlaced; the decoder handles all five filter
-types, the encoder emits filter 0.  Stdlib ``zlib`` only.
+The PNG implementation covers exactly what the engine needs: 8- and 16-bit
+greyscale / GA / RGB / RGBA plus 8-bit palettes, straight or Adam7
+interlaced; the decoder handles all five filter types, the encoder emits
+filter 0 (optionally Adam7).  16-bit greyscale is the DEM/elevation-raster
+layout GDAL most often hands the reference's ``read_tif``
+(/root/reference/src/io.py:41-63).  Stdlib ``zlib`` only.
 """
 
 from __future__ import annotations
@@ -22,8 +25,26 @@ import numpy as np
 from ._hardening import malformed_guard
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-_COLOR_TYPE = {1: 0, 3: 2, 4: 6}           # channels -> PNG color type
+_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}      # channels -> PNG color type
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}        # PNG color type -> channels
+
+# Adam7 pass grid: (x0, y0, dx, dy) per pass.  Byte-aligned depths only
+# (8/16-bit); sub-byte interlaced palettes stay rejected.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_dims(w: int, h: int) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, dx, dy, pw, ph)."""
+    out = []
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -35,26 +56,54 @@ def _chunk(tag: bytes, payload: bytes) -> bytes:
     )
 
 
-def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
-    """uint8 (h, w) or (h, w, c) -> PNG bytes (filter 0, zlib `level`).
+def _filter0_lines(px: np.ndarray) -> bytes:
+    """(h, stride) uint8 scanline bytes -> filter-0-prefixed stream."""
+    h, stride = px.shape
+    raw = np.empty((h, 1 + stride), dtype=np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = px
+    return raw.tobytes()
+
+
+def encode_png(arr: np.ndarray, level: int = 6, interlace: bool = False) -> bytes:
+    """uint8/uint16 (h, w) or (h, w, c) -> PNG bytes (filter 0, zlib
+    `level`; Adam7 when ``interlace``).
 
     Any level is lossless; intermediate tile hops use level 1 (zlib speed
     scales steeply with level while mask-like payloads compress well even
-    at 1), durable sinks keep the default 6."""
-    if arr.dtype != np.uint8:
-        raise ValueError(f"png codec is uint8-only, got {arr.dtype}")
+    at 1), durable sinks keep the default 6.  uint16 emits depth-16
+    (network byte order per the PNG spec) — the DEM/elevation layout."""
+    if arr.dtype == np.uint8:
+        depth = 8
+    elif arr.dtype == np.uint16:
+        depth = 16
+    else:
+        raise ValueError(f"png codec is uint8/uint16-only, got {arr.dtype}")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, c = arr.shape
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, _COLOR_TYPE[c], 0, 0, 0)
-    # filter byte 0 prepended to each scanline
-    raw = np.empty((h, 1 + w * c), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = arr.reshape(h, w * c)
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, _COLOR_TYPE[c], 0, 0, 1 if interlace else 0
+    )
+    # big-endian sample bytes, (h, w, bpp) with bpp = c * depth//8
+    if depth == 16:
+        px = np.ascontiguousarray(arr.astype(">u2")).view(np.uint8)
+    else:
+        px = arr
+    px = px.reshape(h, w, c * (depth // 8))
+    if interlace:
+        stream = b"".join(
+            _filter0_lines(
+                np.ascontiguousarray(px[y0::dy, x0::dx]).reshape(ph, -1)
+            )
+            for x0, y0, dx, dy, pw, ph in _adam7_dims(w, h)
+        )
+    else:
+        stream = _filter0_lines(px.reshape(h, -1))
     return (
         _PNG_SIG
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
+        + _chunk(b"IDAT", zlib.compress(stream, level))
         + _chunk(b"IEND", b"")
     )
 
@@ -98,9 +147,11 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 @malformed_guard("png")
 def decode_png(data: bytes) -> np.ndarray:
-    """Decode 8-bit gray/GA/RGB/RGBA plus palette (type 3) PNGs; palettes
-    support depths 1/2/4/8 and tRNS transparency — the common web-PNG
-    variants.  16-bit and interlaced streams are rejected loudly."""
+    """Decode 8/16-bit gray/GA/RGB/RGBA (straight or Adam7 interlaced)
+    plus palette (type 3) PNGs; palettes support depths 1/2/4/8 and tRNS
+    transparency — the common web-PNG variants plus the 16-bit DEM
+    layout.  16-bit returns uint16.  Interlaced sub-byte palettes are
+    rejected loudly."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, idat, w = 8, [], None
@@ -122,13 +173,15 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if w == 0 or h == 0:
                 raise ValueError("png: zero dimension")
-            if interlace != 0 or (ctype in _CHANNELS and depth != 8):
-                raise ValueError("unsupported PNG variant")
             if ctype == 3:
                 if depth not in (1, 2, 4, 8):
                     raise ValueError(f"bad palette depth {depth}")
+                if interlace != 0:
+                    raise ValueError("unsupported PNG variant")
                 c = 1
             elif ctype in _CHANNELS:
+                if depth not in (8, 16) or interlace not in (0, 1):
+                    raise ValueError("unsupported PNG variant")
                 c = _CHANNELS[ctype]
             else:
                 raise ValueError(f"unsupported PNG color type {ctype}")
@@ -142,12 +195,18 @@ def decode_png(data: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    stride = (w * depth + 7) // 8 if ctype == 3 else w * c
+    bpp = c * (depth // 8) if ctype != 3 else 1
+    stride = (w * depth + 7) // 8 if ctype == 3 else w * bpp
+    passes = _adam7_dims(w, h) if interlace else []
     # Decompression-bomb guard: the pixel-data size is fully determined
-    # by the header (h scanlines of 1 filter byte + stride), so cap the
-    # inflate at that size — a hostile IDAT can claim a 1032:1 DEFLATE
-    # ratio and a 100 MB chunk must not inflate to 100 GB on an executor.
-    expected = h * (1 + stride)
+    # by the header (scanlines of 1 filter byte + stride, per pass when
+    # Adam7), so cap the inflate at that size — a hostile IDAT can claim
+    # a 1032:1 DEFLATE ratio and a 100 MB chunk must not inflate to
+    # 100 GB on an executor.
+    if interlace:
+        expected = sum(ph * (1 + pw * bpp) for *_xy, pw, ph in passes)
+    else:
+        expected = h * (1 + stride)
     d = zlib.decompressobj()
     buf = d.decompress(b"".join(idat), expected + 1)
     if len(buf) > expected:
@@ -176,8 +235,26 @@ def decode_png(data: bytes) -> np.ndarray:
             alpha[: len(trns)] = trns
             return np.dstack([rgb, alpha[idx]])
         return rgb
-    out = _unfilter(raw, h, w * c, c)
-    arr = out.reshape(h, w, c)
+    if interlace:
+        grid = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            n = ph * (1 + pw * bpp)
+            sub = _unfilter(raw[off : off + n], ph, pw * bpp, bpp)
+            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            off += n
+        out = grid.reshape(h, stride)
+    else:
+        out = _unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        arr = (
+            np.ascontiguousarray(out)
+            .view(">u2")
+            .astype(np.uint16)
+            .reshape(h, w, c)
+        )
+    else:
+        arr = out.reshape(h, w, c)
     return arr[:, :, 0] if c == 1 else arr
 
 

@@ -253,6 +253,51 @@ def render_rgb(pk: int, w: int, h: int) -> np.ndarray:
     return img
 
 
+def render_dem16(pk: int, w: int, h: int) -> np.ndarray:
+    """uint16 (h, w) pseudo-DEM: separable gradient scaled past the 8-bit
+    range (max 52176), the elevation-raster layout GDAL hands the
+    reference's ``read_tif``.  elev[y][x] = 512*((y*7+pk)%97)
+    + 23*((x*13+pk)%89) + 1000 — closed-form sum and axis-weighted
+    moments (see DEM16_SUMS_SQL)."""
+    yy = 512 * ((np.arange(h, dtype=np.uint32) * 7 + pk) % 97)
+    xx = 23 * ((np.arange(w, dtype=np.uint32) * 13 + pk) % 89)
+    return (yy[:, None] + xx[None, :] + 1000).astype(np.uint16)
+
+
+def dem16_sums_ctes(limit: int) -> str:
+    """WITH-chain deriving render_dem16's closed-form stats.  Separable:
+      sum_elev = 512*w*Syy + 23*h*Sxx + 1000*w*h
+      sum_wy   = 512*w*SyY + (23*Sxx + 1000*w) * h*(h-1)/2
+      sum_wx   = 23*h*SxX + (512*Syy + 1000*h) * w*(w-1)/2
+    with Syy/Sxx the axis mod-sequence sums and SyY/SxX their
+    index-weighted twins.  Ends with ``imgs/rowsums/colsums`` for the
+    caller's SELECT."""
+    return (
+        "WITH "
+        + IMAGES_META_PK_SQL
+        + f""",
+imgs AS (SELECT image_id, pk, w, h FROM images_meta_pk WHERE pk <= {limit}),
+ys AS (
+  SELECT image_id, pk, unnest(generate_series(0, h - 1)) AS y FROM imgs
+),
+rowsums AS (
+  SELECT image_id,
+    CAST(sum((y * 7 + pk) % 97) AS BIGINT)     AS syy,
+    CAST(sum(y * ((y * 7 + pk) % 97)) AS BIGINT) AS syy_w
+  FROM ys GROUP BY image_id
+),
+xs AS (
+  SELECT image_id, pk, unnest(generate_series(0, w - 1)) AS x FROM imgs
+),
+colsums AS (
+  SELECT image_id,
+    CAST(sum((x * 13 + pk) % 89) AS BIGINT)     AS sxx,
+    CAST(sum(x * ((x * 13 + pk) % 89)) AS BIGINT) AS sxx_w
+  FROM xs GROUP BY image_id
+)"""
+    )
+
+
 def caption_for(pk: int, n_blobs: int) -> str:
     lat = (pk * 89 % 10500) / 100.0
     lon = (pk * 97 % 10500) / 100.0
@@ -320,12 +365,22 @@ def images_table(
                     arr = render_dumbbell(pk, w, h)
                 elif kind == "bars":
                     arr = render_bars(pk, w, h)
+                elif kind == "dem16":
+                    arr = render_dem16(pk, w, h)
                 else:
                     arr = render_rgb(pk, w, h)
+                if kind == "dem16":
+                    # 16-bit is PNG-only here; alternate straight/Adam7
+                    # so one gate drives BOTH reassembly paths
+                    if fmt != "png":
+                        raise ValueError("dem16 images are png-only")
+                    payload = codec.encode_png(arr, interlace=pk % 2 == 0)
+                else:
+                    payload = codec.encode(arr, fmt)
                 rows.append(
                     (
                         r.image_id,
-                        codec.encode(arr, fmt),
+                        payload,
                         w,
                         h,
                         fmt,
