@@ -654,6 +654,57 @@ def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(audio)
 
 
+def q_audio_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMA/DVI ADPCM WAV gate (r5, audio_format 0x11 — the classic 4:1
+    compressed-WAV layout): per-pk deterministic two-tone PCM encoded
+    through the from-scratch IMA quantizer (sources/codec_wav.py), decoded
+    back by the vectorized block decoder, reduced to audio_features ints.
+    Signal spec (mirrored verbatim by tools/build_adpcm_fixture.py):
+
+        rate = [8000, 22050, 44100][pk % 3];  n = 2500 + (pk % 6) * 500
+        x = 0.55 sin(2 pi f1 i / rate) + 0.3 sin(2 pi f2 i / rate + 0.7)
+        f1 = 150 + 29 (pk % 11);  f2 = 900 + 41 (pk % 9)
+        ch0 = rint(30000 x); odd pk adds ch1 = -ch0 // 3
+
+    ADPCM is lossy (staircase quantizer), so the oracle is the frozen
+    single-process expectations table — the same pattern as mp3_audio."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav
+
+    meta = _capped_media_meta(spark, sf_dir)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                rate = [8000, 22050, 44100][pk % 3]
+                n = 2500 + (pk % 6) * 500
+                i = np.arange(n, dtype=np.float64)
+                f1 = 150 + 29 * (pk % 11)
+                f2 = 900 + 41 * (pk % 9)
+                x = 0.55 * np.sin(2 * np.pi * f1 / rate * i) + 0.3 * np.sin(
+                    2 * np.pi * f2 / rate * i + 0.7
+                )
+                ch0 = np.rint(30000 * x).astype(np.int16)
+                if pk % 2:
+                    sig = np.stack([ch0, (-ch0 // 3).astype(np.int16)], axis=1)
+                else:
+                    sig = ch0
+                rows.append(
+                    (r.image_id, codec_wav.encode_wav_adpcm(sig, rate), "wav")
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    audio = meta.mapInPandas(
+        synth, schema="audio_id string, bytes binary, fmt string"
+    )
+    return MM.audio_features(audio)
+
+
 def q_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real animation path: deterministic animated GIFs (encoded through
     the real LZW codec), frame-sampled every 2nd frame, per-frame exact
@@ -2018,6 +2069,7 @@ def q_mvt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never driver-sampled before round 5: run first ------------------- #
     "multimodal_png16": q_multimodal_png16,
+    "audio_adpcm": q_audio_adpcm,
     "audio_g711": q_audio_g711,
     "phash_compute": q_phash_compute,
     "phash_near_dup": q_phash_near_dup,
@@ -2234,6 +2286,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "cc_distributed": _cc_distributed_sql(),
         "audio_features": _audio_features_sql(),
         "audio_g711": _audio_g711_sql(),
+        "audio_adpcm": _audio_adpcm_sql(),
         "gif_frames": _gif_frames_sql(),
         "video_meta": _video_meta_sql(),
         "video_frames": _video_frames_sql(),
@@ -3228,6 +3281,7 @@ _MM_THUMB_FIXTURE = "/root/repo/fixtures/multimodal_thumb_sf0_01.parquet"
 _MM_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_jpeg_sf0_01.parquet"
 _MM_TIFF_JPEG_FIXTURE = "/root/repo/fixtures/multimodal_tiff_jpeg_sf0_01.parquet"
 _MP3_AUDIO_FIXTURE = "/root/repo/fixtures/mp3_audio_sf0_01.parquet"
+_AUDIO_ADPCM_FIXTURE = "/root/repo/fixtures/audio_adpcm_sf0_01.parquet"
 _MP3_AUDIO_L2_FIXTURE = "/root/repo/fixtures/mp3_audio_l2_sf0_01.parquet"
 _MP3_AUDIO_L3_FIXTURE = "/root/repo/fixtures/mp3_audio_l3_sf0_01.parquet"
 
@@ -3557,6 +3611,18 @@ FROM evts
 WHERE (off // 5) * 5 + 5 <= (SELECT max(off) FROM evts)
 GROUP BY 1"""
     )
+
+
+def _audio_adpcm_sql() -> str:
+    """Twin of q_audio_adpcm: lossy IMA staircase samples have no SQL
+    form, so the oracle is the complete expectations table from a
+    single-process run of the same synth -> encode -> decode -> feature
+    chain (tools/build_adpcm_fixture.py) — no Spark machinery shared, so
+    a distributed-plumbing bug cannot cancel out."""
+    return f"""
+SELECT audio_id, n_samples, n_channels, sample_rate,
+       duration_ms, sum_abs, zero_crossings
+FROM read_parquet('{_AUDIO_ADPCM_FIXTURE}')"""
 
 
 def _mp3_audio_sql() -> str:

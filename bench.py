@@ -210,6 +210,7 @@ def main() -> None:
         "mp3_audio_l3",
         "audio_g711",
         "multimodal_png16",
+        "audio_adpcm",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -72,6 +72,7 @@ _VALID = {
     "webp": (codec_webp.encode_webp(_IMG_RGB), codec_webp.decode_webp),
     "jpeg": (codec_jpeg.encode_jpeg(_IMG_RGB), codec_jpeg.decode_jpeg),
     "wav": (codec_wav.encode_wav(_PCM, 8000), codec_wav.decode_wav),
+    "wav_adpcm": (codec_wav.encode_wav_adpcm(_PCM, 8000), codec_wav.decode_wav),
     "flac": (codec_flac.encode_flac(_PCM, 8000), codec_flac.decode_flac),
     "tiff_deflate": (codec_tiff.encode_tiff(_IMG_RGB), codec_tiff.decode_tiff),
     "tiff_lzw": (

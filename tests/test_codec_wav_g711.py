@@ -105,3 +105,128 @@ def test_float_wav_still_stub():
     blob[20] = 3  # WAVE_FORMAT_IEEE_FLOAT
     with pytest.raises(NotImplementedError):
         W.decode_wav(bytes(blob))
+
+
+# --------------------------------------------------------------------------- #
+# IMA/DVI ADPCM (audio_format 0x11)
+# --------------------------------------------------------------------------- #
+
+def _ref_ima_decode(blob):
+    """Independently-written scalar IMA reference decoder (textbook
+    per-nibble loop, no numpy vectorization) — the vectorized block
+    decoder must match it bit-for-bit."""
+    import struct
+
+    STEPS = W._IMA_STEPS.tolist()
+    ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    pos, fmt, data, fact = 12, None, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        size = struct.unpack("<I", blob[pos + 4 : pos + 8])[0]
+        body = blob[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        elif cid == b"fact":
+            fact = struct.unpack("<I", body[:4])[0]
+        pos += 8 + size + (size & 1)
+    af, ch, rate, _, ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    assert af == 0x11 and bits == 4
+    out = []
+    for b in range(len(data) // ba):
+        blk = data[b * ba : (b + 1) * ba]
+        chans, idxs = [], []
+        for c in range(ch):
+            p, i, _r = struct.unpack("<hBB", blk[4 * c : 4 * c + 4])
+            chans.append([p])
+            idxs.append(i)
+        body = blk[4 * ch :]
+        for w in range(len(body) // (4 * ch)):
+            for c in range(ch):
+                word = body[(w * ch + c) * 4 : (w * ch + c) * 4 + 4]
+                for byte in word:
+                    for nib in (byte & 0xF, byte >> 4):
+                        step = STEPS[idxs[c]]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        p = chans[c][-1] + (-diff if nib & 8 else diff)
+                        chans[c].append(max(-32768, min(32767, p)))
+                        idxs[c] = max(0, min(88, idxs[c] + ADJ[nib & 7]))
+        for t in range(len(chans[0])):
+            out.append([chans[c][t] for c in range(ch)])
+    out = np.array(out, dtype=np.int16)
+    return (out[:fact] if fact is not None else out), rate
+
+
+@pytest.mark.parametrize("n,ch", [(3000, 1), (4567, 2), (1, 1), (1017, 1), (1018, 2), (300, 3)])
+def test_adpcm_matches_scalar_reference(n, ch):
+    t = np.arange(n)
+    sig = (8000 * np.sin(t * 0.05) + 3000 * np.sin(t * 0.013 + 1)).astype(np.int16)
+    s = np.stack([np.roll(sig, k * 7) for k in range(ch)], axis=1).astype(np.int16)
+    blob = W.encode_wav_adpcm(s if ch > 1 else s[:, 0], 8000)
+    dec, rate = W.decode_wav(blob)
+    ref, rr = _ref_ima_decode(blob)
+    assert rate == rr == 8000 and dec.shape == (n, ch)
+    np.testing.assert_array_equal(dec, ref)
+
+
+def test_adpcm_snr_and_block_heads_exact():
+    """First sample of every block is stored verbatim; overall SNR is in
+    the normal IMA band (>= 30 dB on band-limited audio)."""
+    n = 5000
+    t = np.arange(n)
+    s = (12000 * np.sin(t * 0.03) + 5000 * np.sin(t * 0.011 + 2)).astype(np.int16)
+    dec, _ = W.decode_wav(W.encode_wav_adpcm(s, 16000))
+    spb = 8 * 127 + 1
+    for b in range(0, n, spb):
+        assert dec[b, 0] == s[b]
+    err = (dec[:, 0].astype(np.float64) - s) ** 2
+    snr = 10 * np.log10((s.astype(np.float64) ** 2).mean() / err.mean())
+    assert snr >= 30, snr
+
+
+def test_adpcm_fact_truncates_padding():
+    s = np.arange(-500, 500, dtype=np.int16)  # 1000 samples, not block-aligned
+    dec, _ = W.decode_wav(W.encode_wav_adpcm(s, 8000))
+    assert dec.shape == (1000, 1)
+
+
+def test_adpcm_hostile_headers():
+    import struct
+
+    s = (1000 * np.sin(np.arange(2000) * 0.02)).astype(np.int16)
+    blob = bytearray(W.encode_wav_adpcm(s, 8000))
+    # step index byte of channel 0's first block header -> 200 (>88)
+    data_off = blob.find(b"data") + 8
+    blob[data_off + 2] = 200
+    with pytest.raises(ValueError, match="step index"):
+        W.decode_wav(bytes(blob))
+    # block_align not a multiple of 4*ch
+    blob2 = bytearray(W.encode_wav_adpcm(s, 8000))
+    fmt_off = blob2.find(b"fmt ") + 8
+    blob2[fmt_off + 12 : fmt_off + 14] = struct.pack("<H", 510)
+    with pytest.raises(ValueError, match="block_align"):
+        W.decode_wav(bytes(blob2))
+    # fact claiming more samples than the payload decodes to
+    blob3 = bytearray(W.encode_wav_adpcm(s, 8000))
+    fact_off = blob3.find(b"fact") + 8
+    blob3[fact_off : fact_off + 4] = struct.pack("<I", 10**6)
+    with pytest.raises(ValueError, match="fact count"):
+        W.decode_wav(bytes(blob3))
+
+
+def test_adpcm_stereo_channels_independent():
+    """A silent right channel stays silent regardless of the left."""
+    n = 2000
+    left = (9000 * np.sin(np.arange(n) * 0.04)).astype(np.int16)
+    s = np.stack([left, np.zeros(n, np.int16)], axis=1)
+    dec, _ = W.decode_wav(W.encode_wav_adpcm(s, 8000))
+    assert (dec[:, 1] == 0).all()
+    assert np.abs(dec[:, 0].astype(np.int32) - left).mean() < 200
