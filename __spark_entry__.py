@@ -1572,8 +1572,9 @@ def q_mp3_audio_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
     requantization, alias-reduction butterflies, 36-point IMDCT with
     overlap-add, frequency inversion, the shared polyphase synthesis
     filterbank).  Restricted profile documented in the module docstring
-    (long blocks, tables 0/1 + count1B, no bit reservoir) — the last
-    MPEG-1 audio layer, leaving AAC as the only audio stub.  Oracle:
+    (long blocks, tables 0/1 + count1B, bit reservoir + scfsi scale-
+    factor sharing both live) — the last MPEG-1 audio layer, leaving
+    AAC as the only audio stub.  Oracle:
     frozen single-process expectations
     (tools/build_mp3_fixture.py :: mp3_l3_signal, which documents the
     signal spec); rate/distortion pinned by tests/test_mp3.py."""

@@ -450,25 +450,97 @@ def test_l3_silence_roundtrip_exact():
 
 def test_l3_stream_is_spec_framed():
     """Headers parse as Layer III CBR; side-info fields land where the
-    17/32-byte layout puts them (main_data_begin = 0 in byte 4-5)."""
+    17/32-byte layout puts them; the bit reservoir is live on the wire
+    (frame 0 starts at zero, later main_data_begin values are nonzero
+    and never exceed the 9-bit field's 511-byte reach)."""
     sig = _multisine(2400, 48000)
     enc = codec_mp3.encode_mp3(sig, 48000, bitrate_idx=14, layer=3)
     frames = codec_mp3.walk_frames(enc)
     assert len(frames) >= 4
+    begins = []
     for fr in frames:
         assert fr.layer == 3 and fr.sample_rate == 48000
-        # main_data_begin: first 9 bits of the side info are zero
-        assert enc[fr.offset + 4] == 0 and (enc[fr.offset + 5] >> 7) == 0
+        begins.append((enc[fr.offset + 4] << 1) | (enc[fr.offset + 5] >> 7))
+    assert begins[0] == 0
+    assert max(begins) > 0 and max(begins) <= 511
+
+
+def test_l3_reservoir_bookkeeping_is_exact():
+    """Encoder and decoder agree on the reservoir pointer chain: with
+    the frame's main_data length recovered from the side info
+    (scalefactor + part2_3 bits, byte-aligned), main_data_begin of
+    frame f+1 must equal begin_f + slots - md_len_f, stuffing-capped
+    at 511 — the CBR slot-stream invariant, checked frame by frame."""
+    sig = _multisine(6000, 32000)
+    enc = codec_mp3.encode_mp3(sig, 32000, bitrate_idx=2, layer=3)
+    frames = codec_mp3.walk_frames(enc)
+    assert len(frames) >= 5
+    prev_end = 0  # reservoir after the previous frame
+    begins = []
+    for fr in frames:
+        side = enc[fr.offset + 4 : fr.offset + 4 + 17]
+        md_begin, scfsi, sides = codec_mp3_l3._read_side_info(
+            codec_mp3._FrameBits(side), 1
+        )
+        assert md_begin == prev_end
+        begins.append(md_begin)
+        md_bits = sum(s["part2_3"] for s in sides)
+        md_len = -(-md_bits // 8)  # byte-aligned
+        slots = fr.length - 4 - 17
+        res = md_begin + slots - md_len
+        prev_end = min(res, 511)  # stuffing caps the carry
+        assert 0 <= prev_end <= 511
+    # the reservoir actually breathed (not pinned at one value)
+    assert len(set(begins)) >= 2
+    dec, r = codec_mp3.decode_mp3(enc)
+    assert r == 32000
+    d = _l3_delay()
+    assert _snr_db(sig, dec[d : d + len(sig), 0]) > 8.0
+
+
+def test_l3_scfsi_elides_granule1_scalefactors():
+    """Steady content -> granule 1's scalefactors equal granule 0's,
+    so the encoder sets scfsi bits on the wire (the saved slen bits
+    join the reservoir; decode correctness of the elision is covered
+    by the roundtrip gates, which consume these same streams)."""
+    sig = _multisine(4000, 44100)
+    enc = codec_mp3.encode_mp3(sig, 44100, bitrate_idx=14, layer=3)
+    frames = codec_mp3.walk_frames(enc)
+    hit = False
+    for fr in frames:
+        side = enc[fr.offset + 4 : fr.offset + 4 + 17]
+        _, scfsi, sides = codec_mp3_l3._read_side_info(
+            codec_mp3._FrameBits(side), 1
+        )
+        g0, g1 = sides[0], sides[1]
+        if scfsi[0] and g0["part2_3"] and g1["part2_3"]:
+            saved = sum(
+                (4 if b < 11 else 3)
+                for gi, (lo, hi) in enumerate(codec_mp3_l3._SCFSI_BANDS)
+                if (scfsi[0] >> (3 - gi)) & 1
+                for b in range(lo, hi)
+            )
+            assert saved > 0
+            hit = True
+    assert hit, "no frame exercised scfsi on steady content"
 
 
 def test_l3_out_of_profile_side_info_raises():
     sig = _multisine(1200, 44100)
     enc = bytearray(codec_mp3.encode_mp3(sig, 44100, bitrate_idx=14, layer=3))
-    fr = codec_mp3.walk_frames(bytes(enc))[0]
-    # force main_data_begin != 0 -> bit-reservoir boundary
-    enc[fr.offset + 4] = 0xFF
-    with pytest.raises(NotImplementedError, match="reservoir"):
-        codec_mp3.decode_mp3(bytes(enc))
+    frames = codec_mp3.walk_frames(bytes(enc))
+    # frame 0: main_data_begin pointing into an EMPTY reservoir is a
+    # stream error, not a capability boundary
+    bad = bytearray(enc)
+    bad[frames[0].offset + 4] = 0xFF
+    with pytest.raises(ValueError, match="reservoir"):
+        codec_mp3.decode_mp3(bytes(bad))
+    # window_switching_flag (side-info bit 51, mono) -> short/mixed
+    # blocks stay a named NotImplementedError boundary
+    bad = bytearray(enc)
+    bad[frames[0].offset + 4 + 6] |= 0x10
+    with pytest.raises(NotImplementedError, match="window switching"):
+        codec_mp3.decode_mp3(bytes(bad))
 
 
 def test_l3_hostile_bits_raise_cleanly():

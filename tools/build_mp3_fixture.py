@@ -96,8 +96,9 @@ def mp3_l3_signal(pk: int) -> tuple[np.ndarray, int, int]:
     """Layer III twin (q_mp3_audio_l3's spec): a third multisine family
     through the restricted-profile codec (sources/codec_mp3_l3.py).
     High bitrates only (idx 13/14): the 1-bit-magnitude profile spends
-    up to ~5 bits/line + scalefactors, and main_data_begin = 0 means
-    every granule must fit its own frame."""
+    up to ~5 bits/line + scalefactors; the bit reservoir lets a bursty
+    granule borrow earlier frames' unused slots, but the sustained
+    rate must still fit the CBR budget."""
     rate = [32000, 44100, 48000][pk % 3]
     n = 2600 + (pk % 6) * 500
     i = np.arange(n, dtype=np.float64)

@@ -858,15 +858,16 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
     parse, Table 3-B.4 requantization s'' = C * (s''' + D), 32-band
     synthesis filterbank); Layer III decodes through the restricted
     profile in codec_mp3_l3.py (long blocks, Huffman tables 0/1 +
-    count1B, scalefactors, no bit reservoir) — streams outside that
-    profile raise NotImplementedError naming the specific boundary."""
+    count1B, scalefactors, bit reservoir + scfsi) — streams outside
+    that profile raise NotImplementedError naming the specific
+    boundary."""
     frames = walk_frames(data)
     if not frames:
         raise ValueError("no MPEG audio frames found")
     f0 = frames[0]
     if f0.layer == 3:
         # restricted-profile Layer III (codec_mp3_l3.py): long blocks,
-        # Huffman tables 0/1 + count1B, no bit reservoir; anything
+        # Huffman tables 0/1 + count1B, bit reservoir + scfsi; anything
         # outside the profile raises NotImplementedError from the
         # side-info / Huffman parse with the specific boundary named
         from . import codec_mp3_l3

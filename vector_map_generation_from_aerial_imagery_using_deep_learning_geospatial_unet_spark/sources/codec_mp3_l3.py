@@ -24,8 +24,15 @@ decoder owns is real:
   (_BV_TABLES) takes the remaining Annex B tables as pure data, they
   are simply not transcribed; equal table_select in all three regions
   (so the region boundaries never influence decoding);
-* main_data_begin = 0 (no bit reservoir), scfsi = 0, preflag = 0,
-  scalefac_scale = 0, modes mono / stereo-LR.
+* preflag = 0, scalefac_scale = 0, modes mono / stereo-LR.
+
+The BIT RESERVOIR (main_data_begin, 2.4.2.7) and scfsi scalefactor
+sharing ARE implemented on both sides: the encoder packs each frame's
+byte-aligned main_data into the running CBR slot stream (borrowing up
+to 511 bytes from earlier frames' unused slots, stuffing to keep the
+pointer in range) and elides granule-1 scalefactor groups equal to
+granule 0's; the decoder keeps a 511-byte reservoir of prior slot
+bytes and resolves each frame's main_data through main_data_begin.
 
 The encoder quantizes each granule-channel to |is| <= 1 (which is
 exactly what tables {0, 1, count1B} can carry) and spends its bits on
@@ -101,6 +108,11 @@ _SFB_LONG = {
 # The profile's fixed scalefac_compress: 15 -> slen1 = 4, slen2 = 3
 # (finest low-band resolution the field offers).
 _SFC = 15
+
+# scfsi band groups (11172-3 2.4.2.7): scalefactor bands 0-5, 6-10,
+# 11-15, 16-20; a set bit means granule 1 reuses granule 0's
+# scalefactors for that group and does not retransmit them.
+_SCFSI_BANDS = ((0, 6), (6, 11), (11, 16), (16, 21))
 
 
 def _mdct36(z: np.ndarray) -> np.ndarray:
@@ -218,13 +230,28 @@ def _huffman_bits(isv: np.ndarray) -> tuple[str, int]:
     return "".join(bits), bv
 
 
+def _bits_to_bytes(bits: str) -> bytes:
+    """MSB-first bitstring (multiple of 8) -> bytes."""
+    if not bits:
+        return b""
+    arr = np.frombuffer(bits.encode(), dtype=np.uint8) - 48
+    return np.packbits(arr).tobytes()
+
+
 def encode_mp3_l3(
     sig: np.ndarray, sample_rate: int, bitrate_idx: int = 14
 ) -> bytes:
-    """Restricted-profile MPEG-1 Layer III CBR encoder: int16 PCM (n,)
+    """Long-block-profile MPEG-1 Layer III CBR encoder: int16 PCM (n,)
     or (n, ch<=2) -> spec-framed stream (1152 samples/frame, 2 granules,
-    17/32-byte side info, main_data_begin=0).  Appends two silent flush
-    frames so the filterbank + MDCT delay drains."""
+    17/32-byte side info).  Uses the BIT RESERVOIR: each frame's
+    main_data is byte-aligned and packed into the running CBR slot
+    stream, main_data_begin pointing back up to 511 bytes into earlier
+    frames' slots, so a bursty granule may borrow space from quieter
+    neighbours — stuffing bytes keep the pointer in range exactly as
+    real encoders do.  scfsi retransmission elision: when granule 1's
+    scalefactors equal granule 0's over an scfsi band group, the bit is
+    set and the bits saved join the reservoir.  Appends two silent
+    flush frames so the filterbank + MDCT delay drains."""
     sig = np.asarray(sig)
     if sig.ndim == 1:
         sig = sig[:, None]
@@ -256,13 +283,17 @@ def encode_mp3_l3(
     )
     sfb = _SFB_LONG[sample_rate]
     slen1, slen2 = _SLEN[_SFC]
-    part2 = 11 * slen1 + 10 * slen2
     prev = np.zeros((32, 18, ch))  # MDCT overlap state per subband
-    out = bytearray()
+
+    # ---- pass 1: quantize every granule-channel, decide scfsi per
+    # channel (a group bit is set only when BOTH granules carry data
+    # and their scalefactors agree over the group), assemble each
+    # frame's byte-aligned main_data
+    frame_md: list[bytearray] = []
+    frame_scfsi: list[list[int]] = []
+    frame_sides: list[list[tuple[int, int, int, int]]] = []
     for f in range(nframes):
-        gr_bits: list[str] = []
-        # (part2_3, bv, gg, sfc, sf)
-        gr_side: list[tuple[int, int, int, int, np.ndarray]] = []
+        gq: dict[tuple[int, int], tuple[bool, int, np.ndarray, str, int]] = {}
         for g in range(2):
             t0 = 36 * f + 18 * g
             for c in range(ch):
@@ -275,27 +306,83 @@ def encode_mp3_l3(
                 xr = _alias_unreduce(xa)
                 isv, gg, sf = _quantize_granule(xr, sfb)
                 hbits, bv = _huffman_bits(isv)
-                if not np.any(isv):
+                gq[(g, c)] = (bool(np.any(isv)), gg, sf, hbits, bv)
+        scfsi_ch: list[int] = []
+        for c in range(ch):
+            live0, _, sf0, _, _ = gq[(0, c)]
+            live1, _, sf1, _, _ = gq[(1, c)]
+            bitsv = 0
+            if live0 and live1:
+                for gi, (lo, hi) in enumerate(_SCFSI_BANDS):
+                    if np.array_equal(sf0[lo:hi], sf1[lo:hi]):
+                        bitsv |= 1 << (3 - gi)
+            scfsi_ch.append(bitsv)
+        sides: list[tuple[int, int, int, int]] = []
+        md_bits: list[str] = []
+        for g in range(2):
+            for c in range(ch):
+                live, gg, sf, hbits, bv = gq[(g, c)]
+                if not live:
                     # silent granule: part2_3_length = 0 carries neither
                     # scalefactors nor Huffman bits
-                    gr_bits.append("")
-                    gr_side.append((0, 0, gg, 0, sf))
+                    sides.append((0, 0, gg, 0))
                     continue
+                bands = list(range(21))
+                if g == 1:
+                    for gi, (lo, hi) in enumerate(_SCFSI_BANDS):
+                        if (scfsi_ch[c] >> (3 - gi)) & 1:
+                            bands = [b for b in bands if not lo <= b < hi]
                 sfbits = "".join(
                     format(int(sf[b]), f"0{slen1 if b < 11 else slen2}b")
-                    for b in range(21)
+                    for b in bands
                 )
-                if part2 + len(hbits) > 4095:
+                p23 = len(sfbits) + len(hbits)
+                if p23 > 4095:
                     raise ValueError("mp3: granule exceeds part2_3_length")
-                gr_bits.append(sfbits + hbits)
-                gr_side.append((part2 + len(hbits), bv, gg, _SFC, sf))
+                md_bits.append(sfbits + hbits)
+                sides.append((p23, bv, gg, _SFC))
+        allbits = "".join(md_bits)
+        if len(allbits) % 8:
+            # byte-align so the next frame's 9-bit byte pointer can
+            # name this frame's end exactly (the padding bits are
+            # spec "ancillary" bits)
+            allbits += "0" * (8 - len(allbits) % 8)
+        frame_md.append(bytearray(_bits_to_bytes(allbits)))
+        frame_scfsi.append(scfsi_ch)
+        frame_sides.append(sides)
 
+    # ---- pass 2: reservoir packing — frame f's main_data starts
+    # ``reservoir`` bytes back into earlier frames' unused slots;
+    # stuffing bytes cap the carry at the field's 511-byte reach
+    slots = frame_len - 4 - side_len
+    md_begin: list[int] = []
+    reservoir = 0
+    for f in range(nframes):
+        md_begin.append(reservoir)
+        need = len(frame_md[f])
+        if need > reservoir + slots:
+            raise ValueError(
+                "mp3: granule bits exceed the CBR slot budget plus "
+                "reservoir — raise bitrate_idx"
+            )
+        reservoir += slots - need
+        stuff = max(0, reservoir - 511)
+        if stuff:
+            frame_md[f] += b"\x00" * stuff
+            reservoir -= stuff
+
+    # ---- pass 3: emit — side info per frame, main_data distributed
+    # over the continuous slot stream
+    md_stream = b"".join(frame_md)
+    out = bytearray()
+    o = 0
+    for f in range(nframes):
         w = _BitWriter()
-        w.write(0, 9)                      # main_data_begin
+        w.write(md_begin[f], 9)            # main_data_begin
         w.write(0, 5 if ch == 1 else 3)    # private_bits
-        for _c in range(ch):
-            w.write(0, 4)                  # scfsi
-        for (p23, bv, gg, sfc, _sf) in gr_side:
+        for c in range(ch):
+            w.write(frame_scfsi[f][c], 4)  # scfsi
+        for (p23, bv, gg, sfc) in frame_sides[f]:
             w.write(p23, 12)
             w.write(bv, 9)
             w.write(gg, 8)
@@ -309,24 +396,23 @@ def encode_mp3_l3(
             w.write(0, 1)                  # preflag
             w.write(0, 1)                  # scalefac_scale
             w.write(1, 1)                  # count1table_select = B
-        for bits in gr_bits:
-            for b in bits:
-                w.write(ord(b) - 48, 1)
-        out += hdr + w.padded_to(frame_len - 4)
+        side = w.padded_to(side_len)
+        chunk = md_stream[o : o + slots]
+        o += slots
+        out += hdr + side + chunk + b"\x00" * (slots - len(chunk))
     return bytes(out)
 
 
 # ---------------------------------------------------------------- decoder
 
-def _read_side_info(bits: _FrameBits, ch: int) -> list[dict]:
-    if bits.read(9) != 0:
-        raise NotImplementedError(
-            "mp3 L3: bit reservoir (main_data_begin != 0) not supported"
-        )
+def _read_side_info(
+    bits: _FrameBits, ch: int
+) -> tuple[int, list[int], list[dict]]:
+    """Side info -> (main_data_begin, scfsi per channel, per-granule
+    field dicts in (granule, channel) order)."""
+    md_begin = bits.read(9)
     bits.read(5 if ch == 1 else 3)
-    for _c in range(ch):
-        if bits.read(4) != 0:
-            raise NotImplementedError("mp3 L3: scfsi sharing not supported")
+    scfsi = [bits.read(4) for _c in range(ch)]
     sides = []
     for _g in range(2):
         for _c in range(ch):
@@ -357,24 +443,42 @@ def _read_side_info(bits: _FrameBits, ch: int) -> list[dict]:
                 )
             s["count1_b"] = bits.read(1)
             sides.append(s)
-    return sides
+    return md_begin, scfsi, sides
 
 
 def _decode_granule(
-    bits: _FrameBits, s: dict, sfb: list[int]
-) -> np.ndarray:
+    bits: _FrameBits,
+    s: dict,
+    sfb: list[int],
+    reuse: tuple[int, np.ndarray] | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
     """Scalefactor (part2) + Huffman (part3) sections of one granule-
-    channel -> 576 requantized lines."""
+    channel -> (576 requantized lines, decoded scalefactors).  For
+    granule 1, ``reuse = (scfsi_bits, granule0_sf)``: bands in a set
+    scfsi group are copied from granule 0 and consume no bits."""
     isv = np.zeros(576, np.int64)
     end = bits.pos + s["part2_3"]
     sf = np.zeros(21, np.int64)
     if s["part2_3"]:
         slen1, slen2 = _SLEN[s["sfc"]]
-        if 11 * slen1 + 10 * slen2 > s["part2_3"]:
+        skip = [False] * 21
+        if reuse is not None:
+            scfsi_bits, sf_prev = reuse
+            for gi, (lo, hi) in enumerate(_SCFSI_BANDS):
+                if (scfsi_bits >> (3 - gi)) & 1:
+                    for b in range(lo, hi):
+                        skip[b] = True
+        need = sum(
+            (slen1 if b < 11 else slen2) for b in range(21) if not skip[b]
+        )
+        if need > s["part2_3"]:
             raise ValueError("mp3 L3: part2_3_length below scalefactor bits")
         for b in range(21):
             n = slen1 if b < 11 else slen2
-            sf[b] = bits.read(n) if n else 0
+            if skip[b]:
+                sf[b] = sf_prev[b]
+            else:
+                sf[b] = bits.read(n) if n else 0
     tsel = s["tsel"][0]
     if s["big_values"] and tsel == 0:
         raise ValueError("mp3 L3: big_values with table 0")
@@ -423,26 +527,46 @@ def _decode_granule(
     for b in range(21):
         level[sfb[b] : sfb[b + 1]] *= 2.0 ** (-float(sf[b]) / 2.0)
     return (
-        np.sign(isv) * (np.abs(isv).astype(np.float64) ** (4.0 / 3.0)) * level
+        np.sign(isv) * (np.abs(isv).astype(np.float64) ** (4.0 / 3.0)) * level,
+        sf,
     )
 
 
 def decode_layer3(data: bytes, frames: list[Mp3Frame], ch: int) -> np.ndarray:
     """All frames -> (18 * 2 * nframes, 32, ch) synthesis-filterbank
     input (requantize -> alias reduce -> IMDCT + overlap-add ->
-    frequency inversion)."""
+    frequency inversion).  Maintains the 511-byte bit reservoir: each
+    frame's main_data is located ``main_data_begin`` bytes back into
+    the running slot stream of earlier frames."""
     sfb = _SFB_LONG[frames[0].sample_rate]
     S = np.zeros((36 * len(frames), 32, ch))
     overlap = np.zeros((32, 18, ch))
+    side_len = 17 if ch == 1 else 32
+    md_buf = bytearray()  # tail of prior frames' main_data slots
     for fi, fr in enumerate(frames):
         pos = fr.offset + 4 + (2 if fr.protection == 0 else 0)
-        payload = data[pos : fr.offset + fr.length]
-        bits = _FrameBits(payload)
-        sides = _read_side_info(bits, ch)
+        side = data[pos : pos + side_len]
+        if len(side) < side_len:
+            raise ValueError("mp3 L3: side info truncated")
+        md_begin, scfsi, sides = _read_side_info(_FrameBits(side), ch)
+        cur = data[pos + side_len : fr.offset + fr.length]
+        if md_begin > len(md_buf):
+            raise ValueError(
+                "mp3 L3: main_data_begin reaches before the available "
+                "reservoir"
+            )
+        bits = _FrameBits(
+            (bytes(md_buf[len(md_buf) - md_begin :]) if md_begin else b"")
+            + cur
+        )
+        sf0: list[np.ndarray | None] = [None] * ch
         for g in range(2):
             for c in range(ch):
                 s = sides[g * ch + c]
-                xr = _decode_granule(bits, s, sfb)
+                reuse = (scfsi[c], sf0[c]) if g == 1 else None
+                xr, sf = _decode_granule(bits, s, sfb, reuse)
+                if g == 0:
+                    sf0[c] = sf
                 xa = _alias_reduce(xr)
                 t0 = 36 * fi + 18 * g
                 for sb in range(32):
@@ -450,6 +574,9 @@ def decode_layer3(data: bytes, frames: list[Mp3Frame], ch: int) -> np.ndarray:
                     block = y[:18] + overlap[sb, :, c]
                     overlap[sb, :, c] = y[18:]
                     S[t0 : t0 + 18, sb, c] = block * _FREQ_INV[sb]
+        md_buf += cur
+        if len(md_buf) > 511:
+            del md_buf[: len(md_buf) - 511]
     return S
 
 
