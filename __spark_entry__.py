@@ -65,6 +65,75 @@ def q_image_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS normalization (functions/geodesy.py + operators/reproject.py):
+    a mixed-UTM-zone catalog — the one projection family the reference's
+    single-WKT assumption (/root/reference/src/io.py:62,80) breaks on at
+    corpus scale — reprojected to WGS84 lon/lat bounds with 16-sample
+    border densification, via the from-scratch Karney-series transverse
+    Mercator (round-trip/Newton/meridian-constant verified by
+    tests/test_geodesy.py).  Synthetic placement is pure arithmetic in
+    pk (spec duplicated bit-for-bit by the single-process fixture run,
+    tools/build_reproject_fixture.py):
+
+        zone = 1 + pk % 60;  south = (pk % 2 == 1)
+        e0 = 300000 + (pk % 97) * 2000.0
+        n0 = north: 500000 + (pk % 89) * 40000.0
+             south: 6500000 + (pk % 89) * 10000.0
+        extent = (e0, n0, e0 + w*0.1, n0 + h*0.1);  crs = EPSG:326zz/327zz
+
+    Output bounds are nanodegrees (rint(deg*1e9), ~0.1 mm) so the value
+    hash is integer-stable.  Oracle: the frozen expectations parquet."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import reproject as RP
+
+    meta = derived.images_meta(spark, sf_dir).withColumn(
+        "pk", F.substring("image_id", 5, 18).cast("long")
+    )
+    meta = meta.repartition(spark.sparkContext.defaultParallelism * 2, "image_id")
+
+    def synth(batches):
+        for pdf in batches:
+            pk = pdf["pk"].values.astype(np.int64)
+            w = pdf["w"].values.astype(np.int64)
+            h = pdf["h"].values.astype(np.int64)
+            south = pk % 2 == 1
+            zone = 1 + pk % 60
+            e0 = 300000.0 + (pk % 97) * 2000.0
+            n0 = np.where(
+                south,
+                6500000.0 + (pk % 89) * 10000.0,
+                500000.0 + (pk % 89) * 40000.0,
+            )
+            epsg = np.where(south, 32700 + zone, 32600 + zone)
+            yield pd.DataFrame({
+                "image_id": pdf["image_id"].values,
+                "minx": e0,
+                "miny": n0,
+                "maxx": e0 + w * 0.1,
+                "maxy": n0 + h * 0.1,
+                "crs": "EPSG:" + pd.Series(epsg).astype(str),
+            })
+
+    utm = meta.mapInPandas(
+        synth,
+        schema="image_id string, minx double, miny double, "
+               "maxx double, maxy double, crs string",
+    )
+    ext = RP.extents_to_wgs84(utm, densify=16)
+    nd = RP.nanodeg_udf()
+    return ext.select(
+        "image_id",
+        "epsg",
+        nd("lon_min").alias("lon_min_nd"),
+        nd("lat_min").alias("lat_min_nd"),
+        nd("lon_max").alias("lon_max_nd"),
+        nd("lat_max").alias("lat_max_nd"),
+    )
+
+
 def q_mosaic_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 mosaic_info: global layer extent + pixel dims at 0.1 m
     (xsize = round((lrx-ulx)/scaleX), bf_gridding.py:130-175)."""
@@ -2069,6 +2138,7 @@ def q_mvt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # last so a truncated sweep loses only redundant evidence.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never driver-sampled before round 5: run first ------------------- #
+    "reproject_extents": q_reproject_extents,
     "multimodal_png16": q_multimodal_png16,
     "audio_adpcm": q_audio_adpcm,
     "audio_g711": q_audio_g711,
@@ -2288,6 +2358,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "audio_features": _audio_features_sql(),
         "audio_g711": _audio_g711_sql(),
         "audio_adpcm": _audio_adpcm_sql(),
+        "reproject_extents": _reproject_extents_sql(),
         "gif_frames": _gif_frames_sql(),
         "video_meta": _video_meta_sql(),
         "video_frames": _video_frames_sql(),
@@ -3285,6 +3356,7 @@ _MP3_AUDIO_FIXTURE = "/root/repo/fixtures/mp3_audio_sf0_01.parquet"
 _AUDIO_ADPCM_FIXTURE = "/root/repo/fixtures/audio_adpcm_sf0_01.parquet"
 _MP3_AUDIO_L2_FIXTURE = "/root/repo/fixtures/mp3_audio_l2_sf0_01.parquet"
 _MP3_AUDIO_L3_FIXTURE = "/root/repo/fixtures/mp3_audio_l3_sf0_01.parquet"
+_REPROJECT_FIXTURE = "/root/repo/fixtures/reproject_extents_sf0_01.parquet"
 
 
 _SKELETON_FIXTURE = "/root/repo/fixtures/skeleton_sf0_01.parquet"
@@ -3612,6 +3684,17 @@ FROM evts
 WHERE (off // 5) * 5 + 5 <= (SELECT max(off) FROM evts)
 GROUP BY 1"""
     )
+
+
+def _reproject_extents_sql() -> str:
+    """Twin of q_reproject_extents: the nanodegree WGS84 bounds frozen
+    by the single-process fixture run (tools/build_reproject_fixture.py)
+    — no Spark machinery shared with the gated query; the transverse-
+    Mercator series itself is independently pinned by
+    tests/test_geodesy.py (Newton inversion + meridian constant)."""
+    return f"""
+SELECT image_id, epsg, lon_min_nd, lat_min_nd, lon_max_nd, lat_max_nd
+FROM read_parquet('{_REPROJECT_FIXTURE}')"""
 
 
 def _audio_adpcm_sql() -> str:

@@ -211,6 +211,7 @@ def main() -> None:
         "audio_g711",
         "multimodal_png16",
         "audio_adpcm",
+        "reproject_extents",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}
