@@ -134,6 +134,24 @@ def q_reproject_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mosaic_extent_wgs84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 mosaic_info across MIXED UTM zones — impossible in projected
+    coordinates (eastings from different zones are incomparable), and
+    exactly the query the reference's single-projection assumption
+    forbids: the global corpus footprint in WGS84, via reproject_extents'
+    normalization.  Map-side-combinable global agg: 4 mins/maxes + two
+    counts over the pure-map reprojection — one 1-row exchange total."""
+    ext = q_reproject_extents(spark, sf_dir)
+    return ext.agg(
+        F.min("lon_min_nd").alias("lon_min_nd"),
+        F.min("lat_min_nd").alias("lat_min_nd"),
+        F.max("lon_max_nd").alias("lon_max_nd"),
+        F.max("lat_max_nd").alias("lat_max_nd"),
+        F.count("*").alias("n_images"),
+        F.countDistinct("epsg").alias("n_zones"),
+    )
+
+
 def q_mosaic_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O6 mosaic_info: global layer extent + pixel dims at 0.1 m
     (xsize = round((lrx-ulx)/scaleX), bf_gridding.py:130-175)."""
@@ -2139,6 +2157,7 @@ def q_mvt_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never driver-sampled before round 5: run first ------------------- #
     "reproject_extents": q_reproject_extents,
+    "mosaic_extent_wgs84": q_mosaic_extent_wgs84,
     "multimodal_png16": q_multimodal_png16,
     "audio_adpcm": q_audio_adpcm,
     "audio_g711": q_audio_g711,
@@ -2359,6 +2378,11 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "audio_g711": _audio_g711_sql(),
         "audio_adpcm": _audio_adpcm_sql(),
         "reproject_extents": _reproject_extents_sql(),
+        "mosaic_extent_wgs84": f"""
+SELECT min(lon_min_nd) AS lon_min_nd, min(lat_min_nd) AS lat_min_nd,
+       max(lon_max_nd) AS lon_max_nd, max(lat_max_nd) AS lat_max_nd,
+       count(*) AS n_images, count(DISTINCT epsg) AS n_zones
+FROM read_parquet('{_REPROJECT_FIXTURE}')""",
         "gif_frames": _gif_frames_sql(),
         "video_meta": _video_meta_sql(),
         "video_frames": _video_frames_sql(),

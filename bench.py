@@ -212,6 +212,7 @@ def main() -> None:
         "multimodal_png16",
         "audio_adpcm",
         "reproject_extents",
+        "mosaic_extent_wgs84",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -337,3 +337,20 @@ def test_mvt_single_exchange_python_only_in_assembly(spark):
     assert "hashpartitioning(tx" in p
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_reproject_is_pure_map_no_exchange(spark):
+    """Reprojection must stream off the scan: extents_to_wgs84 and
+    points_to_wgs84 add NO Exchange — at 100 TB the CRS normalization
+    costs one Arrow pass, never a shuffle."""
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import reproject as RP
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["a"], "minx": [400000.0], "miny": [5000000.0],
+        "maxx": [410000.0], "maxy": [5010000.0], "crs": ["EPSG:32610"],
+        "x": [405000.0], "y": [5005000.0],
+    }))
+    assert "Exchange" not in plan(RP.extents_to_wgs84(df))
+    assert "Exchange" not in plan(RP.points_to_wgs84(df))
