@@ -251,3 +251,37 @@ def test_rezone_points(spark):
     assert abs(out["easting"][0] - e33[0]) < 1e-9
     assert abs(out["northing"][0] - n33[0]) < 1e-9
     assert out["easting"][0] < 500000.0  # ... lands west of zone 33's CM
+
+
+def test_scale_convergence_analytic_vs_finite_difference():
+    """k and gamma from the complex derivative must agree with finite
+    differences of utm_forward (FD noise floor ~1e-6), reproduce
+    k0 = 0.9996 / gamma = 0 on the central meridian, and follow the
+    spherical approximation gamma ~ dlon * sin(lat)."""
+    rng = np.random.default_rng(5)
+    m = 500
+    lat = rng.uniform(-80, 80, m)
+    zone = rng.integers(1, 61, m)
+    lon = 6.0 * zone - 183.0 + rng.uniform(-3, 3, m)
+    south = lat < 0
+
+    k, gamma = G.utm_scale_convergence(lat, lon, zone)
+
+    h = 1e-7
+    e0, n0 = G.utm_forward(lat, lon, zone, south)
+    e1, n1 = G.utm_forward(lat + h, lon, zone, south)
+    M = G.A_WGS84 * (1 - G.E2) / (1 - G.E2 * np.sin(np.deg2rad(lat)) ** 2) ** 1.5
+    dn = M * np.deg2rad(h)
+    assert np.abs(k - np.hypot(e1 - e0, n1 - n0) / dn).max() < 1e-5
+    # FD bearing of true-north's image (east-positive) = -gamma
+    assert np.abs(
+        gamma + np.rad2deg(np.arctan2(e1 - e0, n1 - n0))
+    ).max() < 1e-4
+
+    k_cm, g_cm = G.utm_scale_convergence(
+        np.array([37.0]), np.array([15.0]), np.array([33])
+    )
+    assert abs(k_cm[0] - 0.9996) < 1e-12 and abs(g_cm[0]) < 1e-12
+
+    approx = (lon - (6.0 * zone - 183.0)) * np.sin(np.deg2rad(lat))
+    assert np.abs(gamma - approx).max() < 0.05  # spherical first-order law
