@@ -697,6 +697,52 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.audio_features(audio)
 
 
+def q_audio_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-float WAV (audio_format 3, the studio/DAW interchange
+    layout, r5): the deterministic sawtooth family scaled to [-1, 1]
+    floats, encoded through the real float-WAV writer (32-bit on even
+    pk, 64-bit on odd), decoded back as float64 and quantized by
+    audio_features' rint(32767 x).  The quantization recovers the int16
+    sawtooth EXACTLY (float32 relative error x 32767 < 0.07 < 0.5,
+    pinned by tests/test_codec_wav_g711.py), so the oracle is the same
+    closed-form integer SQL as the PCM gate — no fixture."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav
+
+    meta = _capped_media_meta(spark, sf_dir)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pk = int(r.pk)
+                a, b = 2 + pk % 9, (pk * 131) % 65536
+                n = 3500 + (pk % 45) * 119
+                i = np.arange(n, dtype=np.int64)
+                s0 = ((i * a + b) % 65536) - 32768
+                ch = 1 + pk % 2
+                f = np.stack([s0 / 32767.0] * ch, axis=1)
+                bits = 32 if pk % 2 == 0 else 64
+                if bits == 32:
+                    f = f.astype(np.float32)
+                rows.append(
+                    (
+                        r.image_id,
+                        codec_wav.encode_wav_float(f, 22050, bits=bits),
+                        "wav",
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    audio = meta.mapInPandas(
+        synth, schema="audio_id string, bytes binary, fmt string"
+    )
+    return MM.audio_features(audio)
+
+
 def q_audio_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Telephony + studio WAV layouts (r5): the same deterministic
     sawtooth as q_audio_features, routed per-pk through G.711 mu-law
@@ -2158,6 +2204,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- never driver-sampled before round 5: run first ------------------- #
     "reproject_extents": q_reproject_extents,
     "mosaic_extent_wgs84": q_mosaic_extent_wgs84,
+    "audio_float": q_audio_float,
     "multimodal_png16": q_multimodal_png16,
     "audio_adpcm": q_audio_adpcm,
     "audio_g711": q_audio_g711,
@@ -2378,6 +2425,7 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "audio_g711": _audio_g711_sql(),
         "audio_adpcm": _audio_adpcm_sql(),
         "reproject_extents": _reproject_extents_sql(),
+        "audio_float": _audio_float_sql(),
         "mosaic_extent_wgs84": f"""
 SELECT min(lon_min_nd) AS lon_min_nd, min(lat_min_nd) AS lat_min_nd,
        max(lon_max_nd) AS lon_max_nd, max(lat_max_nd) AS lat_max_nd,
@@ -2980,6 +3028,46 @@ SELECT audio_id,
   ch AS n_channels,
   CAST(16000 AS INT) AS sample_rate,
   CAST(n * 1000 // 16000 AS BIGINT) AS duration_ms,
+  CAST(ch * sum(abs(s)) AS BIGINT) AS sum_abs,
+  CAST(count(*) FILTER (WHERE prev_s * s < 0) AS BIGINT) AS zero_crossings
+FROM vals
+GROUP BY audio_id, n, ch"""
+
+
+def _audio_float_sql() -> str:
+    """Closed-form twin of q_audio_float: the float32/64 encode ->
+    decode -> rint(32767 x) chain recovers the int16 sawtooth exactly
+    (see the gate docstring), so the oracle re-derives the same
+    integers with generate_series — no fixture, no float in the SQL."""
+    return """
+WITH meta AS (
+  SELECT concat('img_', lpad(CAST(p_partkey AS VARCHAR), 8, '0')) AS audio_id,
+         p_partkey AS pk
+  FROM part WHERE p_partkey <= 60
+),
+params AS (
+  SELECT audio_id, pk,
+    2 + pk % 9 AS a, (pk * 131) % 65536 AS b,
+    3500 + (pk % 45) * 119 AS n,
+    CAST(1 + pk % 2 AS INT) AS ch
+  FROM meta
+),
+samples AS (
+  SELECT audio_id, a, b, n, ch, unnest(generate_series(0, n - 1)) AS i
+  FROM params
+),
+vals AS (
+  SELECT audio_id, n, ch, i,
+    ((i * a + b) % 65536) - 32768 AS s,
+    CASE WHEN i = 0 THEN NULL
+         ELSE (((i - 1) * a + b) % 65536) - 32768 END AS prev_s
+  FROM samples
+)
+SELECT audio_id,
+  CAST(n AS BIGINT) AS n_samples,
+  ch AS n_channels,
+  CAST(22050 AS INT) AS sample_rate,
+  CAST(n * 1000 // 22050 AS BIGINT) AS duration_ms,
   CAST(ch * sum(abs(s)) AS BIGINT) AS sum_abs,
   CAST(count(*) FILTER (WHERE prev_s * s < 0) AS BIGINT) AS zero_crossings
 FROM vals

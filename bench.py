@@ -213,6 +213,7 @@ def main() -> None:
         "audio_adpcm",
         "reproject_extents",
         "mosaic_extent_wgs84",
+        "audio_float",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

@@ -100,10 +100,20 @@ def test_g711_bits_guard():
         W.decode_wav(bytes(blob))
 
 
-def test_float_wav_still_stub():
+def test_compressed_wav_still_stub():
+    """Format 3 (IEEE float) decodes for real since r5 — the remaining
+    non-PCM boundary is compressed-codec-in-WAV (e.g. MS ADPCM = 2,
+    MP3-in-WAV = 0x55), which must keep raising the capability guard."""
+    for tag in (2, 0x55):
+        blob = bytearray(W.encode_wav(np.zeros(8, dtype=np.int16), 8000))
+        blob[20] = tag
+        with pytest.raises(NotImplementedError):
+            W.decode_wav(bytes(blob))
+    # a type-flipped float header over int16-sized data must NOT decode
+    # as float garbage: 16 bits is not a float width
     blob = bytearray(W.encode_wav(np.zeros(8, dtype=np.int16), 8000))
-    blob[20] = 3  # WAVE_FORMAT_IEEE_FLOAT
-    with pytest.raises(NotImplementedError):
+    blob[20] = 3
+    with pytest.raises(ValueError, match="32/64-bit"):
         W.decode_wav(bytes(blob))
 
 
@@ -230,3 +240,85 @@ def test_adpcm_stereo_channels_independent():
     dec, _ = W.decode_wav(W.encode_wav_adpcm(s, 8000))
     assert (dec[:, 1] == 0).all()
     assert np.abs(dec[:, 0].astype(np.int32) - left).mean() < 200
+
+
+class TestFloatWav:
+    """IEEE-float WAV (audio_format 3): round trip, int16-scale
+    recoverability, fact truncation, hostile-stream guards."""
+
+    def test_round_trip_f32_f64(self):
+        import numpy as np
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav as W
+
+        rng = np.random.default_rng(9)
+        for bits, dt in ((32, np.float32), (64, np.float64)):
+            s = rng.uniform(-1, 1, (777, 2)).astype(dt)
+            out, rate = W.decode_wav(W.encode_wav_float(s, 22050, bits=bits))
+            assert rate == 22050 and out.shape == (777, 2)
+            assert out.dtype == np.float64
+            assert np.array_equal(out, s.astype(np.float64))
+
+    def test_int16_scale_is_exactly_recoverable_through_f32(self):
+        """rint(32767 * f32(i/32767)) == i for every int16 value — the
+        fact the audio_float gate's closed-form oracle rests on."""
+        import numpy as np
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav as W
+
+        i = np.arange(-32768, 32768, dtype=np.int64)
+        f = (i / 32767.0).astype(np.float32)
+        out, _ = W.decode_wav(W.encode_wav_float(f, 16000))
+        assert np.array_equal(np.rint(out[:, 0] * 32767.0).astype(np.int64), i)
+
+    def test_fact_truncation_and_mono_shape(self):
+        import numpy as np
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav as W
+
+        s = np.linspace(-0.5, 0.5, 100).astype(np.float32)
+        blob = bytearray(W.encode_wav_float(s, 8000))
+        at = blob.index(b"fact") + 8
+        blob[at:at + 4] = (40).to_bytes(4, "little")  # fact says 40 frames
+        out, _ = W.decode_wav(bytes(blob))
+        assert out.shape == (40, 1)
+
+    def test_hostile_guards(self):
+        import numpy as np
+        import pytest
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav as W
+
+        with pytest.raises(ValueError, match="non-finite"):
+            W.encode_wav_float(np.array([0.1, np.nan], dtype=np.float32), 8000)
+        with pytest.raises(ValueError, match="floats"):
+            W.encode_wav_float(np.array([1, 2], dtype=np.int16), 8000)
+        # forge NaN / huge values into an otherwise valid stream
+        good = W.encode_wav_float(np.zeros(8, dtype=np.float32), 8000)
+        forged = good[:-32] + np.full(8, np.inf, dtype="<f4").tobytes()
+        with pytest.raises(ValueError, match="non-finite|out-of-range"):
+            W.decode_wav(forged)
+        forged = good[:-32] + np.full(8, 1e6, dtype="<f4").tobytes()
+        with pytest.raises(ValueError, match="out-of-range|non-finite"):
+            W.decode_wav(forged)
+        # wrong bit depth for format 3
+        blob = bytearray(W.encode_wav_float(np.zeros(8, dtype=np.float32), 8000))
+        at = blob.index(b"fmt ") + 8
+        blob[at + 14:at + 16] = (16).to_bytes(2, "little")
+        with pytest.raises(ValueError, match="32/64-bit"):
+            W.decode_wav(bytes(blob))
+
+    def test_audio_features_quantizes_floats(self, spark):
+        import numpy as np
+        import pandas as pd
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+        from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec_wav as W
+
+        i = np.array([100, -200, 300, -400, 0, 32767], dtype=np.int64)
+        f = (i / 32767.0).astype(np.float32)
+        df = spark.createDataFrame(pd.DataFrame({
+            "audio_id": ["a"],
+            "bytes": [W.encode_wav_float(f, 16000)],
+            "fmt": ["wav"],
+        }))
+        r = MM.audio_features(df).collect()[0]
+        assert r.n_samples == 6 and r.n_channels == 1
+        assert r.sum_abs == int(np.abs(i).sum())
+        # strict crossings: the -400 -> 0 and 0 -> 32767 pairs do NOT count
+        assert r.zero_crossings == 3

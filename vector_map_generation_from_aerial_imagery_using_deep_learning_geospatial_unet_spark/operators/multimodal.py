@@ -248,6 +248,11 @@ def audio_features(audio: DataFrame, on_error: str = "fail") -> DataFrame:
                 f"audio_features: unsupported fmt {fmt!r} "
                 "(supported: wav, flac, mp3)"
             )
+        if s.dtype.kind == "f":
+            # IEEE-float WAV: deterministic int16-scale quantization so
+            # the integer feature contract (and its SQL twin) holds;
+            # decode_wav guarantees finite samples with |x| <= 8
+            s = np.rint(s * 32767.0).astype(np.int64)
         c0 = s[:, 0].astype(np.int64)
         zc = int(((c0[:-1] * c0[1:]) < 0).sum())
         return (

@@ -6,10 +6,12 @@ RIFF/WAVE with integer PCM is pure struct parsing, the two telephony
 companding laws (ITU-T G.711 mu-law = audio_format 7, A-law = 6) are
 closed-form 8-bit<->16-bit maps, and IMA/DVI ADPCM (audio_format 0x11)
 is an 89-step staircase recurrence over 4-bit nibbles.  Scope: PCM
-(audio_format 1) at 8/16/24/32-bit, G.711 mu-law/A-law at 8-bit, IMA
-ADPCM at 4-bit, any channel count; compressed formats (MP3/AAC inside
-WAV, IEEE float) are rejected loudly and stay with the documented stubs
-in operators/multimodal.py.
+(audio_format 1) at 8/16/24/32-bit, IEEE float (audio_format 3) at
+32/64-bit — the studio/DAW interchange layout, returned as float64 and
+quantized deterministically by the feature layer — G.711 mu-law/A-law
+at 8-bit, IMA ADPCM at 4-bit, any channel count; compressed formats
+(MP3/AAC inside WAV) are rejected loudly and stay with the documented
+stubs in operators/multimodal.py.
 """
 
 from __future__ import annotations
@@ -23,7 +25,7 @@ from ._hardening import malformed_guard
 _DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
 
 # WAVE_FORMAT_* tags (RIFF spec / RFC 2361 registry)
-_FMT_PCM, _FMT_ALAW, _FMT_MULAW, _FMT_IMA = 1, 6, 7, 0x11
+_FMT_PCM, _FMT_FLOAT, _FMT_ALAW, _FMT_MULAW, _FMT_IMA = 1, 3, 6, 7, 0x11
 
 # ---------------------------------------------------------------------------
 # IMA/DVI ADPCM (audio_format 0x11): 4-bit nibbles against the canonical
@@ -251,6 +253,38 @@ def encode_wav24(samples: np.ndarray, rate: int) -> bytes:
     return _riff(_FMT_PCM, s.shape[1], rate, 24, data)
 
 
+def encode_wav_float(samples: np.ndarray, rate: int, bits: int = 32) -> bytes:
+    """float32/float64 (n,) or (n, ch) in nominal [-1, 1] -> IEEE-float
+    WAV (audio_format 3, the studio/DAW interchange layout).  The spec
+    requires a fact chunk (frame count) for non-PCM formats; one is
+    written so truncation-detecting readers get the truth."""
+    s = np.asarray(samples)
+    if s.dtype.kind != "f":
+        raise ValueError(f"float wav encoder wants floats, got {s.dtype}")
+    if bits not in (32, 64):
+        raise ValueError(f"float wav is 32- or 64-bit, got {bits}")
+    if s.size and not np.isfinite(s).all():
+        raise ValueError("float wav: non-finite samples")
+    if s.ndim == 1:
+        s = s[:, None]
+    data = np.ascontiguousarray(
+        s.astype("<f4" if bits == 32 else "<f8")
+    ).tobytes()
+    ch = s.shape[1]
+    block = ch * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHHH", _FMT_FLOAT, ch, rate, rate * block, block, bits, 0
+    )  # cbSize=0 extension field, standard for format 3
+    fact = struct.pack("<I", s.shape[0])
+    out = b"RIFF" + struct.pack(
+        "<I", 4 + 8 + len(fmt) + 8 + len(fact) + 8 + len(data)
+    ) + b"WAVE"
+    out += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"fact" + struct.pack("<I", len(fact)) + fact
+    out += b"data" + struct.pack("<I", len(data)) + data
+    return out
+
+
 def encode_wav_g711(samples: np.ndarray, rate: int, law: str) -> bytes:
     """int16 (n,) or (n, ch) -> 8-bit G.711 WAV ('mu' or 'a' law)."""
     if samples.dtype != np.int16:
@@ -268,7 +302,9 @@ def encode_wav_g711(samples: np.ndarray, rate: int, law: str) -> bytes:
 
 @malformed_guard("wav")
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM bytes -> ((n, ch) int array, sample_rate)."""
+    """RIFF/WAVE bytes -> ((n, ch) array, sample_rate).  Integer dtypes
+    for PCM/G.711/ADPCM; float64 in nominal [-1, 1] for IEEE format 3
+    (callers quantize — audio_features uses rint(32767 x))."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     pos = 12
@@ -307,6 +343,27 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError(f"G.711 wav must be 8-bit, header says {bits}")
         table = MULAW_TABLE if audio_format == _FMT_MULAW else ALAW_TABLE
         samples = table[np.frombuffer(raw, dtype=np.uint8)]
+    elif audio_format == _FMT_FLOAT:
+        if bits not in (32, 64):
+            raise ValueError(f"float wav must be 32/64-bit, header says {bits}")
+        step = bits // 8
+        nb = len(raw) - len(raw) % step
+        samples = np.frombuffer(
+            raw[:nb], dtype="<f4" if bits == 32 else "<f8"
+        ).astype(np.float64)
+        # hostile-stream guard: NaN/inf and absurd magnitudes would turn
+        # the downstream int feature math into UB — malformed by contract
+        if samples.size and (
+            not np.isfinite(samples).all() or np.abs(samples).max() > 8.0
+        ):
+            raise ValueError("float wav: non-finite or out-of-range samples")
+        samples = samples[: (len(samples) // ch) * ch].reshape(-1, ch)
+        if fact is not None and len(fact) >= 4:
+            (n_true,) = struct.unpack("<I", fact[:4])
+            if n_true > len(samples):
+                raise ValueError("wav: fact count exceeds decoded samples")
+            samples = samples[:n_true]
+        return samples, rate
     elif audio_format != 1:
         raise NotImplementedError(
             f"non-PCM wav (format {audio_format}) unsupported — stub territory"
