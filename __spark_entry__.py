@@ -539,6 +539,59 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_features(imgs, resize_to=64)
 
 
+def q_multimodal_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2) multimodal path (r5,
+    sources/codec_jpeg_prog.py — full spectral selection + successive
+    approximation, the default large-photo mode of web export
+    pipelines; reference analogue: GDAL decode-anything ingest,
+    /root/reference/src/io.py:41-63).  Same diagonal-tile transcode as
+    q_multimodal_jpeg but through the progressive encoder's 9-scan
+    script; decode routes via the SOF2 dispatch in codec_jpeg.
+
+    Oracle: REUSES q_multimodal_jpeg's frozen fixture verbatim — a
+    progressive stream carries exactly the baseline encoding's
+    quantized coefficients, so decoded pixels (and therefore every
+    feature) must match the baseline gate BIT-FOR-BIT.  The scan
+    protocol itself is additionally pinned by tests/test_jpeg_prog.py's
+    identity property over random/structured/subsampled images."""
+    import numpy as np
+    import pandas as pd
+
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.operators import multimodal as MM
+    from vector_map_generation_from_aerial_imagery_using_deep_learning_geospatial_unet_spark.sources import codec, codec_jpeg_prog, images as IMG
+
+    imgs = IMG.images_table(spark, sf_dir, fmt="png", kind="rgb", limit=8)
+    t, step = CFG.tile_size, CFG.tile_size - CFG.overlap_px
+
+    def transcode(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                arr = codec.decode(bytes(r.bytes), r.fmt, int(r.w), int(r.h))
+                nx = 1 + max(int(r.w) - t + step - 1, 0) // step
+                ny = 1 + max(int(r.h) - t + step - 1, 0) // step
+                for i in range(min(nx, ny)):
+                    ox, oy = i * step, i * step
+                    tile = arr[oy : oy + t, ox : ox + t]
+                    rows.append(
+                        (
+                            f"{r.image_id}_{i + 1}_{i + 1}",
+                            codec_jpeg_prog.encode_jpeg_progressive(
+                                np.ascontiguousarray(tile), quality=95
+                            ),
+                            tile.shape[1], tile.shape[0], "jpeg",
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "bytes", "w", "h", "fmt"]
+            )
+
+    jpeg_tiles = imgs.mapInPandas(
+        transcode, schema="image_id string, bytes binary, w int, h int, fmt string"
+    )
+    return MM.decode_features(jpeg_tiles, resize_to=64)
+
+
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real-JPEG multimodal path, exact-gated (round-3) against the
     single-process expectations fixture (tools/build_multimodal_fixture.py;
@@ -2205,6 +2258,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reproject_extents": q_reproject_extents,
     "mosaic_extent_wgs84": q_mosaic_extent_wgs84,
     "audio_float": q_audio_float,
+    "multimodal_jpeg_prog": q_multimodal_jpeg_prog,
     "multimodal_png16": q_multimodal_png16,
     "audio_adpcm": q_audio_adpcm,
     "audio_g711": q_audio_g711,
@@ -2420,6 +2474,9 @@ WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.35""",
         "box_chips": _geotiff_window_sql(limit=30),
         "multimodal_features": _multimodal_features_sql(),
         "multimodal_jpeg": _multimodal_jpeg_sql(),
+        # the progressive stream carries the baseline encoding's exact
+        # quantized coefficients -> identical pixels -> identical fixture
+        "multimodal_jpeg_prog": _multimodal_jpeg_sql(),
         "cc_distributed": _cc_distributed_sql(),
         "audio_features": _audio_features_sql(),
         "audio_g711": _audio_g711_sql(),

@@ -214,6 +214,7 @@ def main() -> None:
         "reproject_extents",
         "mosaic_extent_wgs84",
         "audio_float",
+        "multimodal_jpeg_prog",
     ]
     qs = E.queries()
     rows: dict[str, int] = {}

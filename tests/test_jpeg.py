@@ -66,12 +66,19 @@ def test_codec_dispatch_jpeg():
         codec.decode(enc, "jpeg", 64, 64)  # dims validated vs columns
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_lossless_and_garbage():
+    """Progressive (0xC2) decodes for real since r5 (codec_jpeg_prog);
+    the remaining SOF boundary is lossless/hierarchical.  A baseline
+    stream FORGED to claim SOF2 must fail as malformed (its single
+    full-band scan violates the progressive scan rules), not decode."""
     img = ortho(32, 32)
     enc = bytearray(J.encode_jpeg(img))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # pretend progressive
+    enc[sof + 1] = 0xC3  # lossless sequential
     with pytest.raises(NotImplementedError):
+        J.decode_jpeg(bytes(enc))
+    enc[sof + 1] = 0xC2  # forged progressive over a baseline scan
+    with pytest.raises(ValueError):
         J.decode_jpeg(bytes(enc))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x00\x01\x02")
@@ -148,8 +155,12 @@ def test_wav_rejects_non_pcm_and_garbage():
 
     enc = bytearray(W.encode_wav(np.zeros(4, dtype=np.int16), 16000))
     fmt_at = bytes(enc).find(b"fmt ") + 8
-    enc[fmt_at : fmt_at + 2] = struct.pack("<H", 3)  # IEEE float
+    enc[fmt_at : fmt_at + 2] = struct.pack("<H", 2)  # MS ADPCM
     with pytest.raises(NotImplementedError):
+        W.decode_wav(bytes(enc))
+    # IEEE float decodes for real since r5, but 16-bit floats don't exist
+    enc[fmt_at : fmt_at + 2] = struct.pack("<H", 3)
+    with pytest.raises(ValueError):
         W.decode_wav(bytes(enc))
     with pytest.raises(ValueError):
         W.decode_wav(b"nope")

@@ -501,7 +501,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "sh": sf >> 4, "sv": sf & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        elif marker == 0xC2:  # SOF2: progressive — real since r5
+            from . import codec_jpeg_prog
+
+            return codec_jpeg_prog.decode_jpeg_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"non-baseline jpeg (SOF marker 0x{marker:02X}) unsupported"
             )
@@ -569,6 +573,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         idx = (my * c["sv"] + by) * c["bpr"] + (mx * c["sh"] + bx)
                         c["coef"][idx] = blk
 
+    return _reconstruct(comps, qtables, h, w, hmax, vmax)
+
+
+def _reconstruct(comps, qtables, h, w, hmax, vmax) -> np.ndarray:
+    """Shared dequant + IDCT + upsample tail: identical for baseline and
+    progressive streams (the scans only change HOW ``coef`` was filled),
+    which is what makes the progressive==baseline bit-identity contract
+    of codec_jpeg_prog testable."""
     planes = []
     for c in comps:
         q = qtables[c["tq"]]
