@@ -365,19 +365,74 @@ def test_l2_joint_guards():
     sig = np.stack([mono, mono], axis=1)
     with pytest.raises(ValueError):
         codec_mp3.encode_mp3(sig, 32000, bitrate_idx=12, layer=2, joint_bound=5)
+
+
+# ------------------------------------------------- Layer I joint stereo
+# (r5: the same slot layout as Layer II — ISO 11172-3 2.4.1.5)
+
+
+def test_l1_joint_roundtrip_identical_channels():
+    """Channels that agree everywhere lose nothing to intensity coding."""
+    sig0 = _multisine(16000, 44100)
+    sig = np.stack([sig0, sig0], axis=1)
+    enc = codec_mp3.encode_mp3(
+        sig, 44100, bitrate_idx=12, layer=1, joint_bound=4
+    )
+    dec, rate = codec_mp3.decode_mp3(enc)
+    assert rate == 44100 and dec.shape[1] == 2
+    d = codec_mp3.codec_delay()
+    for c in range(2):
+        assert _snr_db(sig[:, c], dec[d : d + len(sig), c]) > 42.0
+
+
+def test_l1_joint_header_mode_and_bound():
+    sig = np.stack([_multisine(4000, 32000)] * 2, axis=1)
+    for bound in (4, 8, 12, 16):
+        enc = codec_mp3.encode_mp3(
+            sig, 32000, bitrate_idx=12, layer=1, joint_bound=bound
+        )
+        fr = codec_mp3.walk_frames(enc)[0]
+        assert fr.layer == 1 and fr.mode == 1
+        assert (fr.mode_ext + 1) * 4 == bound
+        dec, _ = codec_mp3.decode_mp3(enc)
+        assert dec.shape[1] == 2
+
+
+def test_l1_joint_collapses_antiphase_highs():
+    """Above the bound both channels share one sample block, so
+    anti-phase high-band content (mean ~ 0) collapses toward silence
+    while in-phase low content survives — the intensity effect."""
+    rate, n = 32000, 16000
+    m = np.arange(n, dtype=np.float64)
+    lo = 0.4 * np.sin(2 * np.pi * 300 / rate * m)   # subband 0
+    hi = 0.4 * np.sin(2 * np.pi * 6500 / rate * m)  # subband 13 > bound
+    L = np.rint((lo + hi) * 32767).astype(np.int16)
+    R = np.rint((lo - hi) * 32767).astype(np.int16)
+    sig = np.stack([L, R], axis=1)
+    enc = codec_mp3.encode_mp3(
+        sig, rate, bitrate_idx=12, layer=1, joint_bound=4
+    )
+    dec, _ = codec_mp3.decode_mp3(enc)
+    d = codec_mp3.codec_delay()
+    out = dec[d : d + n].astype(np.float64)
+    ref = codec_mp3.decode_mp3(
+        codec_mp3.encode_mp3(sig, rate, bitrate_idx=12, layer=1)
+    )[0][d : d + n].astype(np.float64)
+    hi_joint = ((out[:, 0] - out[:, 1]) ** 2).sum()
+    hi_normal = ((ref[:, 0] - ref[:, 1]) ** 2).sum()
+    assert hi_joint < 0.01 * hi_normal
+    # low band (the channel mean) survives in both modes
+    mean = (sig[:, 0].astype(np.float64) + sig[:, 1]) / 2
+    assert _snr_db(mean, (out[:, 0] + out[:, 1]) / 2) > 25.0
+
+
+def test_l1_joint_guards():
+    mono = _multisine(2000, 32000)
     with pytest.raises(ValueError):
-        codec_mp3.encode_mp3(sig, 32000, bitrate_idx=12, joint_bound=4)  # L1
-
-
-def test_l1_joint_stays_guarded():
-    """Layer I intensity stereo remains a documented capability boundary."""
-    sig = np.stack([_multisine(2000, 32000)] * 2, axis=1)
-    enc = bytearray(codec_mp3.encode_mp3(sig, 32000, bitrate_idx=12))
-    # patch every frame header's mode field to joint (01)
-    for fr in codec_mp3.walk_frames(bytes(enc)):
-        enc[fr.offset + 3] = (enc[fr.offset + 3] & 0x3F) | 0x40
-    with pytest.raises(NotImplementedError):
-        codec_mp3.decode_mp3(bytes(enc))
+        codec_mp3.encode_mp3(mono, 32000, bitrate_idx=12, joint_bound=4)
+    sig = np.stack([mono, mono], axis=1)
+    with pytest.raises(ValueError):
+        codec_mp3.encode_mp3(sig, 32000, bitrate_idx=12, joint_bound=5)
 
 
 # ---------------------------------------------------------------------

@@ -437,11 +437,16 @@ def encode_mp3(
     if layer != 1:
         raise ValueError("mp3: encoder supports layer 1, 2 or 3")
     if joint_bound is not None:
-        raise ValueError("mp3: joint_bound is Layer II only")
+        if ch != 2:
+            raise ValueError("mp3: joint stereo needs 2 channels")
+        if joint_bound not in (4, 8, 12, 16):
+            raise ValueError("mp3: joint_bound must be 4, 8, 12 or 16")
+    bound = 32 if joint_bound is None else joint_bound
+    slots = _l2_slots(32, ch, bound)  # Layer I shares the slot layout
     sr_idx = _SR_IDX_V1[sample_rate]
     bitrate = _BITRATES_V1[1][bitrate_idx]
     frame_len = (12 * bitrate * 1000 // sample_rate) * 4  # padding bit 0
-    budget0 = frame_len * 8 - 32 - 4 * 32 * ch
+    budget0 = frame_len * 8 - 32 - 4 * len(slots)
     if budget0 < 0:
         raise ValueError("mp3: bitrate too low for the allocation headers")
 
@@ -451,63 +456,79 @@ def encode_mp3(
     A, _G, _d = _filterbank()
     S = np.stack([_analyze(x[:, c], A) for c in range(ch)], axis=2)
 
+    if ch == 1:
+        b3 = 0xC0
+    elif joint_bound is None:
+        b3 = 0x00
+    else:
+        b3 = 0x40 | ((joint_bound // 4 - 1) << 4)
     hdr = bytes(
         [
             0xFF,
             0xFF,  # MPEG1, Layer I, no CRC
             (bitrate_idx << 4) | (sr_idx << 2),
-            0xC0 if ch == 1 else 0x00,
+            b3,
         ]
     )
     out = bytearray()
+    nslots = len(slots)
     for f in range(nframes):
-        Sf = S[12 * f : 12 * (f + 1)]  # (12, 32, ch)
+        Sf = S[12 * f : 12 * (f + 1)].copy()  # (12, 32, ch)
+        # shared (joint) slots code the channel mean; fold it into BOTH
+        # channels so scalefactors/quantization read one signal (the
+        # same intensity-stereo encoding choice as _encode_layer2)
+        for sb, chans in slots:
+            if len(chans) == 2:
+                mean = Sf[:, sb, :].mean(axis=1)
+                Sf[:, sb, 0] = Sf[:, sb, 1] = mean
         amax = np.abs(Sf).max(axis=0)  # (32, ch)
         scf_idx = _scf_indices(amax)
         scf_val = _SCF_LAYER1[scf_idx]
-        # greedy allocation: repeatedly grow the subband whose quantized
-        # noise proxy scf/2^nb is largest (first step buys nb=2 plus the
-        # 6-bit scalefactor); deterministic argmax tie-break = lowest
-        # (sb, ch)
-        nb = np.zeros((32, ch), dtype=np.int64)
-        prio = np.where(amax > 0, scf_val, -1.0)
+        # greedy allocation: repeatedly grow the SLOT whose quantized
+        # noise proxy scf/2^nb is largest (first step buys nb=2 plus a
+        # 6-bit scalefactor per carried channel); deterministic argmax
+        # tie-break = lowest slot
+        nbs = np.zeros(nslots, dtype=np.int64)
+        prio = np.full(nslots, -1.0)
+        for k, (sb, chans) in enumerate(slots):
+            if amax[sb, chans[0]] > 0:
+                prio[k] = scf_val[sb, chans[0]]
         budget = budget0
         while True:
-            i = int(np.argmax(prio))
-            sb, c = divmod(i, ch)
-            if prio[sb, c] <= 0:
+            k = int(np.argmax(prio))
+            if prio[k] <= 0:
                 break
-            cost = 12 + (6 + 12 if nb[sb, c] == 0 else 0)
+            sb, chans = slots[k]
+            cost = 12 + (6 * len(chans) + 12 if nbs[k] == 0 else 0)
             if cost > budget:
-                prio[sb, c] = -1.0  # can't afford: retire this subband
+                prio[k] = -1.0  # can't afford: retire this slot
                 continue
-            nb[sb, c] += 2 if nb[sb, c] == 0 else 1
+            nbs[k] += 2 if nbs[k] == 0 else 1
             budget -= cost
-            prio[sb, c] = (
-                -1.0 if nb[sb, c] >= 15 else scf_val[sb, c] / 2.0 ** nb[sb, c]
+            prio[k] = (
+                -1.0 if nbs[k] >= 15
+                else scf_val[sb, chans[0]] / 2.0 ** nbs[k]
             )
 
         w = _BitWriter()
-        for sb in range(32):
-            for c in range(ch):
-                w.write(int(nb[sb, c]) - 1 if nb[sb, c] else 0, 4)
-        for sb in range(32):
-            for c in range(ch):
-                if nb[sb, c]:
+        for k in range(nslots):
+            w.write(int(nbs[k]) - 1 if nbs[k] else 0, 4)
+        for k, (sb, chans) in enumerate(slots):
+            if nbs[k]:
+                for c in chans:
                     w.write(int(scf_idx[sb, c]), 6)
         # vectorized sample section (same fixed layout the decoder
-        # gathers from): each coded subband quantizes its 12 samples and
+        # gathers from): each coded slot quantizes its 12 samples and
         # scatters their bits in one shot
-        nb_flat = nb.reshape(-1)
-        ends = np.cumsum(nb_flat)
-        offs, stride = ends - nb_flat, int(ends[-1])
+        ends = np.cumsum(nbs)
+        offs, stride = ends - nbs, int(ends[-1])
         srange = stride * np.arange(12, dtype=np.int64)
         sec = np.zeros(12 * stride, dtype=np.uint8)
-        for k in np.flatnonzero(nb_flat):
-            b = int(nb_flat[k])
-            sb, c = divmod(int(k), ch)
+        for k in np.flatnonzero(nbs):
+            b = int(nbs[k])
+            sb, chans = slots[k]
             lv = (1 << b) - 1
-            xq = Sf[:, sb, c] / scf_val[sb, c]
+            xq = Sf[:, sb, chans[0]] / scf_val[sb, chans[0]]
             codes = np.rint(
                 (xq * lv / (1 << b) + 1.0 - 2.0 ** (1 - b)) * 2.0 ** (b - 1)
             ).astype(np.int64)
@@ -883,10 +904,6 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
             ):
                 raise ValueError("mp3: inconsistent stream parameters")
         return codec_mp3_l3.decode_mp3_l3(data, frames, ch3)
-    if f0.mode == 1 and f0.layer != 2:
-        # Layer II joint stereo decodes for real (_decode_layer2 slots);
-        # the Layer I variant stays a documented capability boundary
-        raise NotImplementedError("mp3: Layer I intensity (joint) stereo")
     ch = 1 if f0.mode == 3 else 2
     for fr in frames:
         if (fr.layer, fr.mode, fr.mode_ext, fr.sample_rate) != (
@@ -910,41 +927,48 @@ def decode_mp3(data: bytes) -> tuple[np.ndarray, int]:
             f0.sample_rate,
         )
 
+    # Layer I intensity (joint) stereo (mode=1): subbands >= bound carry
+    # ONE allocation + ONE sample set, scalefactors still per channel —
+    # the same slot layout as Layer II (ISO 11172-3 2.4.1.5)
+    l1_bound = (f0.mode_ext + 1) * 4 if (f0.mode == 1 and ch == 2) else 32
+    slots = _l2_slots(32, ch, l1_bound)
+    nslots = len(slots)
     S = np.zeros((12 * len(frames), 32, ch))
     for fi, fr in enumerate(frames):
         pos = fr.offset + 4 + (2 if fr.protection == 0 else 0)
         bits = _FrameBits(data[pos : fr.offset + fr.length])
-        nb = np.zeros((32, ch), dtype=np.int64)
-        for sb in range(32):
-            for c in range(ch):
-                a = bits.read(4)
-                if a == 15:
-                    raise ValueError("mp3: forbidden allocation code 15")
-                nb[sb, c] = a + 1 if a else 0
+        nbs = np.zeros(nslots, dtype=np.int64)
+        for k in range(nslots):
+            a = bits.read(4)
+            if a == 15:
+                raise ValueError("mp3: forbidden allocation code 15")
+            nbs[k] = a + 1 if a else 0
         scf = np.ones((32, ch))
-        for sb in range(32):
-            for c in range(ch):
-                if nb[sb, c]:
+        for k, (sb, chans) in enumerate(slots):
+            if nbs[k]:
+                for c in chans:
                     idx = bits.read(6)
                     if idx > 62:
                         raise ValueError("mp3: forbidden scalefactor 63")
                     scf[sb, c] = _SCF_LAYER1[idx]
         # sample section: fixed layout once the allocation is known —
-        # sample (s, sb, c) sits at off(sb, c) + s * stride, so every
-        # coded subband extracts its 12 samples in one numpy gather
-        nb_flat = nb.reshape(-1)  # (sb, c) row-major = the spec's order
-        ends = np.cumsum(nb_flat)
-        offs, stride = ends - nb_flat, int(ends[-1])
+        # slot k's sample s sits at off(k) + s * stride, so every coded
+        # slot extracts its 12 samples in one numpy gather; a shared
+        # slot fans the same requantized samples into both channels
+        # through each channel's own scalefactor
+        ends = np.cumsum(nbs)
+        offs, stride = ends - nbs, int(ends[-1])
         srange = stride * np.arange(12, dtype=np.int64)
-        for k in np.flatnonzero(nb_flat):
-            b = int(nb_flat[k])
-            sb, c = divmod(int(k), ch)
+        for k in np.flatnonzero(nbs):
+            b = int(nbs[k])
+            sb, chans = slots[k]
             codes = bits.read_matrix(offs[k] + srange, b) ^ (1 << (b - 1))
             lv = (1 << b) - 1
             sq = (1 << b) / lv * (
                 codes * 2.0 ** (1 - b) - 1.0 + 2.0 ** (1 - b)
             )
-            S[12 * fi : 12 * (fi + 1), sb, c] = sq * scf[sb, c]
+            for c in chans:
+                S[12 * fi : 12 * (fi + 1), sb, c] = sq * scf[sb, c]
         bits.pos += 12 * stride
 
     _A, G, _d = _filterbank()
