@@ -33,13 +33,15 @@ Scope:
   (sample rate, kbps per channel): 48 kHz or <= 80 kbps/ch -> B.2a,
   else B.2b; the low-rate tables B.2c/d (< 56 kbps/ch) stay out of
   scope and raise.  Intensity (joint) stereo codes for real on both
-  sides (mode=1, bound = (mode_ext+1)*4: one allocation + one sample
-  block per shared subband, scalefactors per channel — the slot layout
-  of 2.4.1.6); the Layer I joint variant stays guarded.
+  sides IN BOTH LAYERS (mode=1, bound = (mode_ext+1)*4: one allocation
+  + one sample block per shared subband, scalefactors per channel —
+  the slot layout of 2.4.1.5/2.4.1.6; Layer I joined in r5).
 
-* LAYER III payload stays stubbed (tested ``NotImplementedError``):
-  its Huffman code tables exist only as spec annex tables that cannot
-  be re-derived, which is this repo's codec-library boundary.
+* LAYER III decodes through the restricted profile in codec_mp3_l3.py
+  (long blocks, Huffman tables 0/1 + count1B, bit reservoir + scfsi);
+  streams outside that profile raise ``NotImplementedError`` naming the
+  boundary — the remaining Annex B Huffman tables exist only as spec
+  annex tables that cannot be re-derived.
 
 Reference analogue: library-delegated media open in
 /root/reference/src/io.py:41-63.
